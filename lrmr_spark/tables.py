@@ -1,0 +1,55 @@
+"""Parquet table catalog over the driver-generated testdata.
+
+The reference's only sources are in-memory rows and a local-file walker
+(/root/reference/input.go:11-31); here the idiomatic source is columnar
+parquet with predicate pushdown and column pruning, which is what a
+100 TB deployment would read (partitioned parquet/ORC on object
+storage).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["TABLES", "load", "load_all", "register_views"]
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table. Column pruning + filter pushdown come free from
+    the parquet scan as long as callers select/filter declaratively."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): surfaced as a long via
+        # spark.sql.legacy.parquet.nanosAsLong; truncate ns → µs exactly
+        # like DuckDB's TIMESTAMP cast so oracle values match.
+        from pyspark.sql import functions as F
+
+        # integer division — float `/` would lose precision above 2^53 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` queries can
+    name them exactly like the DuckDB oracle does."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
