@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query executes via count() (forces the full plan without driver
+materialization of rows — collect() timing would measure Arrow/driver
+transfer, not the engine).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lrmr_spark.catalog import queries
+from lrmr_spark.session import get_spark
+
+# headline set: one per architectural family (scan+agg, multiway join,
+# window, sessionization, near-dedup, similarity, text, pipeline core)
+HEADLINE = [
+    "flagship_event_counts",
+    "tpch_q1",
+    "join_multiway_region_revenue",
+    "window_topk_per_customer",
+    "events_sessionization",
+    "dedup_tokenset",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("lrmr-spark-bench")
+    qs = queries()
+
+    # JVM/python-worker warm-up so per-query numbers measure the engine,
+    # not process spin-up (excluded from reported time)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    qs["flagship_event_counts"](spark, sf_dir).count()
+
+    results: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        results[name] = round(time.time() - t0, 3)
+        print(f"bench {name}: {results[name]}s", file=sys.stderr, flush=True)
+
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

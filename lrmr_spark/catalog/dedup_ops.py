@@ -1,1 +1,153 @@
-"""Placeholder — filled in as operators land."""
+"""Deduplication catalog entries over the documents table.
+
+The oracles re-express the full MinHash/SimHash/Jaccard algorithms in
+DuckDB SQL using the same md5 primitive, so the correctness gate checks
+the *algorithm*, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup as DD
+from ..tables import load
+from . import query
+
+_TOKS = "list_sort(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')))"
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the canonical fingerprint. Only
+    (hash, id) shuffles — document bodies never move."""
+    return DD.exact_dedup(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_tokenset",
+    oracle=f"""
+    SELECT md5(array_to_string({_TOKS}, ' ')) AS fp,
+           min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_tokenset(spark, sf_dir):
+    """Token-set dedup: catches word-order shuffles of the same content
+    (the corpus's 'dup' cluster) that exact dedup misses."""
+    return DD.tokenset_dedup(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 2, threshold: float = 0.9) -> str:
+    rows = num_hashes // bands
+    sig_elems = ", ".join(
+        f"list_min(list_transform(items, t -> md5('{s}:' || t)))" for s in range(num_hashes)
+    )
+    band_elems = ", ".join(
+        "concat_ws('|', '%d', %s)" % (b, ", ".join(f"sig[{b * rows + r + 1}]" for r in range(rows)))
+        for b in range(bands)
+    )
+    return f"""
+    WITH items0 AS (
+      SELECT doc_id AS _id, list_sort(list(tok || ':' || cnt)) AS items FROM (
+        SELECT doc_id, tok, count(*) AS cnt FROM (
+          SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
+          FROM documents) t GROUP BY doc_id, tok) c
+      GROUP BY doc_id
+    ), reps AS (
+      SELECT min(_id) AS _id, any_value(items) AS items
+      FROM (SELECT _id, items, md5(array_to_string(items, ' ')) AS fp FROM items0) f
+      GROUP BY fp
+    ), sigs AS (
+      SELECT _id, items, [{sig_elems}] AS sig FROM reps
+    ), banded AS (
+      SELECT _id, unnest([{band_elems}]) AS band FROM sigs
+    ), cand AS (
+      SELECT DISTINCT l._id AS id_a, r._id AS id_b
+      FROM banded l JOIN banded r ON l.band = r.band AND l._id < r._id
+    ), verified AS (
+      SELECT id_a, id_b,
+             round(len(list_intersect(a.items, b.items))
+                   / CAST(len(list_distinct(list_concat(a.items, b.items))) AS DOUBLE), 4)
+               AS jaccard
+      FROM cand JOIN reps a ON cand.id_a = a._id JOIN reps b ON cand.id_b = b._id
+    )
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16)+LSH(2 bands of 8) near-dup representative pairs with
+    exact-Jaccard verification over token-multiset items — the O(n·B)
+    scale path for near-dedup. Identical multisets collapse to one
+    representative before LSH (exact dups would otherwise rebuild the
+    quadratic pair list), and the multiset representation keeps LSH
+    buckets discriminative on this corpus's ~40-word vocabulary, where
+    set-jaccard saturates and every doc would collide. The oracle runs
+    the identical algorithm (same md5 seeds, banding, collapse) in
+    DuckDB."""
+    return DD.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=16, bands=2, threshold=0.9,
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS _id, {_TOKS} AS toks,
+             len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS blk
+      FROM documents
+    )
+    SELECT l._id AS id_a, r._id AS id_b,
+           round(len(list_intersect(l.toks, r.toks))
+                 / CAST(len(list_distinct(list_concat(l.toks, r.toks))) AS DOUBLE), 4)
+             AS jaccard
+    FROM base l JOIN base r ON l.blk = r.blk AND l._id < r._id
+    WHERE round(len(list_intersect(l.toks, r.toks))
+                / CAST(len(list_distinct(list_concat(l.toks, r.toks))) AS DOUBLE), 4) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact token-set Jaccard pairs within token-count blocks (bounded
+    cross product; the exact-measure counterpart to MinHash)."""
+    return DD.jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.8
+    )
+
+
+def _simhash_oracle() -> str:
+    bits = []
+    for j in range(1, 17):
+        bits.append(
+            f"CASE WHEN list_sum(list_transform(toks, t -> "
+            f"CASE WHEN substr(md5(t), {j}, 1) IN "
+            f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 "
+            f"THEN '1' ELSE '0' END"
+        )
+    concat = " || ".join(bits)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), sigs AS (
+      SELECT doc_id, {concat} AS sig FROM base
+    )
+    SELECT sig, min(doc_id) AS keep_id, count(*) AS n_docs
+    FROM sigs GROUP BY sig
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle)
+def dedup_simhash(spark, sf_dir):
+    """SimHash clustering: 16-bit portable signature (majority vote of
+    md5 hex-digit bits over distinct tokens), grouped by signature.
+    Production uses the same aggregate shape over 64 xxhash64 bits."""
+    return DD.simhash_clusters(load(spark, sf_dir, "documents"), "doc_id", "text")

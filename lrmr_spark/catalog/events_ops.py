@@ -1,1 +1,144 @@
-"""Placeholder — filled in as operators land."""
+"""Event-time analytics over the ``events`` table — the batch mirrors of
+the Structured Streaming surface (lrmr_spark.streaming). Tumbling /
+sliding windows, sessionization, JSON extraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import query
+
+
+@query(
+    "events_tumbling_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+           count(*) AS cnt,
+           round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_counts(spark, sf_dir):
+    """1-hour tumbling window per event type. Spark's window() is
+    epoch-aligned exactly like DuckDB's time_bucket. In streaming mode
+    the same expression runs incrementally with a watermark
+    (lrmr_spark.streaming.tumbling_counts)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "cnt", "total_value")
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle="""
+    WITH exploded AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes') AS w_start, value
+      FROM events
+    )
+    SELECT w_start, count(*) AS cnt,
+           round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+    FROM exploded GROUP BY w_start
+    """,
+)
+def events_sliding_window(spark, sf_dir):
+    """1-hour window sliding every 30 minutes: each event lands in two
+    overlapping windows (Spark window(ts, len, slide) expands rows
+    JVM-side; the oracle reproduces the expansion with a UNION ALL of
+    two bucketings)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "cnt", "total_value")
+    )
+
+
+@query(
+    "events_sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
+           round(CAST(sum(value) AS DOUBLE), 2) AS total_value,
+           min(ts) AS sess_start, max(ts) AS sess_end
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def events_sessionization(spark, sf_dir):
+    """Batch sessionization: 30-minute inactivity gap → session id via
+    lag + running sum (the classic gaps-and-islands plan; one shuffle on
+    user_id, bounded per-user state). Streaming variant:
+    lrmr_spark.streaming.session_counts uses session_window()."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prev_ts = F.lag("ts").over(w)
+    # microsecond-exact gap comparison to match the oracle's interval math
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 30 * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn("sess_id", F.sum("new_sess").over(wsum))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.min("ts").alias("sess_start"),
+            F.max("ts").alias("sess_end"),
+        )
+    )
+
+
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           round(CAST(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE), 2)
+             AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_props(spark, sf_dir):
+    """Semi-structured JSON column extraction (get_json_object) + agg."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg(k), 2).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )

@@ -1,1 +1,433 @@
-"""Placeholder — filled in as operators land."""
+"""Relational operator surface (SURVEY §2.5) — everything the reference
+lacks (joins, set ops, grouping sets, scalar functions, SQL) expressed
+natively so Catalyst owns the physical strategy.
+
+Scale notes: dimension sides of every join are broadcast (explicit
+``F.broadcast`` hint where the optimizer can't see the size statically);
+fact-fact joins shuffle on their keys with AQE skew handling; all
+aggregations get map-side partial aggregation for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..tables import load, register_views
+from . import query
+
+
+@query(
+    "tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE), 2) AS sum_charge,
+           round(CAST(avg(l_quantity) AS DOUBLE), 2) AS avg_qty,
+           round(CAST(avg(l_extendedprice) AS DOUBLE), 2) AS avg_price,
+           round(CAST(avg(l_discount) AS DOUBLE), 2) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary. Single scan → partial/final hash agg on
+    a low-cardinality key; the shipdate predicate pushes down to parquet
+    row-group pruning (PushedFilters in .explain)."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "join_inner_segment_revenue",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_orders,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_inner_segment_revenue(spark, sf_dir):
+    """Inner join fact→dim. The dim side is broadcast (hinted) so the
+    fact table never shuffles — the dominant join pattern at 100 TB."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_multiway_region_revenue",
+    oracle="""
+    SELECT r_name, count(*) AS n_items,
+           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_multiway_region_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped 5-way join. lineitem⋈orders is the only
+    shuffle-worthy pair (both facts, keyed on orderkey); customer/
+    nation/region chain is broadcast all the way down."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "join_left_outer_order_counts",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS cnt
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer_order_counts(spark, sf_dir):
+    """Left outer join preserving unmatched dim rows (count=0)."""
+    customer = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("cnt"))
+    )
+
+
+@query(
+    "join_semi_big_spenders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+    """,
+)
+def join_semi_big_spenders(spark, sf_dir):
+    """Left-semi join (EXISTS): emits each matching left row once,
+    shuffles only the join keys of the right side."""
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return customer.join(big, customer.c_custkey == big.o_custkey, "left_semi")
+
+
+@query(
+    "join_anti_no_big_orders",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+    """,
+)
+def join_anti_no_big_orders(spark, sf_dir):
+    """Left-anti join (NOT EXISTS)."""
+    customer = load(spark, sf_dir, "customer").select("c_custkey")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return customer.join(big, customer.c_custkey == big.o_custkey, "left_anti")
+
+
+@query(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS distinct_parts,
+           count(DISTINCT l_suppkey) AS distinct_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_counts(spark, sf_dir):
+    """Multi-distinct aggregation (Spark expands to a single multi-phase
+    plan; at scale prefer approx_count_distinct — see
+    agg_approx_distinct which has no exact oracle)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").alias("distinct_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "rollup_qty",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty, count(*) AS cnt
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_qty(spark, sf_dir):
+    """ROLLUP hierarchy totals (absent from the reference — SURVEY §2.5)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@query(
+    "cube_qty",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty, count(*) AS cnt
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_qty(spark, sf_dir):
+    """CUBE over both dimensions."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@query(
+    "grouping_sets_qty",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_qty(spark, sf_dir):
+    """Explicit GROUPING SETS via the SQL surface."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "set_union_nations",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    UNION
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def set_union_nations(spark, sf_dir):
+    """UNION (distinct) — set op surface (SURVEY §2.5)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def set_intersect_nations(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except_nations",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def set_except_nations(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    # subtract() is EXCEPT DISTINCT (exceptAll().distinct() would keep
+    # values that appear more times on the left than the right)
+    return c.subtract(s)
+
+
+@query(
+    "pivot_status_qty",
+    oracle="""
+    SELECT l_returnflag,
+           round(CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS DOUBLE), 2) AS "O",
+           round(CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS DOUBLE), 2) AS "F"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_status_qty(spark, sf_dir):
+    """Pivot with explicit value list (explicit list avoids the extra
+    distinct-values job — required practice at scale)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@query(
+    "scalar_string_math",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_up,
+           substr(p_name, 1, 8) AS name_prefix,
+           length(p_name) AS name_len,
+           replace(p_type, ' ', '_') AS type_slug,
+           concat(p_brand, '|', p_type) AS brand_type,
+           abs(p_size - 25) AS size_dev,
+           round(CAST(p_retailprice * 1.1 AS DOUBLE), 2) AS price_up,
+           CAST(floor(p_retailprice / 100) AS BIGINT) AS price_bucket,
+           p_partkey % 7 AS pk_mod
+    FROM part
+    """,
+)
+def scalar_string_math(spark, sf_dir):
+    """Scalar function catalog (string/math) — all JVM-side, one
+    projection inside whole-stage codegen."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_up"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_up"),
+        F.floor(F.col("p_retailprice") / 100).cast("bigint").alias("price_bucket"),
+        (F.col("p_partkey") % 7).alias("pk_mod"),
+    )
+
+
+@query(
+    "scalar_dates",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(month(o_orderdate) AS INTEGER) AS o_month,
+           CAST(dayofmonth(o_orderdate) AS INTEGER) AS o_day,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER)
+             AS days_since_95
+    FROM orders
+    """,
+)
+def scalar_dates(spark, sf_dir):
+    """Date/time scalar functions."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        ).alias("days_since_95"),
+    )
+
+
+@query(
+    "case_when_price_buckets",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 300000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           count(*) AS cnt,
+           round(CAST(avg(o_totalprice) AS DOUBLE), 2) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def case_when_price_buckets(spark, sf_dir):
+    """Conditional expressions + aggregation."""
+    o = load(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "low")
+        .when(F.col("o_totalprice") < 300000, "mid")
+        .otherwise("high")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+@query(
+    "sql_passthrough_nation_revenue",
+    oracle="""
+    SELECT n_name, count(*) AS cnt,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def sql_passthrough_nation_revenue(spark, sf_dir):
+    """spark.sql() passthrough over registered views — the full SQL
+    surface the reference has no analogue for (SURVEY §2.5)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, count(*) AS cnt,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )

@@ -1,1 +1,108 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis catalog entries over the documents table.
+
+Every oracle embeds the same deterministic spec (stopword list,
+thresholds, md5 normalization) as the Spark operators in
+lrmr_spark.operators.text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import text as TX
+from ..tables import load
+from . import query
+
+_STOP_SQL = "(" + ", ".join(f"'{s}'" for s in TX.STOPWORDS) + ")"
+
+# DuckDB token list for whitespace-split text with empties filtered
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokenizer, char/token/distinct-token
+    counts. One projection, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        TX.token_count("text").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(TX.tokens("text"))).cast("bigint").alias("n_distinct_tokens"),
+    )
+
+
+@query(
+    "text_quality_features",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           round((length(text) - (len({_TOKS}) - 1))
+                 / CAST(greatest(len({_TOKS}), 1) AS DOUBLE), 4) AS avg_token_len,
+           round(len(list_filter({_TOKS}, t -> t IN {_STOP_SQL}))
+                 / CAST(greatest(len({_TOKS}), 1) AS DOUBLE), 4) AS stopword_ratio,
+           round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                 / CAST(greatest(length(text), 1) AS DOUBLE), 4) AS punct_ratio
+    FROM documents
+    """,
+)
+def text_quality_features(spark, sf_dir):
+    """Quality scoring features (length / token / stopword / punctuation
+    ratios) for training-data filtering."""
+    d = load(spark, sf_dir, "documents")
+    feats = TX.quality_features("text")
+    return d.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN len(list_filter({_TOKS}, t -> t IN {_STOP_SQL}))
+                     / CAST(greatest(len({_TOKS}), 1) AS DOUBLE) >= 0.03
+                THEN 'en' ELSE 'unknown' END AS lang_pred,
+           round(len(list_filter({_TOKS}, t -> t IN {_STOP_SQL}))
+                 / CAST(greatest(len({_TOKS}), 1) AS DOUBLE), 4) AS marker_ratio
+    FROM documents
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Heuristic language-ID (stopword-marker ratio ≥ 3% → 'en'). The
+    deterministic spec doubles as the oracle; per-language marker sets
+    plug into the same shape (operators.text.language_id)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.language_id("text").alias("lang_pred"),
+        F.round(TX.language_scores("text"), 4).alias("marker_ratio"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 8)
+             AS fp_prefix
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Canonical document fingerprint (md5 of normalized text) +
+    bucket-able prefix."""
+    d = load(spark, sf_dir, "documents")
+    fp = TX.fingerprint("text")
+    return d.select(
+        "doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp_prefix")
+    )

@@ -1,0 +1,284 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point of these at 100 TB):
+- Exact dedup: hash-groupBy on a 128-bit fingerprint — one shuffle of
+  (hash, id), never of document bodies.
+- MinHash+LSH: per-doc signature (narrow, one scan) → explode only the
+  B band keys (B rows per doc) → self-join on band key finds candidate
+  pairs → exact Jaccard verify on the candidates only. Cost is
+  O(docs·B) shuffle rows + candidate verification, not O(docs²).
+- SimHash: one 64-bit signature per doc; equal-signature grouping via
+  hash-groupBy; near-signatures via banded sub-keys (same LSH trick).
+- n-gram Jaccard: exact pairwise measure, *blocked* so the cross
+  product stays bounded per block.
+
+Hash portability: the oracle-checkable variants use md5 (bit-identical
+in Spark / DuckDB / Python). ``xxhash64`` fast-path variants exist for
+production (JVM hash, no hex strings) — same structure, different
+hash, noted per function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+from .text import distinct_tokens, fingerprint, tokens
+
+__all__ = [
+    "exact_dedup",
+    "tokenset_dedup",
+    "minhash_signature",
+    "minhash_band_keys",
+    "minhash_lsh_pairs",
+    "jaccard_pairs",
+    "simhash16",
+    "simhash_clusters",
+]
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on the canonical fingerprint: one representative
+    (min id) per identical normalized text. Output: (fp, keep_id, n_dups)."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def tokenset_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on the sorted distinct-token set — catches documents
+    that are word-order shuffles of each other (the 'dup' cluster in the
+    test corpus). Same hash-groupBy shape as exact_dedup."""
+    fp = F.md5(F.array_join(distinct_tokens(text_col), " "))
+    return (
+        df.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def _portable_hash(seed: int, col: Column) -> Column:
+    """md5('<seed>:' || token) — reproducible in DuckDB/Python. The
+    min over hex strings is a valid MinHash (uniform over the hex
+    ordering). Production fast path: xxhash64(seed, token)."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), col))
+
+
+def _seed_hasher(seed: int):
+    """One-arg lambda factory. NOTE: binding the seed with a default
+    argument (``lambda t, s=s: ...``) silently breaks — PySpark
+    dispatches higher-order-function lambdas on *parameter count*, so a
+    2-parameter lambda becomes the (element, index) variant and the
+    "seed" receives the array index."""
+
+    def h(t: Column) -> Column:
+        return _portable_hash(seed, t)
+
+    return h
+
+
+def minhash_signature(items: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature over an array of item strings: array of
+    ``num_hashes`` minima of per-seed item hashes. One pass over the
+    array, JVM-side."""
+    return F.array(
+        *[F.array_min(F.transform(items, _seed_hasher(s))) for s in range(num_hashes)]
+    )
+
+
+def token_multiset_items(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document sorted 'token:count' item list — the multiset
+    representation MinHash operates on. Multiset (not set) items matter
+    on small vocabularies: nearly every document contains every word,
+    so set-jaccard saturates at ~1 and LSH buckets degenerate into one
+    giant candidate clique; frequency profiles stay discriminative.
+
+    Plan: explode → count per (doc, token) → collect per doc. Two
+    shuffles on bounded keys; at 100 TB this is the standard
+    wordcount-shaped plan (AQE coalesces the tail).
+    Output: (id, items array<string>).
+    """
+    exploded = df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok"))
+    counts = exploded.groupBy("_id", "_tok").agg(F.count(F.lit(1)).alias("_cnt"))
+    return counts.groupBy("_id").agg(
+        F.array_sort(
+            F.collect_list(F.concat(F.col("_tok"), F.lit(":"), F.col("_cnt")))
+        ).alias("items")
+    )
+
+
+def minhash_band_keys(sig: Column, num_hashes: int = 16, bands: int = 4) -> Column:
+    """LSH banding: split the signature into ``bands`` rows of
+    ``num_hashes/bands`` hashes; docs sharing any full band become
+    candidates. Returns an array of band-key strings."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 2,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-dup *representative* pairs via MinHash+LSH with
+    exact-Jaccard verification over token-multiset items.
+
+    Plan shape (each step keeps shuffle rows narrow — the three design
+    rules that make this survive 100 TB):
+    1. items per doc (token:count multiset) → md5 fingerprint;
+       **collapse identical multisets** to one representative (min id)
+       first — exact-dup clusters would otherwise re-meet in every LSH
+       bucket and recreate the quadratic pair list LSH exists to avoid.
+    2. signature (narrow) → explode only B band keys per rep.
+    3. band self-join produces candidate **(id, id) pairs only** — item
+       arrays are re-attached by id afterwards, so the band shuffle
+       never carries document content.
+    4. exact multiset-Jaccard ≥ threshold on candidates only.
+    Output: (id_a, id_b, jaccard) over representatives, id_a < id_b.
+    """
+    # Signature computed inside the wordcount aggregation: the per-item
+    # md5s are plain (whole-stage-codegen'd) column expressions and the
+    # 16 minima fold via map-side-combinable min() — no interpreted
+    # higher-order-function lambdas in the hot path (HOF lambdas don't
+    # codegen; the array-lambda formulation measured 25× slower).
+    exploded = df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok"))
+    item = F.concat(F.col("_tok"), F.lit(":"), F.col("_cnt"))
+    hashed = exploded.groupBy("_id", "_tok").agg(F.count(F.lit(1)).alias("_cnt")).select(
+        "_id",
+        item.alias("_item"),
+        *[_portable_hash(s, item).alias(f"_h{s}") for s in range(num_hashes)],
+    )
+    per_doc = hashed.groupBy("_id").agg(
+        F.array_sort(F.collect_list("_item")).alias("items"),
+        *[F.min(f"_h{s}").alias(f"_h{s}") for s in range(num_hashes)],
+    )
+    # persist: the representative table is referenced four times (both
+    # band-join sides + both verify sides); without it Spark recomputes
+    # the tokenize→count→collect pipeline per reference (measured 5×
+    # slowdown at sf0.1). One row per unique multiset — small relative
+    # to the corpus; the default storage level spills safely at scale.
+    reps = (
+        per_doc.withColumn("_fp", F.md5(F.array_join("items", " ")))
+        .groupBy("_fp")
+        .agg(
+            F.min("_id").alias("_id"),
+            F.first("items").alias("items"),
+            *[F.first(f"_h{s}").alias(f"_h{s}") for s in range(num_hashes)],
+        )
+        .drop("_fp")
+        .persist()
+    )
+    rows_per_band = num_hashes // bands
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"_h{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = reps.select("_id", F.explode(band_keys).alias("_band"))
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), on="_band")
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    ia = reps.select(F.col("_id").alias("id_a"), F.col("items").alias("items_a"))
+    ib = reps.select(F.col("_id").alias("id_b"), F.col("items").alias("items_b"))
+    inter = F.size(F.array_intersect("items_a", "items_b"))
+    union = F.size(F.array_union("items_a", "items_b"))
+    return (
+        cand.join(ia, "id_a")
+        .join(ib, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_expr: Column | None = None,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact pairwise token-set Jaccard within blocks.
+
+    ``block_expr`` bounds the cross product (default: exact token
+    count, which near-identical docs share). At scale, prefer
+    minhash_lsh_pairs; this is the exact verifier / small-block tool.
+    """
+    toks = distinct_tokens(text_col)
+    block = block_expr if block_expr is not None else F.size(tokens(text_col))
+    base = df.select(
+        F.col(id_col).alias("_id"), toks.alias("_toks"), block.alias("_block")
+    )
+    left, right = base.alias("l"), base.alias("r")
+    inter = F.size(F.array_intersect("l._toks", "r._toks"))
+    union = F.size(F.array_union("l._toks", "r._toks"))
+    return (
+        left.join(right, on="_block")
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash16(text_col: Column | str) -> Column:
+    """Portable 16-bit SimHash over distinct tokens: bit j is the sign
+    of the per-token vote where token votes +1 if hex digit j of
+    md5(token) ≥ '8'. Returned as a 16-char '0'/'1' string.
+
+    Production fast path: 64-bit variant over xxhash64 bits (same
+    aggregate shape, JVM hash). 16 bits keeps the oracle SQL tractable
+    while exercising the identical plan."""
+    toks = distinct_tokens(text_col)
+
+    def voter(j: int):
+        # factory, not a default-arg lambda: a 3-parameter lambda would
+        # be dispatched to the wrong higher-order-function variant
+        def v(acc: Column, t: Column) -> Column:
+            return acc + F.when(
+                F.substring(F.md5(t), j, 1).isin(*"89abcdef"), 1
+            ).otherwise(-1)
+
+        return v
+
+    bits = []
+    for j in range(1, 17):
+        vote = F.aggregate(toks, F.lit(0), voter(j))
+        bits.append(F.when(vote > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def simhash_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group documents by identical SimHash signature (candidate
+    duplicate clusters). Output: (sig, keep_id, n_docs)."""
+    return (
+        df.select(F.col(id_col), simhash16(text_col).alias("sig"))
+        .groupBy("sig")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -1,0 +1,144 @@
+"""Embedding similarity search: brute-force cosine top-k (baseline) and
+LSH-bucketed ANN (scale path), plus embedding-cosine near-dup pairs.
+
+Scale design:
+- Brute-force top-k: the query vector broadcasts; each partition
+  computes dot products JVM-side (zip_with/aggregate — no Python, no
+  UDF) and emits its local top-k; TakeOrderedAndProject merges k·P
+  candidates on the driver. Linear scan, embarrassingly parallel.
+- LSH (random hyperplanes): deterministic planes derived from md5 so
+  bucketing is reproducible everywhere; candidates = same-bucket rows,
+  then exact cosine re-rank. Shuffles only (bucket, id) pairs.
+- Cosine near-dup: pairwise within a blocking key (label / LSH bucket)
+  — never an unblocked cross join.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine",
+    "cosine_topk",
+    "hyperplanes",
+    "lsh_bucket",
+    "lsh_topk",
+    "cosine_dedup_pairs",
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns, accumulated in double,
+    JVM-side (zip_with + aggregate; no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector.
+    Output: (id, score) — score rounded to 6 so results are
+    engine-portable; ordering tiebreaks on id."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: weight[p][d] derives
+    from md5(f"{p}:{d}") — reproducible in any engine/language (the
+    oracle SQL inlines the same literals)."""
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            # first 8 hex chars → [0, 2^32) → centered to [-0.5, 0.5)
+            row.append(int(h[:8], 16) / 2**32 - 0.5)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-projection bucket key: one bit per hyperplane,
+    concatenated into a string key. Pure column expressions."""
+    bits = []
+    for row in planes:
+        w = F.array(*[F.lit(x) for x in row])
+        bits.append(F.when(dot(vec_col, w) > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: restrict the exact cosine re-rank to the query's LSH
+    bucket. At 100 TB the bucket column is precomputed/partitioned-by so
+    a query touches 1/2^planes of the data; here it's computed inline.
+    Approximate: recall depends on num_planes (probe multiple buckets /
+    multi-table LSH to raise it)."""
+    planes = hyperplanes(num_planes, len(query_vec))
+    qbits = "".join(
+        "1" if sum(w * x for w, x in zip(row, query_vec)) > 0 else "0" for row in planes
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    bucketed = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+    return (
+        bucketed.filter(F.col("_bucket") == qbits)
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_dedup_pairs(
+    df: DataFrame,
+    block_col: str,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs: exact pairwise cosine *within a
+    blocking key* (a label, or an LSH bucket at scale).
+    Output: (id_a, id_b, score) with id_a < id_b, score ≥ threshold."""
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), F.col(block_col).alias("_b")
+    )
+    left, right = base.alias("l"), base.alias("r")
+    return (
+        left.join(right, on="_b")
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.round(cosine(F.col("l._v"), F.col("r._v")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

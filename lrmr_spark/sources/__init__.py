@@ -1,0 +1,122 @@
+"""Sources & sinks (SURVEY §2.1).
+
+The reference has exactly two feeders — in-memory rows and a local-file
+path walker (/root/reference/input.go:11-31, feeder iface
+/root/reference/input/feeder.go:9-11) — and no format readers at all
+(CSV parsing is user code — /root/reference/test/input_csv_decoder.go).
+Here the same surface plus the real format readers Spark provides:
+
+- ``parallelize``     → in-memory rows (mirror of lrmr.Parallelize)
+- ``local_file_paths``→ one row per file path (mirror of FromLocalFile)
+- ``read_csv/json/parquet/orc`` → native splittable readers with
+  explicit schemas (inference is a correctness+perf hazard at scale)
+- ``decode_csv_paths``→ the reference's DecodeCSV user-op shape: a
+  path-per-row DF fanned out to per-file parsing
+- ``write_parquet``   → partitioned columnar sink
+
+Formats needing external jars (Delta/Iceberg/Hudi/JDBC drivers) are
+gated behind try-imports and raise a clear error in this container.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "parallelize",
+    "local_file_paths",
+    "read_csv",
+    "read_json",
+    "read_parquet",
+    "read_orc",
+    "decode_csv_paths",
+    "write_parquet",
+    "read_delta",
+]
+
+
+def parallelize(spark: SparkSession, data: Iterable[Any], schema: Any = None) -> DataFrame:
+    """Mirror of lrmr.Parallelize (/root/reference/lrmr.go:12-14)."""
+    return spark.createDataFrame(data, schema=schema)
+
+
+def local_file_paths(spark: SparkSession, path: str) -> DataFrame:
+    """Mirror of lrmr.FromLocalFile (/root/reference/input.go:11-22):
+    one row per file path, column ``value``. Small listings only — at
+    scale use a native reader with a glob, which also splits files."""
+    paths = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            paths.append((os.path.join(root, f),))
+    return spark.createDataFrame(paths, schema="value string")
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: Any = None, header: bool = True, **options: Any
+) -> DataFrame:
+    """Native CSV reader — replaces the reference's per-file user-code
+    CSV decode (/root/reference/test/input_csv_decoder.go:23-76) with a
+    splittable, pushdown-capable scan."""
+    reader = spark.read.option("header", header).options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: Any = None, **options: Any) -> DataFrame:
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def decode_csv_paths(
+    paths_df: DataFrame, schema: str, key_col: str | None = None, header: bool = True
+) -> DataFrame:
+    """The reference's flagship DecodeCSV stage shape
+    (/root/reference/test/input_csv_decoder.go:23-76): a DF of file
+    paths → parsed records, optionally keyed by one column. Implemented
+    by collecting the (small) path list and handing it to the native
+    CSV reader — the files themselves are never driver-side."""
+    spark = paths_df.sparkSession
+    paths = [r[0] for r in paths_df.collect()]
+    df = spark.read.option("header", header).schema(schema).csv(paths)
+    if key_col is not None:
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("key", F.col(key_col))
+    return df
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """Partitioned columnar sink — partition columns become directory
+    pruning at read time."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def read_delta(spark: SparkSession, path: str) -> DataFrame:
+    """Delta Lake reader — requires the delta-spark jars, not present in
+    this container; gated so imports of this module never fail."""
+    try:
+        return spark.read.format("delta").load(path)
+    except Exception as exc:  # pragma: no cover - jar-dependent
+        raise NotImplementedError(
+            "Delta Lake requires the delta-spark package on the classpath"
+        ) from exc

@@ -1,0 +1,164 @@
+"""Structured Streaming surface: the continuous counterpart of the
+batch catalog (SURVEY §7 phase 4).
+
+The reference's only "streaming" notion is push-based dataflow inside a
+job plus detached background jobs (/root/reference/pipeline.go:153-177);
+real stream processing (event-time windows, watermarks, late data,
+stateful operators) comes from Structured Streaming here:
+
+- ``stream_events``   → readStream over the events table layout
+- ``tumbling_counts`` / ``sliding_counts``  → watermarked window aggs
+  (same expressions as the batch events_ops catalog entries)
+- ``session_counts``  → session_window with inactivity gap
+- ``stateful_seen_filter`` → applyInPandasWithState cross-batch dedup
+  (the custom-stateful-operator escape hatch)
+- ``run_to_memory``   → drive a query to completion synchronously on a
+  bounded source (the local test harness; swap the sink for
+  kafka/parquet in production)
+
+Late data: each aggregation carries ``withWatermark`` so state is
+dropped once event time passes the threshold — the knob the reference
+has no equivalent for.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+import os
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = [
+    "stream_events",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_counts",
+    "stateful_seen_filter",
+    "run_to_memory",
+]
+
+# explicit schema: streaming sources never infer. ts arrives as long
+# nanos (see lrmr_spark.session nanosAsLong) and is converted below.
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = one
+    micro-batch locally; in production the same pipeline reads Kafka —
+    only this function changes)."""
+    # the file stream source requires a directory; pathGlobFilter scopes
+    # it to the events table
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked 1-hour tumbling counts per event type — identical
+    expression to the batch events_tumbling_counts catalog entry."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "cnt", "total_value")
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("w_start"), "cnt")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Event-time sessionization with session_window — the streaming
+    twin of the batch gaps-and-islands events_sessionization entry."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_SEEN_OUTPUT_SCHEMA = "user_id bigint, event_id bigint, ts timestamp"
+_SEEN_STATE_SCHEMA = "seen array<bigint>"
+
+
+def _seen_filter_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit only first-seen event_ids per user; remembered across
+    micro-batches in group state (the arbitrary-stateful-operator
+    pattern — what the reference would need a custom Transformer plus
+    external state for)."""
+    seen: set[int] = set(state.get[0]) if state.exists else set()
+    for pdf in pdfs:
+        fresh = pdf[~pdf["event_id"].isin(seen)]
+        fresh = fresh.drop_duplicates(subset=["event_id"])
+        seen.update(int(x) for x in fresh["event_id"])
+        if len(fresh):
+            yield fresh[["user_id", "event_id", "ts"]]
+    state.update((sorted(seen),))
+
+
+def stateful_seen_filter(events: DataFrame) -> DataFrame:
+    """Cross-batch exact dedup by (user_id, event_id) via
+    applyInPandasWithState. State is bounded per user; at scale pair
+    with a watermark-driven TTL (state.setTimeoutTimestamp)."""
+    return (
+        events.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _seen_filter_fn,
+            outputStructType=_SEEN_OUTPUT_SCHEMA,
+            stateStructType=_SEEN_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Drive a streaming DF to completion on its bounded source and
+    return the sink contents as a batch DF (local test harness)."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,179 @@
+"""Operator-library tests over the sf0.001 testdata (goldens are
+structural properties, not hardcoded values, so they hold across SFs;
+the exact-value gate is the DuckDB oracle in tools/check_oracle.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lrmr_spark.operators import dedup as DD
+from lrmr_spark.operators import multimodal as MM
+from lrmr_spark.operators import similarity as SIM
+from lrmr_spark.operators import skew as SK
+from lrmr_spark.operators import text as TX
+from lrmr_spark.tables import load
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings").cache()
+
+
+# ---------------------------------------------------------------- text
+def test_tokens_ignore_extra_whitespace(spark):
+    df = spark.createDataFrame([("  a  b\tc ",), ("",)], "text string")
+    rows = df.select(TX.token_count("text").alias("n")).collect()
+    assert [r["n"] for r in rows] == [3, 0]
+
+
+def test_quality_features_ranges(docs):
+    feats = TX.quality_features("text")
+    row = docs.select(*[c.alias(n) for n, c in feats.items()]).agg(
+        F.min("stopword_ratio").alias("lo"),
+        F.max("stopword_ratio").alias("hi"),
+        F.min("n_tokens").alias("nt"),
+    ).collect()[0]
+    assert 0.0 <= row["lo"] <= row["hi"] <= 1.0
+    assert row["nt"] > 0
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("hello world",), ("other",)], "text string"
+    )
+    fps = [r[0] for r in df.select(TX.fingerprint("text")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    got = df.select(TX.shingles("text", 3).alias("s")).collect()[0]["s"]
+    assert got == ["a b c", "b c d"]
+
+
+# --------------------------------------------------------------- dedup
+def test_exact_dedup_no_false_merges(docs):
+    out = DD.exact_dedup(docs, "doc_id", "text")
+    assert out.count() == docs.select("text").distinct().count()
+
+
+def test_tokenset_dedup_finds_shuffled_dups(docs):
+    # the corpus embeds a cluster of word-order-shuffled duplicates:
+    # token-set dedup must merge more than exact dedup
+    exact = DD.exact_dedup(docs, "doc_id", "text").count()
+    tokset = DD.tokenset_dedup(docs, "doc_id", "text").count()
+    assert tokset < exact
+
+
+def test_minhash_collapses_identical_multisets(spark):
+    # word-order shuffles share a token multiset: they collapse to one
+    # representative BEFORE LSH, so no quadratic pair list re-emerges
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h a"),
+            (2, "a a b c d e f g h"),  # shuffle of doc 1 (same multiset)
+            (3, "q r s t u v w x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = DD.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    assert pairs == []  # 1/2 collapsed; 3 unrelated
+    merged = DD.tokenset_dedup(df, "doc_id", "text").filter(F.col("n_dups") > 1).collect()
+    assert len(merged) == 1 and merged[0]["keep_id"] == 1
+
+
+def test_minhash_finds_near_identical_multisets(spark):
+    # two long docs differing in one token: multiset jaccard 199/201≈0.99,
+    # high enough that the deterministic md5 banding collides them
+    base = " ".join(f"tok{i}" for i in range(200))
+    variant = " ".join(f"tok{i}" for i in range(199)) + " changed"
+    df = spark.createDataFrame(
+        [(1, base), (2, variant), (3, "tiny unrelated doc")],
+        "doc_id long, text string",
+    )
+    pairs = DD.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] == pytest.approx(199 / 201, abs=1e-3)
+
+
+def test_simhash_identical_tokensets_same_sig(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z"), (2, "z y x"), (3, "completely different words here")],
+        "doc_id long, text string",
+    )
+    out = {r["keep_id"]: r["n_docs"] for r in DD.simhash_clusters(df, "doc_id", "text").collect()}
+    assert out.get(1) == 2  # docs 1,2 share a signature
+
+
+# ---------------------------------------------------------- similarity
+def test_cosine_topk_self_is_best(emb):
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    top = SIM.cosine_topk(emb, qv, k=5).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["score"] == pytest.approx(1.0, abs=1e-5)
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_query_bucket_contains_query(emb):
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    top = SIM.lsh_topk(emb, qv, k=5).collect()
+    assert top and top[0]["vec_id"] == 0  # query's own bucket includes itself
+
+
+def test_lsh_bucket_deterministic(emb):
+    planes = SIM.hyperplanes(8, 64)
+    b1 = {r["vec_id"]: r["b"] for r in emb.select("vec_id", SIM.lsh_bucket(F.col("embedding"), planes).alias("b")).collect()}
+    b2 = {r["vec_id"]: r["b"] for r in emb.select("vec_id", SIM.lsh_bucket(F.col("embedding"), planes).alias("b")).collect()}
+    assert b1 == b2
+
+
+# ---------------------------------------------------------------- skew
+def test_salted_agg_matches_plain(spark):
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(1000)] + [("cold", 1.0)], "k string, v double"
+    )
+    plain = {
+        (r["k"]): (r["cnt"], round(r["total"], 6))
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("total"))
+        .collect()
+    }
+    salted = {
+        (r["k"]): (r["cnt"], round(r["total"], 6))
+        for r in SK.salted_agg(
+            df,
+            ["k"],
+            partial={"c": F.count(F.lit(1)), "s": F.sum("v")},
+            aggs={"cnt": F.sum("c"), "total": F.sum("s")},
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_replicate_join_matches_plain(spark):
+    big = spark.createDataFrame([("k", i) for i in range(100)], "k string, v int")
+    small = spark.createDataFrame([("k", "dim")], "k string, d string")
+    plain = big.join(small, "k").count()
+    salted = SK.replicate_join_small_side(big, small, ["k"]).count()
+    assert plain == salted == 100
+
+
+# ----------------------------------------------------------- multimodal
+def test_decode_media_stub_raises(docs):
+    media = MM.attach_binary_payload(docs, "doc_id", "text")
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        MM.decode_media(media, fake=False).collect()
+
+
+def test_decode_media_fake_features(docs):
+    media = MM.attach_binary_payload(docs, "doc_id", "text")
+    out = MM.decode_media(media, fake=True)
+    n = docs.count()
+    rows = out.collect()
+    assert len(rows) == n
+    for r in rows[:10]:
+        assert 0 <= r["feat_min"] <= r["feat_mean"] <= r["feat_max"] <= 255
