@@ -58,3 +58,4 @@ def _load() -> None:
     from . import dedup_ops  # noqa: F401
     from . import similarity_ops  # noqa: F401
     from . import multimodal_ops  # noqa: F401
+    from . import advanced_ops  # noqa: F401

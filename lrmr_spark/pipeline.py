@@ -261,6 +261,18 @@ class Pipeline:
     def coalesce(self, n: int) -> "Pipeline":
         return self._with(self._df.coalesce(n))
 
+    def with_worker_count(self, n: int) -> "Pipeline":
+        """Caps parallelism of the next stage (mirror of
+        /root/reference/pipeline.go:116-119). Spark owns executor
+        placement; the faithful semantic is a partition-count cap."""
+        return self.repartition(n)
+
+    def with_concurrency_per_worker(self, n: int) -> "Pipeline":
+        """Tasks per node (mirror of /root/reference/pipeline.go:121-124)
+        — a cluster-conf concern in Spark (spark.executor.cores); kept
+        as a documented no-op so pipelines port verbatim."""
+        return self._with(self._df)
+
     # ------------------------------------------------------------------
     # broadcast + metrics (SURVEY §2.4)
     # ------------------------------------------------------------------

@@ -28,8 +28,13 @@ def physical_plan(df: DataFrame) -> str:
 
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan (each is a full
-    data movement — the dominant cost at scale)."""
-    return len(re.findall(r"\bExchange (?:hash|range|rangepartitioning|RoundRobin|SinglePartition)", physical_plan(df), re.IGNORECASE))
+    data movement — the dominant cost at scale). Counts the numbered
+    node entries of the formatted plan, excluding broadcast exchanges
+    (those move only the small side)."""
+    plan = physical_plan(df)
+    # BroadcastExchange nodes print as "(n) BroadcastExchange" and are
+    # intentionally not matched here
+    return len(re.findall(r"^\(\d+\) Exchange\b", plan, re.MULTILINE))
 
 
 def has_broadcast_join(df: DataFrame) -> bool:

@@ -1,0 +1,102 @@
+"""As-of/range join edge cases + source/sink roundtrips."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from lrmr_spark.operators import asof as AS
+from lrmr_spark import sources as SRC
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_asof_basic_and_no_match(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts(10)), (2, "u", _ts(1)), (3, "v", _ts(10))],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", _ts(5), 100.0), ("u", _ts(9), 200.0), ("w", _ts(1), 9.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = {
+        r["id"]: r["r_v"]
+        for r in AS.asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts", right_cols=["v"]
+        ).collect()
+    }
+    assert out[1] == 200.0  # latest at-or-before 00:10 is 00:09
+    assert out[2] is None  # left earlier than any right
+    assert out[3] is None  # key with no rights
+
+
+def test_asof_inclusive_boundary(spark):
+    left = spark.createDataFrame([(1, "u", _ts(5))], "id long, k string, ts timestamp")
+    right = spark.createDataFrame([("u", _ts(5), 7.0)], "k string, ts timestamp, v double")
+    out = AS.asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()
+    assert out[0]["r_v"] == 7.0  # equal timestamps match (backward-inclusive)
+
+
+def test_range_join_window_boundaries(spark):
+    left = spark.createDataFrame([(1, "u", _ts(10))], "id long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, "u", _ts(5)), (11, "u", _ts(9, 59)), (12, "u", _ts(15)), (13, "u", _ts(15, 1)),
+         (14, "v", _ts(10))],
+        "id long, k string, ts timestamp",
+    )
+    out = AS.range_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        lower_seconds=-300, upper_seconds=300,
+    )
+    ids = sorted(r["id_r"] for r in out.collect())
+    # ±5 min window around 00:10 → 00:05 (inclusive), 00:09:59, 00:15
+    # (inclusive); 00:15:01 out; other key out
+    assert ids == [10, 11, 12]
+
+
+def test_csv_roundtrip_flagship(spark, tmp_path):
+    """The reference's true flagship shape: local CSV files → path
+    listing → parse → group_by_key → count
+    (/root/reference/test/group_by.go:9-14)."""
+    for i, rows in enumerate([("a", 3), ("b", 2)]):
+        key, n = rows
+        p = tmp_path / f"part{i}.csv"
+        p.write_text("appID,country\n" + "\n".join(f"{key},kr" for _ in range(n)))
+    paths = SRC.local_file_paths(spark, str(tmp_path))
+    assert paths.count() == 2
+    df = SRC.decode_csv_paths(paths, "appID string, country string", key_col="appID")
+    got = {
+        (r["key"], r["cnt"])
+        for r in df.groupBy("key").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == {("a", 3), ("b", 2)}
+
+
+def test_parquet_partitioned_write_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "x" if i % 2 else "y") for i in range(100)], "id long, part string"
+    )
+    out = str(tmp_path / "t")
+    SRC.write_parquet(df, out, partition_by=["part"])
+    back = SRC.read_parquet(spark, out).filter(F.col("part") == "x")
+    assert back.count() == 50
+    # partition pruning: only the part=x directory is scanned
+    plan = back._sc._jvm.PythonSQLUtils.explainString(back._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan and "part#" in plan
+
+
+def test_json_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    out = str(tmp_path / "j")
+    df.write.mode("overwrite").json(out)
+    back = SRC.read_json(spark, out, schema="id long, s string")
+    assert {(r["id"], r["s"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, 2.5)], "id long, v double")
+    out = str(tmp_path / "o")
+    df.write.mode("overwrite").orc(out)
+    assert SRC.read_orc(spark, out).collect()[0]["v"] == 2.5

