@@ -26,9 +26,11 @@ from lrmr_spark.session import get_spark
 HEADLINE = [
     "flagship_event_counts",
     "tpch_q1",
+    "tpch_q6_forecast_revenue",
     "join_multiway_region_revenue",
     "window_topk_per_customer",
     "events_sessionization",
+    "asof_last_purchase",
     "dedup_tokenset",
     "dedup_minhash_lsh",
     "ann_cosine_topk",

@@ -59,3 +59,4 @@ def _load() -> None:
     from . import similarity_ops  # noqa: F401
     from . import multimodal_ops  # noqa: F401
     from . import advanced_ops  # noqa: F401
+    from . import tpch_ops  # noqa: F401

@@ -148,6 +148,53 @@ def do_transform_bucketize(spark, sf_dir):
 
 
 @query(
+    "reduce_fold_alternating",
+    oracle="""
+    WITH numbered AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN rn % 2 = 1
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+             / 100.0 AS odd_total,
+           count(*) AS n
+    FROM numbered GROUP BY o_orderpriority
+    """,
+)
+def reduce_fold_alternating(spark, sf_dir):
+    """Arbitrary sequential per-key fold — the reference Reduce's
+    general form (/root/reference/transformations.go:225-252, SURVEY
+    §7.4.1): order-sensitive Python logic per group via the façade's
+    applyInPandas path, with an explicit intra-group sort replacing
+    lrmr's arrival-order dependence. Sums integer cents so the fold is
+    exact. The oracle re-specifies the fold relationally
+    (row_number + filter), proving the two formulations agree."""
+    import pandas as pd
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["o_orderdate", "o_orderkey"])
+        odd = pdf.iloc[::2]  # 1st, 3rd, ... rows of the ordered group
+        cents = (odd["o_totalprice"] * 100).round().astype("int64").sum()
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
+                "odd_total": [cents / 100.0],
+                "n": [len(pdf)],
+            }
+        )
+
+    return (
+        Pipeline(load(spark, sf_dir, "orders"))
+        .group_by_key("o_orderpriority")
+        .reduce(fn=fold, schema="o_orderpriority string, odd_total double, n long")
+        .df
+    )
+
+
+@query(
     "scalar_arrays",
     oracle="""
     SELECT doc_id,

@@ -101,6 +101,81 @@ def ann_lsh_buckets(spark, sf_dir):
     )
 
 
+@lru_cache(maxsize=None)
+def _centroids(sf_dir: str = _SF_ORACLE) -> tuple[tuple[float, ...], ...]:
+    """Deterministic IVF 'centroids': embeddings of vec_id 1..8 from the
+    oracle SF — fixed model parameters, like the query vector. (A real
+    index trains them with k-means; the plumbing is identical.)"""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    by_id = dict(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+    return tuple(tuple(float(x) for x in by_id[i]) for i in range(1, 9))
+
+
+def _ivf_oracle() -> str:
+    import math
+
+    cents = _centroids()
+    q = _query_vec()
+
+    def py_cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    order = sorted(range(len(cents)), key=lambda i: -py_cos(cents[i], q))
+    probes = order[:2]
+    score_cols = []
+    for i, c in enumerate(cents):
+        cc = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+        dot = _dot_sql("e.embedding", cc)
+        nrm = f"sqrt({_dot_sql('e.embedding', 'e.embedding')}) * sqrt({_dot_sql(cc, cc)})"
+        score_cols.append(f"{dot} / ({nrm}) AS s{i}")
+    n = len(cents)
+    gmax = "greatest(" + ", ".join(f"s{i}" for i in range(n)) + ")"
+    # first index reaching the max — matches the operator's strict->
+    # update loop
+    idx_case = (
+        "CASE "
+        + " ".join(f"WHEN s{i} >= {gmax} THEN {i}" for i in range(n))
+        + " END"
+    )
+    qv = _vec_sql_literal(_query_vec())
+    qdot = _dot_sql("e.embedding", "q.qv")
+    qn = f"sqrt({_dot_sql('e.embedding', 'e.embedding')}) * sqrt({_dot_sql('q.qv', 'q.qv')})"
+    return f"""
+    WITH q AS (SELECT {qv} AS qv),
+    scored AS (
+      SELECT e.vec_id, {", ".join(score_cols)},
+             round({qdot} / ({qn}), 6) AS score
+      FROM embeddings e, q
+    ),
+    assigned AS (SELECT vec_id, score, {idx_case} AS part FROM scored)
+    SELECT vec_id, score FROM assigned
+    WHERE part IN ({", ".join(str(p) for p in probes)})
+    ORDER BY score DESC, vec_id ASC LIMIT 10
+    """
+
+
+@query("ann_ivf_topk", oracle=_ivf_oracle)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN top-10 (coarse quantizer + n_probe=2): scores only the
+    vectors assigned to the two centroids nearest the query — at scale
+    the assignment is a partition column, so the scan touches
+    n_probe/n_centroids of the corpus. Oracle recomputes assignment,
+    probe selection, and re-rank in SQL from the same centroid
+    literals."""
+    return SIM.ivf_topk(
+        load(spark, sf_dir, "embeddings"),
+        list(_query_vec()),
+        [list(c) for c in _centroids()],
+        k=10,
+        n_probe=2,
+    )
+
+
 def _cos_dedup_oracle() -> str:
     dot = _dot_sql("l.embedding", "r.embedding")
     nl = f"sqrt({_dot_sql('l.embedding', 'l.embedding')})"

@@ -89,6 +89,34 @@ def text_langid(spark, sf_dir):
 
 
 @query(
+    "text_bpe_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(list_distinct(
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+             AS n_bpe_vocab,
+           regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')[1] AS first_bpe
+    FROM documents
+    """,
+)
+def text_bpe_tokens(spark, sf_dir):
+    """BPE-ish regex tokenization (letter runs | digit runs | single
+    punctuation — the GPT-2-style pre-tokenizer shape): token counts
+    and vocabulary size per document, JVM-side regexp_extract_all."""
+    d = load(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    toks = F.regexp_extract_all("text", F.lit(pat), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_bpe_vocab"),
+        F.element_at(toks, 1).alias("first_bpe"),
+    )
+
+
+@query(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,

@@ -33,7 +33,9 @@ __all__ = [
     "minhash_lsh_pairs",
     "jaccard_pairs",
     "simhash16",
+    "simhash64",
     "simhash_clusters",
+    "token_multiset_items",
 ]
 
 
@@ -272,6 +274,36 @@ def simhash16(text_col: Column | str) -> Column:
         vote = F.aggregate(toks, F.lit(0), voter(j))
         bits.append(F.when(vote > 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Production 64-bit SimHash over xxhash64 token bits — the fast
+    path (JVM hash, no hex strings; not oracle-portable, covered by
+    property tests instead).
+
+    Same explode+aggregate shape as the MinHash pipeline: per (doc,
+    token) compute the 64-bit hash once, vote each bit ±1, sum votes
+    per doc map-side-combinably, reassemble the signature. Output:
+    (id, simhash bigint)."""
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(distinct_tokens(text_col)).alias("_tok"),
+    )
+    h = F.xxhash64("_tok")
+    votes = exploded.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(64)
+        ]
+    )
+    sig = None
+    for b in range(64):
+        bit = F.when(F.col(f"_v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        contrib = F.shiftleft(bit, b)
+        sig = contrib if sig is None else sig.bitwiseOR(contrib)
+    return votes.select(F.col("_id").alias(id_col), sig.alias("simhash"))
 
 
 def simhash_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -28,6 +28,8 @@ __all__ = [
     "hyperplanes",
     "lsh_bucket",
     "lsh_topk",
+    "ivf_assign",
+    "ivf_topk",
     "cosine_dedup_pairs",
 ]
 
@@ -112,6 +114,53 @@ def lsh_topk(
     bucketed = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
     return (
         bucketed.filter(F.col("_bucket") == qbits)
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_assign(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """IVF partition assignment: index (0-based) of the nearest
+    centroid by cosine. Pure column expressions — at scale the
+    assignment is precomputed and the table partitioned by it, so a
+    query probes only its centroid's partition (coarse quantizer of an
+    IVF index; centroids would come from k-means — any deterministic
+    list works for the plumbing)."""
+    best_idx, best_score = F.lit(0), F.lit(-2.0)
+    for i, c in enumerate(centroids):
+        cc = F.array(*[F.lit(float(x)) for x in c])
+        score = cosine(vec_col, cc)
+        better = score > best_score
+        best_idx = F.when(better, F.lit(i)).otherwise(best_idx)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best_idx
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: score only vectors assigned to the ``n_probe``
+    centroids nearest the query. Recall grows with n_probe; n_probe =
+    len(centroids) degrades to exact brute force."""
+    import math
+
+    def py_cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    order = sorted(range(len(centroids)), key=lambda i: -py_cos(centroids[i], query_vec))
+    probes = order[:n_probe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    assigned = df.withColumn("_part", ivf_assign(F.col(vec_col), centroids))
+    return (
+        assigned.filter(F.col("_part").isin(probes))
         .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)

@@ -29,9 +29,22 @@ TABLES = (
 )
 
 
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Defensive: catalog queries may be invoked with a caller-built
+    SparkSession (e.g. the driver's). Both confs are runtime-settable
+    and required for correctness — nanosAsLong to read events.parquet
+    at all, UTC so timestamps compare bit-identically with the oracle."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # already set via a static conf, or a read-only profile
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Column pruning + filter pushdown come free from
     the parquet scan as long as callers select/filter declaratively."""
+    _ensure_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS): surfaced as a long via

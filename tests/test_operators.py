@@ -100,6 +100,26 @@ def test_minhash_finds_near_identical_multisets(spark):
     assert pairs[0]["jaccard"] == pytest.approx(199 / 201, abs=1e-3)
 
 
+def test_simhash64_properties(spark):
+    # identical token sets → identical 64-bit signature; near-identical
+    # sets → small hamming distance; unrelated → large
+    base = " ".join(f"tok{i}" for i in range(100))
+    variant = base + " extra"
+    other = " ".join(f"zzz{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, base), (2, " ".join(reversed(base.split()))), (3, variant), (4, other)],
+        "doc_id long, text string",
+    )
+    sig = {r["doc_id"]: r["simhash"] for r in DD.simhash64(df, "doc_id", "text").collect()}
+    assert sig[1] == sig[2]  # order-invariant
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert ham(sig[1], sig[3]) < 10
+    assert ham(sig[1], sig[4]) > 16
+
+
 def test_simhash_identical_tokensets_same_sig(spark):
     df = spark.createDataFrame(
         [(1, "x y z"), (2, "z y x"), (3, "completely different words here")],

@@ -175,6 +175,27 @@ def test_f8_background_job_failure(spark):
         h.result()
 
 
+def test_f8_background_job_abort(spark):
+    # cooperative cancel mid-run (mirror of the reference's detached
+    # abort — /root/reference/test/abort_detached_job_test.go)
+    def slow(pdf):
+        time.sleep(20)
+        return pdf
+
+    h = (
+        Pipeline.parallelize(spark, [(i,) for i in range(64)], "v long")
+        .repartition(32)
+        .map(fn=slow)
+        .run_in_background(job_id="bg-abort")
+    )
+    time.sleep(2)  # let tasks start
+    h.abort()
+    h.wait(60)
+    assert h.status == "aborted"
+    with pytest.raises(RuntimeError, match="aborted"):
+        h.result()
+
+
 def test_f8_concurrent_jobs(spark):
     # three identical pipelines on one session, all must return goldens
     handles = [

@@ -38,6 +38,22 @@ def test_session_window_runs(events_stream):
     assert all(r["sess_start"] <= r["sess_end"] for r in rows)
 
 
+def test_foreach_batch_parquet_sink(spark, tmp_path, events_stream):
+    # the exactly-once sink pattern: idempotent per-epoch writes
+    out = str(tmp_path / "sink")
+
+    def write_epoch(df, epoch_id):
+        df.write.mode("append").parquet(out)
+
+    agg = ST.tumbling_counts(events_stream)
+    q = agg.writeStream.outputMode("append").foreachBatch(write_epoch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.parquet(out).count() > 0
+
+
 def test_stateful_seen_filter_dedups(spark, sf_dir, events_stream):
     got = ST.run_to_memory(ST.stateful_seen_filter(events_stream), "t_seen")
     n_events = load(spark, sf_dir, "events").count()
