@@ -123,6 +123,54 @@ def events_sessionization(spark, sf_dir):
 
 
 @query(
+    "events_hypertable_rollup",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP) AS day_start,
+           event_type,
+           count(*) AS cnt,
+           round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+    FROM events
+    GROUP BY ROLLUP (day_start, event_type)
+    """,
+)
+def events_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup: time-bucketed
+    (daily) aggregates with a ROLLUP hierarchy over (bucket, type) —
+    per-type per-day, per-day subtotals, and the grand total in one
+    pass (a timescale-style materialized rollup re-expressed as a
+    grouping-set aggregation; at scale this materializes incrementally
+    via the streaming twin + foreachBatch)."""
+    ev = load(spark, sf_dir, "events")
+    bucketed = ev.select(
+        F.window("ts", "1 day").start.alias("day_start"), "event_type", "value"
+    )
+    return bucketed.rollup("day_start", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "events_value_quantiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_quantiles(spark, sf_dir):
+    """Latency-style per-type quantiles (exact interpolated)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@query(
     "events_json_props",
     oracle="""
     SELECT event_type,

@@ -299,6 +299,81 @@ def set_except_nations(spark, sf_dir):
 
 
 @query(
+    "set_except_all_custkeys",
+    oracle="""
+    SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except_all_custkeys(spark, sf_dir):
+    """EXCEPT ALL (bag semantics: per-occurrence subtraction) —
+    complements the distinct set ops."""
+    o = load(spark, sf_dir, "orders")
+    open_o = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("ck"))
+    done_o = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("ck"))
+    return open_o.exceptAll(done_o)
+
+
+@query(
+    "like_regexp_filters",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_name LIKE '%gear%'
+       OR p_name LIKE 'small %'
+       OR regexp_matches(p_name, '^(red|blue) w')
+    """,
+)
+def like_regexp_filters(spark, sf_dir):
+    """LIKE / RLIKE predicate surface; the LIKE patterns compile to
+    StartsWith/Contains and push into the scan."""
+    p = load(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%gear%")
+        | F.col("p_name").like("small %")
+        | F.col("p_name").rlike("^(red|blue) w")
+    ).select("p_partkey", "p_name")
+
+
+@query(
+    "null_handling_funcs",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           coalesce(delta, 0.0) AS delta_filled,
+           CASE WHEN delta IS NULL THEN 1 ELSE 0 END AS is_first,
+           nullif(o_orderstatus, 'O') AS status_or_null
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderstatus,
+             round(CAST(o_totalprice - lag(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE), 2)
+               AS delta
+      FROM orders) t
+    """,
+)
+def null_handling_funcs(spark, sf_dir):
+    """NULL-handling functions (coalesce / IS NULL / nullif) over a
+    window that genuinely produces nulls."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = load(spark, sf_dir, "orders")
+    delta = F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        delta.alias("delta"),
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        F.coalesce("delta", F.lit(0.0)).alias("delta_filled"),
+        F.when(F.col("delta").isNull(), 1).otherwise(0).alias("is_first"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+    )
+
+
+@query(
     "pivot_status_qty",
     oracle="""
     SELECT l_returnflag,
