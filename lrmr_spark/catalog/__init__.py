@@ -60,3 +60,4 @@ def _load() -> None:
     from . import multimodal_ops  # noqa: F401
     from . import advanced_ops  # noqa: F401
     from . import tpch_ops  # noqa: F401
+    from . import streaming_ops  # noqa: F401

@@ -1,0 +1,37 @@
+"""Streaming catalog entries: run the Structured Streaming pipelines to
+completion on the bounded events source and return the sink contents.
+
+These are genuinely non-SQL-expressible (incremental execution,
+watermark-driven emission, cross-batch state), so per the driver
+contract they carry no oracle and get the rows-only check; the
+batch-equivalence assertions live in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from .. import streaming as ST
+from . import query
+
+
+@query("streaming_tumbling_counts")  # rows-only: incremental/watermark semantics
+def streaming_tumbling_counts(spark, sf_dir):
+    """Watermarked 1-hour tumbling counts executed as a real streaming
+    query (file micro-batches → memory sink, append mode: only
+    watermark-closed windows emit). Batch equivalence is asserted in
+    tests/test_streaming.py::test_tumbling_counts_match_batch."""
+    name = f"cat_tumbling_{uuid.uuid4().hex[:8]}"
+    return ST.run_to_memory(
+        ST.tumbling_counts(ST.stream_events(spark, sf_dir)), name, output_mode="append"
+    )
+
+
+@query("streaming_stateful_dedup")  # rows-only: cross-batch custom state
+def streaming_stateful_dedup(spark, sf_dir):
+    """applyInPandasWithState cross-batch dedup executed end-to-end;
+    emits each (user, event) once across all micro-batches."""
+    name = f"cat_seen_{uuid.uuid4().hex[:8]}"
+    return ST.run_to_memory(
+        ST.stateful_seen_filter(ST.stream_events(spark, sf_dir)), name
+    )
