@@ -142,6 +142,90 @@ def window_moving_avg(spark, sf_dir):
 
 
 @query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                          RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+             AS n_similar_price
+    FROM orders
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE (value-based) frame: orders within ±10000 of the current
+    price. Range frames depend only on values, so results are
+    deterministic under ties without an order tiebreaker."""
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 10000)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_similar_price"),
+    )
+
+
+@query(
+    "window_first_last_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_ok,
+           last_value(o_orderkey) OVER w AS last_ok,
+           nth_value(o_orderkey, 2) OVER w AS second_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_value(spark, sf_dir):
+    """first/last/nth_value over the full partition frame (unbounded
+    both ways — the frame that makes last_value meaningful)."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+    )
+
+
+@query(
+    "unpivot_flag_metrics",
+    oracle="""
+    SELECT l_returnflag, 'sum_qty' AS metric,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS val
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc' AS metric,
+           round(CAST(sum(l_discount) AS DOUBLE), 2) AS val
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def unpivot_flag_metrics(spark, sf_dir):
+    """Unpivot (wide → long) via stack(): per-flag aggregate columns
+    melted into (metric, val) rows."""
+    agg = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+        )
+    )
+    return agg.selectExpr(
+        "l_returnflag",
+        "stack(2, 'sum_qty', sum_qty, 'sum_disc', sum_disc) AS (metric, val)",
+    )
+
+
+@query(
     "window_percent_rank",
     oracle="""
     SELECT o_orderpriority, o_orderkey,

@@ -210,6 +210,25 @@ def test_f8_concurrent_jobs(spark):
         assert {(r["key"], r["cnt"]) for r in rows} == {("foo", 2), ("bar", 1)}
 
 
+def test_metrics_accumulator_in_udf(spark):
+    # the reference's ctx.AddMetric-inside-user-code pattern
+    # (/root/reference/test/input_csv_decoder.go:44 'Files' metric):
+    # a Python accumulator captured by the mapInPandas closure
+    acc = spark.sparkContext.accumulator(0)
+
+    def fn(pdf):
+        acc.add(len(pdf))
+        return pdf
+
+    res = (
+        Pipeline.parallelize(spark, [(i,) for i in range(100)], "v long")
+        .map(fn=fn)
+        .run_and_collect()
+    )
+    assert len(res.rows) == 100
+    assert acc.value == 100
+
+
 def test_metrics_observe(spark):
     res = (
         Pipeline.parallelize(spark, [(i,) for i in range(50)], "v long")
