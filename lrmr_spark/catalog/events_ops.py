@@ -171,6 +171,94 @@ def events_value_quantiles(spark, sf_dir):
 
 
 @query(
+    "funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_viewed,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM per_user
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Conversion funnel (view → click → purchase, strictly ordered
+    first-occurrence times per user): one conditional-min aggregation
+    per user then a global rollup — two cheap aggregations, no
+    self-joins, the funnel shape that scales."""
+    ev = load(spark, sf_dir, "events")
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    full = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(viewed, 1).otherwise(0)).cast("bigint").alias("n_viewed"),
+        F.sum(F.when(clicked, 1).otherwise(0)).cast("bigint").alias("n_clicked_after_view"),
+        F.sum(F.when(full, 1).otherwise(0)).cast("bigint").alias("n_full_funnel"),
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS cohort_day
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+           count(*) AS n_active_users
+    FROM activity WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def retention_cohorts(spark, sf_dir):
+    """Retention cohort matrix: users grouped by first-activity day,
+    counted by day-offset of subsequent activity (first week). Shape:
+    one agg for cohort assignment (broadcastable per-user table), one
+    distinct + agg — no row explosion."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    joined = ev.join(F.broadcast(firsts), "user_id").select(
+        "user_id",
+        "cohort_day",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.col("cohort_day").cast("date")
+        ).cast("bigint").alias("day_offset"),
+    )
+    return (
+        joined.distinct()
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+@query(
     "events_json_props",
     oracle="""
     SELECT event_type,

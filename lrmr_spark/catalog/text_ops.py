@@ -117,6 +117,32 @@ def text_bpe_tokens(spark, sf_dir):
 
 
 @query(
+    "sample_split_hash",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+                THEN 'train' ELSE 'test' END AS split,
+           substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a' AS in_sample
+    FROM documents
+    """,
+)
+def sample_split_hash(spark, sf_dir):
+    """Deterministic hash-based sampling + train/test split — the
+    reproducible, engine-portable way to sample at 100 TB (seeded
+    rand() depends on partitioning; a content hash never does). First
+    hex digit < 'd' → ~81% train; first two digits < '1a' → ~10%
+    sample. Fully parallel, no shuffle, stable across reruns and
+    engines."""
+    d = load(spark, sf_dir, "documents")
+    key = F.col("doc_id").cast("string")
+    split = F.when(
+        F.substring(F.md5(F.concat(F.lit("split:"), key)), 1, 1) < "d", "train"
+    ).otherwise("test")
+    in_sample = F.substring(F.md5(F.concat(F.lit("sample:"), key)), 1, 2) < "1a"
+    return d.select("doc_id", split.alias("split"), in_sample.alias("in_sample"))
+
+
+@query(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
