@@ -299,6 +299,52 @@ def set_except_nations(spark, sf_dir):
 
 
 @query(
+    "join_hint_shuffle_hash",
+    oracle="""
+    SELECT s_name, count(*) AS n_items,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS total_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+)
+def join_hint_shuffle_hash(spark, sf_dir):
+    """Explicit join-strategy control: SHUFFLE_HASH hint (build a hash
+    map per partition instead of sort-merge — wins when one side is
+    much smaller but too big to broadcast). Results are
+    strategy-invariant; the plan choice is pinned in test_plans."""
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name").hint("shuffle_hash")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "join_hint_merge",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, count(*) AS n_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_totalprice
+    """,
+)
+def join_hint_merge(spark, sf_dir):
+    """MERGE (sort-merge) hint — the fact⋈fact default at scale; both
+    sides shuffle-sort on the key and stream-merge with spill."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice").hint("merge")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@query(
     "set_except_all_custkeys",
     oracle="""
     SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'O'

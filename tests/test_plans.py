@@ -55,6 +55,13 @@ def test_dim_joins_broadcast(spark):
     assert count_exchanges(df) <= 3
 
 
+def test_join_hints_control_strategy(spark):
+    p1 = physical_plan(queries()["join_hint_shuffle_hash"](spark, SF))
+    assert "ShuffledHashJoin" in p1
+    p2 = physical_plan(queries()["join_hint_merge"](spark, SF))
+    assert "SortMergeJoin" in p2
+
+
 def test_global_topk_avoids_full_sort(spark):
     df = queries()["topk_orders"](spark, SF)
     assert "TakeOrderedAndProject" in physical_plan(df)
