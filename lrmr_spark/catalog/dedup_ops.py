@@ -44,7 +44,33 @@ def dedup_tokenset(spark, sf_dir):
     return DD.tokenset_dedup(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 2, threshold: float = 0.9) -> str:
+_MULTISET_ITEMS_SQL = """
+      SELECT doc_id AS _id, list_sort(list(tok || ':' || cnt)) AS items FROM (
+        SELECT doc_id, tok, count(*) AS cnt FROM (
+          SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
+          FROM documents) t GROUP BY doc_id, tok) c
+      GROUP BY doc_id
+"""
+
+# k=3 shingles over the raw token stream (order-sensitive), matching
+# operators.text.shingles: indices 1..max(n-3,0)+1, clamped slices
+_SHINGLE_ITEMS_SQL = """
+      SELECT doc_id AS _id,
+             list_sort(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 3, 0) + 2),
+               i -> array_to_string(toks[i:i+2], ' ')))) AS items
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+            FROM documents) raw
+"""
+
+
+def _minhash_oracle(
+    num_hashes: int = 16,
+    bands: int = 2,
+    threshold: float = 0.9,
+    items_sql: str = _MULTISET_ITEMS_SQL,
+) -> str:
     rows = num_hashes // bands
     sig_elems = ", ".join(
         f"list_min(list_transform(items, t -> md5('{s}:' || t)))" for s in range(num_hashes)
@@ -55,11 +81,7 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 2, threshold: float = 0.9
     )
     return f"""
     WITH items0 AS (
-      SELECT doc_id AS _id, list_sort(list(tok || ':' || cnt)) AS items FROM (
-        SELECT doc_id, tok, count(*) AS cnt FROM (
-          SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
-          FROM documents) t GROUP BY doc_id, tok) c
-      GROUP BY doc_id
+      {items_sql}
     ), reps AS (
       SELECT min(_id) AS _id, any_value(items) AS items
       FROM (SELECT _id, items, md5(array_to_string(items, ' ')) AS fp FROM items0) f
@@ -96,6 +118,23 @@ def dedup_minhash_lsh(spark, sf_dir):
     return DD.minhash_lsh_pairs(
         load(spark, sf_dir, "documents"), "doc_id", "text",
         num_hashes=16, bands=2, threshold=0.9,
+    )
+
+
+def _minhash_shingle_oracle() -> str:
+    return _minhash_oracle(threshold=0.8, items_sql=_SHINGLE_ITEMS_SQL)
+
+
+@query("dedup_minhash_shingles", oracle=_minhash_shingle_oracle)
+def dedup_minhash_shingles(spark, sf_dir):
+    """MinHash+LSH over 3-token shingles — the order-sensitive standard
+    web-crawl/LLM-corpus near-dedup configuration (catches boilerplate
+    edits and truncations, deliberately ignores word-order shuffles —
+    the complement of the multiset variant). Same fused codegen
+    pipeline, items swapped."""
+    return DD.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=16, bands=2, threshold=0.8, unit="shingles",
     )
 
 

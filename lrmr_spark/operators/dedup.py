@@ -135,6 +135,8 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 2,
     threshold: float = 0.9,
+    unit: str = "multiset",
+    shingle_k: int = 3,
 ) -> DataFrame:
     """Near-dup *representative* pairs via MinHash+LSH with
     exact-Jaccard verification over token-multiset items.
@@ -151,19 +153,43 @@ def minhash_lsh_pairs(
        never carries document content.
     4. exact multiset-Jaccard ≥ threshold on candidates only.
     Output: (id_a, id_b, jaccard) over representatives, id_a < id_b.
+
+    ``unit`` selects the item representation:
+    - "multiset": token:count items — order-insensitive, catches word
+      shuffles; right for bag-of-words similarity and small vocabularies.
+    - "shingles": k-token shingles — order-sensitive, the standard
+      web-crawl/LLM-corpus near-dedup configuration (boilerplate edits
+      and truncations score high; reorderings don't).
     """
-    # Signature computed inside the wordcount aggregation: the per-item
+    # Signature computed inside the item aggregation: the per-item
     # md5s are plain (whole-stage-codegen'd) column expressions and the
     # 16 minima fold via map-side-combinable min() — no interpreted
     # higher-order-function lambdas in the hot path (HOF lambdas don't
     # codegen; the array-lambda formulation measured 25× slower).
-    exploded = df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok"))
-    item = F.concat(F.col("_tok"), F.lit(":"), F.col("_cnt"))
-    hashed = exploded.groupBy("_id", "_tok").agg(F.count(F.lit(1)).alias("_cnt")).select(
-        "_id",
-        item.alias("_item"),
-        *[_portable_hash(s, item).alias(f"_h{s}") for s in range(num_hashes)],
-    )
+    if unit == "shingles":
+        from .text import shingles
+
+        exploded = df.select(
+            F.col(id_col).alias("_id"),
+            F.explode_outer(shingles(text_col, shingle_k)).alias("_item"),
+        ).dropDuplicates(["_id", "_item"])
+        hashed = exploded.select(
+            "_id",
+            "_item",
+            *[_portable_hash(s, F.col("_item")).alias(f"_h{s}") for s in range(num_hashes)],
+        )
+    elif unit == "multiset":
+        exploded = df.select(
+            F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok")
+        )
+        item = F.concat(F.col("_tok"), F.lit(":"), F.col("_cnt"))
+        hashed = exploded.groupBy("_id", "_tok").agg(F.count(F.lit(1)).alias("_cnt")).select(
+            "_id",
+            item.alias("_item"),
+            *[_portable_hash(s, item).alias(f"_h{s}") for s in range(num_hashes)],
+        )
+    else:
+        raise ValueError(f"unknown unit {unit!r} (expected 'multiset' or 'shingles')")
     per_doc = hashed.groupBy("_id").agg(
         F.array_sort(F.collect_list("_item")).alias("items"),
         *[F.min(f"_h{s}").alias(f"_h{s}") for s in range(num_hashes)],

@@ -100,6 +100,23 @@ def test_minhash_finds_near_identical_multisets(spark):
     assert pairs[0]["jaccard"] == pytest.approx(199 / 201, abs=1e-3)
 
 
+def test_minhash_shingles_order_sensitive(spark):
+    base = " ".join(f"tok{i}" for i in range(100))
+    truncated = " ".join(f"tok{i}" for i in range(95))  # high shingle overlap
+    shuffled = " ".join(reversed(base.split()))  # same multiset, different order
+    df = spark.createDataFrame(
+        [(1, base), (2, truncated), (3, shuffled)], "doc_id long, text string"
+    )
+    pairs = {
+        (p["id_a"], p["id_b"])
+        for p in DD.minhash_lsh_pairs(
+            df, "doc_id", "text", threshold=0.8, unit="shingles"
+        ).collect()
+    }
+    assert (1, 2) in pairs  # truncation caught
+    assert (1, 3) not in pairs  # reorder deliberately not a shingle near-dup
+
+
 def test_simhash64_properties(spark):
     # identical token sets → identical 64-bit signature; near-identical
     # sets → small hamming distance; unrelated → large
