@@ -32,7 +32,9 @@ HEADLINE = [
     "events_sessionization",
     "asof_last_purchase",
     "dedup_tokenset",
-    "dedup_minhash_lsh",
+    # xxhash64 fast path is the production MinHash config; the md5
+    # variant exists for oracle portability and stays out of the bench
+    "dedup_minhash_lsh_fast",
     "ann_cosine_topk",
     "text_quality_features",
 ]

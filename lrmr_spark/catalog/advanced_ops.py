@@ -19,7 +19,11 @@ from . import query
     SELECT l.event_id, l.user_id, l.ts,
            r.ts AS r_ts, r.value AS r_value
     FROM (SELECT * FROM events WHERE event_type = 'click') l
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, max_by(value, event_id) AS value,
+             max(event_id) AS event_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ) r
       ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
 )
@@ -29,11 +33,22 @@ def asof_last_purchase(spark, sf_dir):
     as-of join; the operator compiles to the union-and-carry window
     plan (one shuffle on user_id — operators.asof). The oracle uses
     DuckDB's native ASOF JOIN, so two independent formulations must
-    agree."""
+    agree.
+
+    Tie semantics are pinned on BOTH sides: DuckDB's ASOF JOIN picks an
+    arbitrary right row when several purchases share the max ts <=
+    left ts, so the right side is pre-deduped to one row per
+    (user_id, ts) with a deterministic max-event_id rule (max_by in
+    the oracle, the same groupBy here)."""
     ev = load(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value", "event_id"
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("value", "event_id").alias("value"),
+            F.max("event_id").alias("event_id"),
+        )
     )
     return AS.asof_join(
         clicks,

@@ -163,6 +163,24 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+@query("dedup_minhash_lsh_fast")  # rows-only: xxhash64 not reproducible in SQL
+def dedup_minhash_lsh_fast(spark, sf_dir):
+    """Production MinHash+LSH: identical collapse→band→verify plan to
+    dedup_minhash_lsh but items hashed with JVM xxhash64 instead of md5
+    hex strings — the 100 TB fast path (no hex materialization; the
+    16 minima fold over plain longs). xxhash64 has no DuckDB-portable
+    equivalent, so the driver records the rows-only check; precision is
+    property-checked in tests/test_operators.py (every emitted pair's
+    exact Jaccard ≥ threshold — banding only affects recall, never
+    correctness of emitted pairs). Production banding: 4 bands of 4
+    (collision probability 0.99 at j=0.9, vs 0.68 for the oracle
+    variant's 2×8 configuration, which is pinned by SQL parity)."""
+    return DD.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=16, bands=4, threshold=0.9, fast=True,
+    )
+
+
 def _simhash_oracle() -> str:
     bits = []
     for j in range(1, 17):

@@ -237,13 +237,16 @@ def funnel_conversion(spark, sf_dir):
 def retention_cohorts(spark, sf_dir):
     """Retention cohort matrix: users grouped by first-activity day,
     counted by day-offset of subsequent activity (first week). Shape:
-    one agg for cohort assignment (broadcastable per-user table), one
-    distinct + agg — no row explosion."""
+    one agg for cohort assignment, one distinct + agg — no row
+    explosion. The per-user firsts table grows linearly with data
+    (hundreds of millions of rows at 100 TB), so it must NOT be
+    broadcast — AQE picks a shuffle join on user_id, which co-partitions
+    with the groupBy's own exchange (plan-pinned in tests/test_plans.py)."""
     ev = load(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(
         F.min(F.date_trunc("day", "ts")).alias("cohort_day")
     )
-    joined = ev.join(F.broadcast(firsts), "user_id").select(
+    joined = ev.join(firsts, "user_id").select(
         "user_id",
         "cohort_day",
         F.datediff(

@@ -38,9 +38,11 @@ def multimodal_binary_meta(spark, sf_dir):
       FROM documents
     )
     SELECT media_id, n_bytes,
-           floor(list_sum(bytes_list) * 10000.0 / len(bytes_list)) / 10000 AS feat_mean,
-           CAST(list_min(bytes_list) AS BIGINT) AS feat_min,
-           CAST(list_max(bytes_list) AS BIGINT) AS feat_max
+           CASE WHEN len(bytes_list) = 0 THEN 0.0
+                ELSE floor(list_sum(bytes_list) * 10000.0 / len(bytes_list)) / 10000
+           END AS feat_mean,
+           CAST(coalesce(list_min(bytes_list), 0) AS BIGINT) AS feat_min,
+           CAST(coalesce(list_max(bytes_list), 0) AS BIGINT) AS feat_max
     FROM b
     """,
 )

@@ -216,7 +216,9 @@ def tpch_q16_supplier_cnt(spark, sf_dir):
 )
 def tpch_q18_large_orders(spark, sf_dir):
     """Q18: large-volume orders — aggregate-then-semi-join (the IN
-    subquery becomes a semi join against a pre-aggregated key set)."""
+    subquery becomes a semi join against a pre-aggregated key set).
+    customer grows linearly with SF, so no broadcast hint — AQE decides
+    (it will broadcast at small SF and shuffle at 100 TB)."""
     li = load(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -229,7 +231,7 @@ def tpch_q18_large_orders(spark, sf_dir):
     )
     c = load(spark, sf_dir, "customer").select("c_custkey")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("c_custkey", "o_orderkey", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))

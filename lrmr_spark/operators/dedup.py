@@ -68,6 +68,14 @@ def _portable_hash(seed: int, col: Column) -> Column:
     return F.md5(F.concat(F.lit(f"{seed}:"), col))
 
 
+def _fast_hash(seed: int, col: Column) -> Column:
+    """xxhash64(seed, item) — the production MinHash hash: JVM-native
+    64-bit ints (no hex-string materialization, no md5 cost). Not
+    reproducible in DuckDB SQL, so fast-path results are checked by
+    property tests against the md5 variant instead of the oracle."""
+    return F.xxhash64(F.lit(seed), col)
+
+
 def _seed_hasher(seed: int):
     """One-arg lambda factory. NOTE: binding the seed with a default
     argument (``lambda t, s=s: ...``) silently breaks — PySpark
@@ -137,6 +145,8 @@ def minhash_lsh_pairs(
     threshold: float = 0.9,
     unit: str = "multiset",
     shingle_k: int = 3,
+    fast: bool = False,
+    eager: bool = True,
 ) -> DataFrame:
     """Near-dup *representative* pairs via MinHash+LSH with
     exact-Jaccard verification over token-multiset items.
@@ -160,12 +170,21 @@ def minhash_lsh_pairs(
     - "shingles": k-token shingles — order-sensitive, the standard
       web-crawl/LLM-corpus near-dedup configuration (boilerplate edits
       and truncations score high; reorderings don't).
+
+    ``fast=True`` swaps the oracle-portable md5 item hash for JVM
+    xxhash64 (no hex strings — the production path; measured large cut
+    on the signature stage). ``eager=True`` (default) materializes the
+    pair list via localCheckpoint and releases the persisted
+    representative table immediately — repeated calls in a long-lived
+    session no longer accumulate cached partitions. Pass eager=False
+    to keep the plan fully lazy (caller owns the persist lifetime).
     """
     # Signature computed inside the item aggregation: the per-item
     # md5s are plain (whole-stage-codegen'd) column expressions and the
     # 16 minima fold via map-side-combinable min() — no interpreted
     # higher-order-function lambdas in the hot path (HOF lambdas don't
     # codegen; the array-lambda formulation measured 25× slower).
+    hasher = _fast_hash if fast else _portable_hash
     if unit == "shingles":
         from .text import shingles
 
@@ -176,7 +195,7 @@ def minhash_lsh_pairs(
         hashed = exploded.select(
             "_id",
             "_item",
-            *[_portable_hash(s, F.col("_item")).alias(f"_h{s}") for s in range(num_hashes)],
+            *[hasher(s, F.col("_item")).alias(f"_h{s}") for s in range(num_hashes)],
         )
     elif unit == "multiset":
         exploded = df.select(
@@ -186,7 +205,7 @@ def minhash_lsh_pairs(
         hashed = exploded.groupBy("_id", "_tok").agg(F.count(F.lit(1)).alias("_cnt")).select(
             "_id",
             item.alias("_item"),
-            *[_portable_hash(s, item).alias(f"_h{s}") for s in range(num_hashes)],
+            *[hasher(s, item).alias(f"_h{s}") for s in range(num_hashes)],
         )
     else:
         raise ValueError(f"unknown unit {unit!r} (expected 'multiset' or 'shingles')")
@@ -233,13 +252,20 @@ def minhash_lsh_pairs(
     ib = reps.select(F.col("_id").alias("id_b"), F.col("items").alias("items_b"))
     inter = F.size(F.array_intersect("items_a", "items_b"))
     union = F.size(F.array_union("items_a", "items_b"))
-    return (
+    out = (
         cand.join(ia, "id_a")
         .join(ib, "id_b")
         .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if eager:
+        # materialize the (small) pair list, then release the cached
+        # representative table — otherwise repeated calls in a
+        # long-lived session accumulate cached partitions forever
+        out = out.localCheckpoint(eager=True)
+        reps.unpersist()
+    return out
 
 
 def jaccard_pairs(

@@ -100,6 +100,44 @@ def test_minhash_finds_near_identical_multisets(spark):
     assert pairs[0]["jaccard"] == pytest.approx(199 / 201, abs=1e-3)
 
 
+def test_minhash_fast_precision(spark):
+    # xxhash64 fast path: banding only affects recall; every EMITTED
+    # pair must still pass the exact-Jaccard verify — check pairs
+    # against independently computed multiset jaccard, and the high-sim
+    # pair must be recalled at the production 4×4 banding
+    base = " ".join(f"tok{i}" for i in range(200))
+    variant = " ".join(f"tok{i}" for i in range(199)) + " changed"
+    df = spark.createDataFrame(
+        [(1, base), (2, variant), (3, "tiny unrelated doc")],
+        "doc_id long, text string",
+    )
+    pairs = DD.minhash_lsh_pairs(
+        df, "doc_id", "text", num_hashes=16, bands=4, threshold=0.9, fast=True
+    ).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    items = {
+        r["_id"]: set(r["items"])
+        for r in DD.token_multiset_items(df, "doc_id", "text").collect()
+    }
+    for p in pairs:
+        a, b = items[p["id_a"]], items[p["id_b"]]
+        exact = len(a & b) / len(a | b)
+        assert p["jaccard"] == pytest.approx(exact, abs=1e-3) and exact >= 0.9
+
+
+def test_minhash_eager_releases_cache(spark, docs):
+    # regression: the persisted representative table must be released
+    # after the eager materialization — repeated calls in a long-lived
+    # session must not accumulate cached partitions (+1 allowed for the
+    # localCheckpoint of the small pair result itself)
+    docs.count()  # materialize the fixture's own cache first
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    DD.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.9, fast=True)
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before + 1
+
+
 def test_minhash_shingles_order_sensitive(spark):
     base = " ".join(f"tok{i}" for i in range(100))
     truncated = " ".join(f"tok{i}" for i in range(95))  # high shingle overlap

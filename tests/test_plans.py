@@ -87,6 +87,18 @@ def test_window_single_exchange(spark):
     assert count_exchanges(df) == 1  # one hash exchange on o_custkey
 
 
+def test_data_proportional_tables_not_broadcast(spark):
+    # scale-killer regression (round-1 verdict): per-user aggregates and
+    # the customer table grow linearly with data — they must never carry
+    # a broadcast hint. At sf0.01 AQE may still *choose* to broadcast
+    # (both sides are tiny), so assert on the optimized logical plan:
+    # no ResolvedHint/UnresolvedHint survives in these queries.
+    for name in ("retention_cohorts", "tpch_q18_large_orders"):
+        df = queries()[name](spark, SF)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "broadcast" not in logical.lower(), name
+
+
 def test_ann_topk_no_shuffle(spark):
     df = queries()["ann_cosine_topk"](spark, SF)
     # broadcast query vector + local top-k + driver merge: zero exchanges
