@@ -142,3 +142,5 @@ def _load() -> None:
     from . import advanced_ops  # noqa: F401
     from . import tpch_ops  # noqa: F401
     from . import streaming_ops  # noqa: F401
+    from . import skew_ops  # noqa: F401
+    from . import storage_ops  # noqa: F401

@@ -101,6 +101,82 @@ def ann_lsh_buckets(spark, sf_dir):
     )
 
 
+def _query_bits(num_planes: int = 8) -> str:
+    """LSH bucket of the query vector, computed driver-side (sequential
+    left-to-right accumulation — same association order as the Spark
+    aggregate and the DuckDB list_reduce)."""
+    planes = SIM.hyperplanes(num_planes, 64)
+    q = _query_vec()
+    return "".join(
+        "1" if sum(w * x for w, x in zip(row, q)) > 0 else "0" for row in planes
+    )
+
+
+def ann_pruned_df(spark, sf_dir):
+    """Build (and if needed materialize) the partitioned-by-bucket ANN
+    layout, then run the bucket-pruned top-k; shared with the plan test."""
+    import os as _os
+
+    path = _os.path.join(
+        "/root/repo/.scratch", "ann_buckets_" + _os.path.basename(sf_dir.rstrip("/"))
+    )
+    planes = SIM.hyperplanes(8, 64)
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        emb = load(spark, sf_dir, "embeddings")
+        # 'b' prefix keeps the partition value a string (bare bit strings
+        # would be type-inferred as integers on read-back)
+        bucketed = emb.select(
+            "vec_id",
+            "embedding",
+            F.concat(F.lit("b"), SIM.lsh_bucket(F.col("embedding"), planes)).alias(
+                "bucket"
+            ),
+        )
+        bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    back = spark.read.parquet(path)
+    q = F.array(*[F.lit(float(x)) for x in _query_vec()])
+    return (
+        back.filter(F.col("bucket") == "b" + _query_bits())
+        .select(F.col("vec_id"), F.round(SIM.cosine(F.col("embedding"), q), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _lsh_pruned_oracle() -> str:
+    planes = SIM.hyperplanes(8, 64)
+    bits = []
+    for row in planes:
+        w = "[" + ", ".join(repr(x) for x in row) + "]::DOUBLE[]"
+        bits.append(f"CASE WHEN {_dot_sql('e.embedding', w)} > 0 THEN '1' ELSE '0' END")
+    concat = " || ".join(bits)
+    qv = _vec_sql_literal(_query_vec())
+    dot = _dot_sql("b.embedding", "q.qv")
+    norm_e = f"sqrt({_dot_sql('b.embedding', 'b.embedding')})"
+    norm_q = f"sqrt({_dot_sql('q.qv', 'q.qv')})"
+    return f"""
+    WITH q AS (SELECT {qv} AS qv),
+    b AS (SELECT e.vec_id, e.embedding, {concat} AS bucket FROM embeddings e)
+    SELECT b.vec_id, round({dot} / ({norm_e} * {norm_q}), 6) AS score
+    FROM b, q
+    WHERE b.bucket = '{_query_bits()}'
+    ORDER BY score DESC, b.vec_id ASC
+    LIMIT 10
+    """
+
+
+@query("ann_lsh_pruned_topk", oracle=_lsh_pruned_oracle)
+def ann_lsh_pruned_topk(spark, sf_dir):
+    """The LSH bucket as a PHYSICAL layout: embeddings materialized
+    partitioned-by-bucket, then the query's top-k scans only its
+    bucket's partition directory — partition pruning does the candidate
+    selection (plan-pinned: PartitionFilters on bucket, 1/256 of files
+    read). This is lsh_topk's documented 100 TB form made real: the
+    write pays the bucketing once; every query after reads one
+    partition. Oracle recomputes bucket assignment + re-rank in SQL."""
+    return ann_pruned_df(spark, sf_dir)
+
+
 @lru_cache(maxsize=None)
 def _centroids(sf_dir: str = _SF_ORACLE) -> tuple[tuple[float, ...], ...]:
     """Deterministic IVF 'centroids': embeddings of vec_id 1..8 from the

@@ -3,13 +3,22 @@
 Replaces the reference's etcd-backed detached job tracking
 (/root/reference/job/manager_distributed.go:35-120,
 /root/reference/running_job.go:33-202) with an in-process registry over
-Spark job groups: ``status`` / ``wait`` / ``abort`` / ``metrics`` parity.
-Cross-process attach-by-ID is scoped to Structured Streaming queries
-(SURVEY §7.4.4) — Spark has no cluster-global batch-job registry.
+Spark job groups (``status`` / ``wait`` / ``abort`` / ``metrics``
+parity) PLUS a checkpoint file per job: every status transition is
+written atomically to ``$LRMR_SPARK_JOB_DIR/<job_id>.json``, so any
+process can attach by job ID and watch status/metrics — the analogue of
+the reference's "any client can watch via etcd"
+(/root/reference/job/manager_distributed.go:25-33). On a cluster, point
+LRMR_SPARK_JOB_DIR at shared storage (NFS/S3-fuse) and the same
+contract holds; abort remains owner-process-only (Spark job groups are
+per-SparkContext).
 """
 
 from __future__ import annotations
 
+import json
+import os
+import tempfile
 import threading
 import time
 from dataclasses import dataclass, field
@@ -17,7 +26,37 @@ from typing import Any
 
 from pyspark.sql import DataFrame, Observation
 
-__all__ = ["Result", "JobHandle", "start_background", "get_job", "list_jobs"]
+__all__ = [
+    "Result",
+    "JobHandle",
+    "DetachedJobView",
+    "start_background",
+    "get_job",
+    "list_jobs",
+]
+
+_JOB_DIR = os.environ.get("LRMR_SPARK_JOB_DIR", "/root/repo/.jobs")
+
+
+def _checkpoint_path(job_id: str) -> str:
+    return os.path.join(_JOB_DIR, f"{job_id}.json")
+
+
+def _write_checkpoint(job_id: str, payload: dict) -> None:
+    """Atomic write (tmp + rename) so attached readers never see a
+    torn file."""
+    os.makedirs(_JOB_DIR, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=_JOB_DIR, prefix=f".{job_id}.")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, _checkpoint_path(job_id))
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 # job statuses mirror /root/reference/job/status.go:11-18
 RUNNING = "running"
@@ -55,6 +94,27 @@ class JobHandle:
         self._done = threading.Event()
         self._started_at = time.time()
         self._thread = threading.Thread(target=self._run, daemon=True)
+        self._checkpoint()
+
+    def _checkpoint(self) -> None:
+        """Publish status/metrics for cross-process attach (the etcd
+        analogue). Failures to write never fail the job itself."""
+        try:
+            _write_checkpoint(
+                self.job_id,
+                {
+                    "job_id": self.job_id,
+                    "status": self._status,
+                    "started_at": self._started_at,
+                    "finished_at": time.time() if self._done.is_set() else None,
+                    "metrics": {k: repr(v) if not isinstance(v, (int, float, str, bool, type(None))) else v
+                                for k, v in self._metrics.items()},
+                    "error": repr(self._error) if self._error else None,
+                    "n_rows": len(self._rows) if self._rows is not None else None,
+                },
+            )
+        except OSError:
+            pass
 
     def _run(self) -> None:
         sc = self._spark.sparkContext
@@ -71,6 +131,7 @@ class JobHandle:
                 self._error = exc
         finally:
             self._done.set()
+            self._checkpoint()
 
     # -- mirror of running_job.go:79-143 ------------------------------
     @property
@@ -95,6 +156,7 @@ class JobHandle:
         if not self._done.is_set():
             self._status = ABORTED
             self._spark.sparkContext.cancelJobGroup(self.job_id)
+            self._checkpoint()
 
     def result(self) -> Result:
         self.wait()
@@ -113,13 +175,61 @@ def start_background(
     return handle
 
 
-def get_job(job_id: str) -> JobHandle | None:
-    """Attach by job ID (mirror of /root/reference/running_job.go:196-202,
-    scoped to this process)."""
+class DetachedJobView:
+    """Read-only attach to a job owned by ANOTHER process, backed by
+    its checkpoint file (mirror of the reference's watch-by-ID —
+    /root/reference/job/manager_distributed.go:25-33). Same surface as
+    JobHandle minus abort/result (the owning process holds the
+    SparkContext)."""
+
+    def __init__(self, job_id: str):
+        self.job_id = job_id
+
+    def _read(self) -> dict:
+        with open(_checkpoint_path(self.job_id)) as f:
+            return json.load(f)
+
+    @property
+    def status(self) -> str:
+        return self._read()["status"]
+
+    @property
+    def error(self) -> str | None:
+        return self._read()["error"]
+
+    def metrics(self) -> dict[str, Any]:
+        return dict(self._read()["metrics"])
+
+    def wait(self, timeout: float | None = None, poll: float = 0.2) -> "DetachedJobView":
+        deadline = None if timeout is None else time.time() + timeout
+        while self.status == RUNNING:
+            if deadline is not None and time.time() >= deadline:
+                break
+            time.sleep(poll)
+        return self
+
+
+def get_job(job_id: str) -> JobHandle | DetachedJobView | None:
+    """Attach by job ID (mirror of /root/reference/running_job.go:196-202):
+    the live in-process handle when this process owns the job, else a
+    checkpoint-file view of a job started by any other process sharing
+    $LRMR_SPARK_JOB_DIR."""
     with _registry_lock:
-        return _registry.get(job_id)
+        h = _registry.get(job_id)
+    if h is not None:
+        return h
+    if os.path.exists(_checkpoint_path(job_id)):
+        return DetachedJobView(job_id)
+    return None
 
 
 def list_jobs() -> list[str]:
+    """All known job IDs: this process's registry plus every checkpoint
+    file in the shared job dir."""
     with _registry_lock:
-        return sorted(_registry)
+        ids = set(_registry)
+    if os.path.isdir(_JOB_DIR):
+        ids.update(
+            f[:-5] for f in os.listdir(_JOB_DIR) if f.endswith(".json") and not f.startswith(".")
+        )
+    return sorted(ids)

@@ -57,4 +57,8 @@ def replicate_join_small_side(
     small_s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
-    return big_s.join(small_s, [*on, "_salt"]).drop("_salt")
+    # shuffle_hash hint: this helper IS the no-broadcast path (the small
+    # side is assumed too big to broadcast at scale — that's why it's
+    # salted, not hinted broadcast), so keep AQE from "helpfully"
+    # broadcasting it in small tests and hiding the salted plan
+    return big_s.join(small_s.hint("shuffle_hash"), [*on, "_salt"]).drop("_salt")

@@ -66,6 +66,13 @@ def get_spark(
         # vectorized reader rejects; read as long, converted in tables.load
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # bucketed tables (write_bucketed / bucketed_join_orders) live
+        # here; pinned so every process that shares the repo sees the
+        # same layout regardless of cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/root/repo/.spark-warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -35,6 +35,7 @@ __all__ = [
     "read_orc",
     "decode_csv_paths",
     "write_parquet",
+    "write_bucketed",
     "read_delta",
 ]
 
@@ -109,6 +110,28 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted table sink (bucketBy/sortBy + saveAsTable).
+
+    The storage layout that makes repeated join/dedup pipelines
+    shuffle-free at 100 TB: both sides of a recurring join bucketed by
+    the join key with the same bucket count sort-merge-join with ZERO
+    exchanges (and with sortBy, zero sorts) — the shuffle is paid once
+    at write time instead of on every query. The reference has no write
+    path at all; this is the Spark-native north star."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
 
 
 def read_delta(spark: SparkSession, path: str) -> DataFrame:

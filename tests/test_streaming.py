@@ -61,3 +61,61 @@ def test_stateful_seen_filter_dedups(spark, sf_dir, events_stream):
     ids = [r["event_id"] for r in out]
     assert len(ids) == len(set(ids))  # no duplicates emitted
     assert len(ids) == n_events  # event_ids are unique in the source
+
+
+def test_stateful_seen_filter_state_ttl_eviction(spark, tmp_path):
+    # four micro-batches (one file each, mtime-ordered). Timeouts fire
+    # only for groups with NO data in a batch, so eviction needs its own
+    # batch between the watermark advance and the duplicate:
+    #   f1: users 1,2 see events at t0 (state created, TTL = +1h)
+    #   f2: user 9 far in the future — advances watermark past t0 + TTL
+    #   f3: user 8 only — user 1 has no data, its timeout fires, state
+    #       evicted
+    #   f4: DUPLICATE (user 1, event 100) — re-emits: seen-set was
+    #       dropped
+    import os
+    import time
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        part = next(
+            p for p in os.listdir(str(tmp_path / name)) if p.endswith(".parquet")
+        )
+        dst = os.path.join(src, name + ".parquet")
+        os.rename(os.path.join(str(tmp_path / name), part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    from datetime import datetime, timezone
+
+    t0 = datetime(2024, 1, 1, 0, 0, tzinfo=timezone.utc)
+    t_far = datetime(2024, 3, 1, 0, 0, tzinfo=timezone.utc)  # >> t0 + 1h TTL
+    # the duplicate must carry ts STRICTLY ABOVE the watermark (== t_far
+    # after f2/f3) or the stateful operator drops it as late data
+    t_dup = datetime(2024, 3, 2, 0, 0, tzinfo=timezone.utc)
+    now = time.time()
+    write_file("f1", [(1, 100, t0), (2, 200, t0)], now - 400)
+    write_file("f2", [(9, 900, t_far)], now - 300)
+    write_file("f3", [(8, 800, t_far)], now - 200)
+    write_file("f4", [(1, 100, t_dup)], now - 100)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = ST.run_to_memory(
+        ST.stateful_seen_filter(stream, watermark="0 seconds", ttl_ms=3_600_000),
+        "t_seen_ttl",
+    )
+    rows = sorted(
+        ((r["user_id"], r["event_id"], r["ts"]) for r in got.collect()),
+    )
+    # event 100 emitted TWICE (state evicted at f3, dup re-emitted at
+    # f4); every other event exactly once
+    emitted_100 = [r for r in rows if r[1] == 100]
+    assert len(emitted_100) == 2, rows
+    assert len(rows) == 5, rows
