@@ -258,6 +258,26 @@ class Pipeline:
         (SURVEY §7.5)."""
         return self._with(self._df.repartition(n, expr))
 
+    def partitioned_by_fn(self, n: int, route) -> "Pipeline":
+        """Fully arbitrary routing FUNCTION ``route(Row) -> int`` in
+        [0, n) — the reference Partitioner's opaque DeterminePartition
+        contract (/root/reference/partitions/partitioner.go:16-19,
+        exercised by /root/reference/test/custom_partitioner.go:25-39,
+        minus host pinning). Spark expressions can't host an opaque
+        Python router, so this drops to the RDD layer:
+        keyBy(route) → partitionBy(n, identity) → values. Use
+        :meth:`partitioned_by` (JVM-side, codegen'd) whenever the
+        routing is expressible; this is the parity escape hatch, and
+        it pays one Python pass over the rows."""
+        schema = self._df.schema
+        spark = self._df.sparkSession
+        routed = (
+            self._df.rdd.map(lambda row: (route(row), row))
+            .partitionBy(n, lambda k: int(k))
+            .map(lambda kv: kv[1])
+        )
+        return self._with(spark.createDataFrame(routed, schema))
+
     def coalesce(self, n: int) -> "Pipeline":
         return self._with(self._df.coalesce(n))
 

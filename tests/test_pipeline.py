@@ -140,6 +140,31 @@ def test_f7_co_partitioning(spark):
     assert pid_of["key2-1"] == pid_of["key2-2"]
 
 
+def test_f7_arbitrary_fn_partitioner_golden(spark):
+    # the reference's opaque-Partitioner routing golden
+    # (/root/reference/test/custom_partitioner.go:25-39): every row
+    # lands EXACTLY in the partition its routing function names —
+    # not merely co-located by hash
+    data = [("key1-1", 1), ("key1-2", 2), ("key2-1", 3), ("key2-2", 4)]
+
+    def route(row):
+        # 'key1-*' -> partition 1, 'key2-*' -> partition 0
+        return 1 if row["key"].startswith("key1") else 0
+
+    p = Pipeline.parallelize(spark, data, "key string, v int").partitioned_by_fn(
+        2, route
+    )
+    rows = p.df.withColumn("pid", F.spark_partition_id()).collect()
+    assert {r["key"]: r["pid"] for r in rows} == {
+        "key1-1": 1,
+        "key1-2": 1,
+        "key2-1": 0,
+        "key2-2": 0,
+    }
+    # schema survives the RDD round trip
+    assert [f.name for f in p.df.schema.fields] == ["key", "v"]
+
+
 def test_f8_failing_stage_propagates(spark):
     def boom(pdf):
         raise RuntimeError("injected failure")
