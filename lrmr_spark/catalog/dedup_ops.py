@@ -163,6 +163,43 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _components_oracle() -> str:
+    # transitive closure over the (undirected) MinHash pair graph via a
+    # recursive CTE; component label = min reachable id
+    pairs_sql = _minhash_oracle()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, reach) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, w.reach FROM edges e JOIN walk w ON e.b = w.id
+    )
+    SELECT id, min(reach) AS comp FROM walk GROUP BY id
+    """
+
+
+@query("dedup_components", oracle=_components_oracle)
+def dedup_components(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the MinHash+LSH
+    pair graph, every document labeled with its cluster's canonical
+    (minimum) id — the final step of a real dedup pipeline ("keep one
+    per cluster"), which pairwise output alone doesn't give when dups
+    chain (A~B, B~C but A!~C). Distributed HashMin label propagation,
+    O(diameter) rounds of (id, label) shuffles. The oracle computes the
+    transitive closure with a recursive CTE over the identical pair
+    SQL — two unrelated formulations of reachability must agree."""
+    pairs = DD.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=16, bands=2, threshold=0.9,
+    )
+    return DD.connected_components(pairs)
+
+
 @query("dedup_minhash_lsh_fast")  # rows-only: xxhash64 not reproducible in SQL
 def dedup_minhash_lsh_fast(spark, sf_dir):
     """Production MinHash+LSH: identical collapse→band→verify plan to

@@ -160,3 +160,53 @@ def text_fingerprint(spark, sf_dir):
     return d.select(
         "doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp_prefix")
     )
+
+
+@query(
+    "text_top_terms",
+    oracle=f"""
+    SELECT tok, count(*) AS cnt FROM (
+      SELECT unnest({_TOKS}) AS tok FROM documents
+    ) t
+    GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 20
+    """,
+)
+def text_top_terms(spark, sf_dir):
+    """Corpus vocabulary heavy hitters: exact top-20 terms by frequency
+    (explode → wordcount → TakeOrderedAndProject; tie-broken by token
+    so the cut is deterministic). The exact two-shuffle formulation is
+    right up to ~10^9 distinct terms; past that swap the final top-k
+    for approx count-min/frequent-items with the same output schema."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+@query(
+    "docs_length_histogram",
+    oracle=f"""
+    SELECT CAST(least(floor(len({_TOKS}) / 10), 10) AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(min(len({_TOKS})) AS BIGINT) AS min_tokens,
+           CAST(max(len({_TOKS})) AS BIGINT) AS max_tokens
+    FROM documents GROUP BY 1
+    """,
+)
+def docs_length_histogram(spark, sf_dir):
+    """Sequence-length distribution (token-count histogram, 10-wide
+    buckets capped at 100+) — the profile every training-data pipeline
+    computes before choosing context-length/packing parameters. One
+    scan, one bounded-key aggregation."""
+    d = load(spark, sf_dir, "documents")
+    n = TX.token_count("text")
+    bucket = F.least(F.floor(n / 10), F.lit(10)).cast("bigint")
+    return d.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(n).cast("bigint").alias("min_tokens"),
+        F.max(n).cast("bigint").alias("max_tokens"),
+    )

@@ -31,6 +31,7 @@ __all__ = [
     "minhash_signature",
     "minhash_band_keys",
     "minhash_lsh_pairs",
+    "connected_components",
     "jaccard_pairs",
     "simhash16",
     "simhash64",
@@ -266,6 +267,56 @@ def minhash_lsh_pairs(
         out = out.localCheckpoint(eager=True)
         reps.unpersist()
     return out
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → cluster
+    assignment: every node labeled with the MIN id reachable from it
+    (the canonical representative a dedup pipeline keeps).
+
+    Distributed HashMin label propagation: each iteration every node
+    takes the min label among itself and its neighbors — converges in
+    O(graph diameter) rounds, and near-dup clusters are shallow (dup
+    clusters are cliques or short chains from the LSH band structure),
+    so 3-5 rounds in practice. Per round: one join + one groupBy-min,
+    both shuffling only (id, label) longs; lineage is truncated with a
+    localCheckpoint per round so plans don't grow unboundedly. For
+    adversarial long-chain graphs use the large-star/small-star variant
+    (same primitive ops); dedup graphs don't need it.
+
+    Output: (id, comp) for every id appearing in ``pairs``. Singleton
+    documents (no near-dup edge) are their own component and are left
+    out — callers union them back if needed.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    both = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        both.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            both.join(labels, both.dst == labels.id)
+            .select(F.col("src").alias("id"), "comp")
+        )
+        new = (
+            labels.unionByName(nbr_min)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
 
 
 def jaccard_pairs(
