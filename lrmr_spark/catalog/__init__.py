@@ -47,7 +47,7 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_minhash_shingles",
     "dedup_minhash_lsh_fast",
-    "dedup_ngram_jaccard",
+    "dedup_components",
     "dedup_simhash",
     # similarity / ANN
     "ann_cosine_topk",

@@ -90,3 +90,42 @@ def test_minhash_estimates_jaccard(spark):
     agree = sum(x == y for x, y in zip(sigs[1], sigs[2])) / 64
     true_j = 50 / 150  # |∩|=50, |∪|=150
     assert math.isclose(agree, true_j, abs_tol=0.15)
+
+
+EDGES = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)).map(
+        lambda p: (min(p), max(p))
+    ).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(edges=EDGES)
+@_SETTINGS
+def test_connected_components_match_union_find(spark, edges):
+    # distributed HashMin label propagation vs a plain-Python union-find
+    # on random graphs: every node must get the min id of its component
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in set(edges)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["comp"] for r in DD.connected_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict[int, list[int]] = {}
+    for node in parent:
+        comps.setdefault(find(node), []).append(node)
+    want = {n: min(members) for members in comps.values() for n in members}
+    assert got == want
