@@ -252,6 +252,50 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+def ann_ivf_pruned_df(spark, sf_dir):
+    """Materialize the IVF assignment as a partition column and run the
+    probe-pruned top-k; shared with the plan test."""
+    import math
+    import os as _os
+
+    path = _os.path.join(
+        "/root/repo/.scratch", "ann_ivf_" + _os.path.basename(sf_dir.rstrip("/"))
+    )
+    cents = [list(c) for c in _centroids()]
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        emb = load(spark, sf_dir, "embeddings")
+        assigned = emb.withColumn(
+            "part", SIM.ivf_assign(F.col("embedding"), cents)
+        )
+        assigned.write.mode("overwrite").partitionBy("part").parquet(path)
+    q = list(_query_vec())
+
+    def py_cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    probes = sorted(range(len(cents)), key=lambda i: -py_cos(cents[i], q))[:2]
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("part").isin(probes))
+        .select(F.col("vec_id"), F.round(SIM.cosine(F.col("embedding"), qcol), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query("ann_ivf_pruned_topk", oracle=_ivf_oracle)
+def ann_ivf_pruned_topk(spark, sf_dir):
+    """IVF assignment as a PHYSICAL partition column (the twin of
+    ann_lsh_pruned_topk): the n_probe=2 query scans exactly 2 of 8
+    partition directories — the coarse quantizer's pruning is done by
+    the storage layout, not a runtime filter over a full scan
+    (plan-pinned: PartitionFilters on part). Same oracle as
+    ann_ivf_topk: the layout must not change the answer."""
+    return ann_ivf_pruned_df(spark, sf_dir)
+
+
 def _cos_dedup_oracle() -> str:
     dot = _dot_sql("l.embedding", "r.embedding")
     nl = f"sqrt({_dot_sql('l.embedding', 'l.embedding')})"

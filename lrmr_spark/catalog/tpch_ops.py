@@ -336,6 +336,42 @@ def tpch_q18_large_orders(spark, sf_dir):
 
 
 @query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(CAST(sum(l_extendedprice) / 7.0 AS DOUBLE), 2) AS avg_yearly,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark, sf_dir):
+    """Q17: small-quantity-order revenue — the correlated scalar
+    subquery decorrelated into an aggregate-then-join (per-part avg
+    joined back to the fact), the standard Catalyst/TPC-H rewrite. The
+    filtered brand dim broadcasts into both the per-part agg and the
+    final join, so the avg is computed over only the brand's parts."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_b = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    avgs = li_b.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("_qty_cut")
+    )
+    return (
+        li_b.join(avgs, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("_qty_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
     "tpch_q19_bracketed_revenue",
     oracle="""
     SELECT round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,

@@ -219,8 +219,13 @@ def minhash_lsh_pairs(
     # the tokenize→count→collect pipeline per reference (measured 5×
     # slowdown at sf0.1). One row per unique multiset — small relative
     # to the corpus; the default storage level spills safely at scale.
+    fp = (
+        F.xxhash64(F.array_join("items", " "))
+        if fast
+        else F.md5(F.array_join("items", " "))
+    )
     reps = (
-        per_doc.withColumn("_fp", F.md5(F.array_join("items", " ")))
+        per_doc.withColumn("_fp", fp)
         .groupBy("_fp")
         .agg(
             F.min("_id").alias("_id"),

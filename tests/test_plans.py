@@ -144,3 +144,14 @@ def test_ann_pruned_layout_partition_pruning(spark):
 
     m = _re.search(r"PartitionFilters: \[(.*?)\]", plan)
     assert m and "bucket" in m.group(1), plan
+
+
+def test_ann_ivf_pruned_layout_partition_pruning(spark):
+    # IVF twin: the n_probe=2 scan must read 2 of 8 partition dirs via
+    # PartitionFilters on the materialized assignment column
+    df = queries()["ann_ivf_pruned_topk"](spark, SF)
+    plan = physical_plan(df)
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "part" in m.group(1), plan
