@@ -60,7 +60,7 @@ _PRIORITY = [
     "text_quality_features",
     "text_langid",
     "text_bpe_tokens",
-    "text_fingerprint",
+    "decontaminate_ngram_overlap",
     "sample_split_hash",
     # multimodal plumbing
     "multimodal_binary_meta",

@@ -210,3 +210,131 @@ def docs_length_histogram(spark, sf_dir):
         F.min(n).cast("bigint").alias("min_tokens"),
         F.max(n).cast("bigint").alias("max_tokens"),
     )
+
+
+# raw (order-preserving) token list for n-gram construction
+_RAW_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+# 4-gram strings over the raw token stream, mirroring
+# operators.text.shingles(k=4): indices 1..max(n-4,0)+1, clamped slices
+_GRAMS4_SQL = f"""
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 4, 0) + 2),
+           i -> array_to_string(toks[i:i+3], ' ')))) AS g
+  FROM (SELECT doc_id, {_RAW_TOKS} AS toks FROM documents) raw
+"""
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH grams AS ({_GRAMS4_SQL}),
+    eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+    SELECT doc_id, count(*) AS n_hit_grams
+    FROM (SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0) train
+    JOIN eval_grams USING (g)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    4-gram with the eval set (here the deterministic doc_id%50 sample
+    stands in for a held-out benchmark suite; real deployments use
+    8-13 grams — n is a parameter). The canonical train-on-test leak
+    detector (GPT-3 §B / PaLM-style n-gram overlap).
+
+    Scale shape: both sides explode to DISTINCT per-doc grams; the join
+    key is the gram string (at 100 TB: xxhash64 of the gram, shrinking
+    shuffle width to 8 bytes — md5-free fast path mirrors
+    operators.dedup's). Eval-benchmark grams are bounded in practice
+    (benchmarks are fixed-size, a few MB), so AQE broadcasts that side;
+    no explicit hint because here the sample is data-proportional.
+    Per-doc gram sets are deduped BEFORE the join, so a doc repeating
+    one leaked gram 1000× still costs one row."""
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(TX.shingles("text", 4))).alias("g")
+    )
+    eval_grams = grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    train = grams.filter(F.col("doc_id") % 50 != 0)
+    return (
+        train.join(eval_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "stratified_sample_by_lang",
+    oracle="""
+    SELECT lang, count(*) AS n_total,
+           sum(CASE WHEN substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                         < (CASE WHEN lang = 'en' THEN '33' ELSE 'cc' END)
+                    THEN 1 ELSE 0 END) AS n_kept
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def stratified_sample_by_lang(spark, sf_dir):
+    """Stratified downsampling: per-language keep rates (dominant 'en'
+    → ~20%, minority languages → ~80%) decided by a content hash, the
+    reproducible way to rebalance a corpus at 100 TB — seeded rand()
+    depends on partitioning; md5(doc_id) never does. One scan, one
+    bounded-key aggregation; the per-doc kept flag is a pure projection
+    usable as a filter in the real pipeline."""
+    d = load(spark, sf_dir, "documents")
+    h2 = F.substring(
+        F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    cut = F.when(F.col("lang") == "en", "33").otherwise("cc")
+    kept = F.when(h2 < cut, 1).otherwise(0)
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "quality_filter_funnel",
+    oracle=f"""
+    SELECT lang, source, count(*) AS n_total,
+           sum(CASE WHEN length(text) >= 100
+                     AND len({_TOKS}) >= 20
+                     AND round(len(list_filter({_TOKS}, t -> t IN {_STOP_SQL}))
+                          / CAST(greatest(len({_TOKS}), 1) AS DOUBLE), 4) >= 0.01
+                     AND round((length(text)
+                          - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                          / CAST(greatest(length(text), 1) AS DOUBLE), 4) <= 0.30
+                    THEN 1 ELSE 0 END) AS n_kept
+    FROM documents GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def quality_filter_funnel(spark, sf_dir):
+    """C4-style quality filter funnel: per (lang, source) how many docs
+    survive the rule set (min length 100 chars / 20 tokens, stopword
+    ratio ≥ 1%, punctuation ratio ≤ 30%). Ratios compared on the same
+    4-decimal rounding as text_quality_features so the predicate is
+    engine-exact. The per-source retention profile is how corpus
+    curators decide which sources to drop entirely. One scan, all
+    predicates inside whole-stage codegen, bounded-key aggregation."""
+    d = load(spark, sf_dir, "documents")
+    feats = TX.quality_features("text")
+    keep = (
+        (feats["n_chars"] >= 100)
+        & (feats["n_tokens"] >= 20)
+        & (feats["stopword_ratio"] >= 0.01)
+        & (feats["punct_ratio"] <= 0.30)
+    )
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+        )
+        .orderBy("lang", "source")
+    )
