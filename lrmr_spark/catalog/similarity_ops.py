@@ -336,3 +336,60 @@ def embedding_norm_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.avg(SIM.l2_norm(F.col("embedding"))), 4).alias("avg_norm"),
     )
+
+
+def _kmeans_oracle() -> str:
+    cents = _centroids()
+    score_cols = []
+    for i, c in enumerate(cents):
+        cc = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+        dot = _dot_sql("e.embedding", cc)
+        nrm = f"sqrt({_dot_sql('e.embedding', 'e.embedding')}) * sqrt({_dot_sql(cc, cc)})"
+        score_cols.append(f"{dot} / ({nrm}) AS s{i}")
+    n = len(cents)
+    gmax = "greatest(" + ", ".join(f"s{i}" for i in range(n)) + ")"
+    idx_case = (
+        "CASE "
+        + " ".join(f"WHEN s{i} >= {gmax} THEN {i}" for i in range(n))
+        + " END"
+    )
+    return f"""
+    WITH scored AS (
+      SELECT e.vec_id, e.embedding, {", ".join(score_cols)}
+      FROM embeddings e),
+    assigned AS (SELECT vec_id, embedding, {idx_case} AS cluster FROM scored)
+    SELECT cluster, dim, round(avg(CAST(v AS DOUBLE)), 5) AS centroid_val,
+           count(*) AS n_members
+    FROM (SELECT cluster, unnest(embedding) AS v,
+                 unnest(range(1, len(embedding) + 1)) AS dim
+          FROM assigned) g
+    GROUP BY cluster, dim ORDER BY cluster, dim
+    """
+
+
+@query("embedding_kmeans_iter", oracle=_kmeans_oracle)
+def embedding_kmeans_iter(spark, sf_dir):
+    """One Lloyd iteration of k-means over the embedding corpus:
+    assign every vector to its nearest centroid (cosine, same
+    first-max-wins rule as ivf_assign), then recompute centroids as
+    per-cluster per-dimension means. Full k-means = a driver loop over
+    this operator with the assignment persisted between iterations —
+    the canonical iterative-algorithm shape on Spark.
+
+    Scale: posexplode multiplies rows by dim (64×), but the aggregation
+    key space is bounded (k × dim = 512 keys), so map-side partial
+    aggregation collapses each task's output to ≤512 rows before the
+    shuffle — the explode never hits the wire. Assignment is pure
+    column expressions (no Python, no shuffle)."""
+    cents = [list(c) for c in _centroids()]
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = emb.withColumn("cluster", SIM.ivf_assign(F.col("embedding"), cents))
+    exploded = assigned.selectExpr("cluster", "posexplode(embedding) AS (pos, v)")
+    return (
+        exploded.groupBy("cluster", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 5).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .orderBy("cluster", "dim")
+    )

@@ -338,3 +338,52 @@ def quality_filter_funnel(spark, sf_dir):
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    SELECT doc_id, source, n_tok,
+           CAST(floor(cb / 256) AS BIGINT) AS chunk_id,
+           CAST(cb % 256 AS BIGINT) AS offset_in_chunk
+    FROM (SELECT doc_id, source, len({_RAW_TOKS}) AS n_tok,
+                 coalesce(sum(len({_RAW_TOKS})) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM documents) x
+    ORDER BY doc_id
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Sequence packing for training: concatenate each source shard's
+    token stream in doc_id order and locate every document in the
+    fixed-size context-window grid (chunk 256 tokens here) — chunk id
+    and offset where the doc starts. This is the GPT-style
+    concat-then-chunk packing layout computed WITHOUT materializing
+    tokens: one running-sum window per shard.
+
+    Scale: the window partitions by source shard, so no global
+    single-partition ordering exists (the classic packing scale-killer
+    — a PARTITION-BY-less running sum funnels 100 TB through one
+    task). Shards pack independently, which is also what a real loader
+    wants (per-shard deterministic layout, shard-parallel io)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    n_tok = TX.token_count("text")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cb = F.coalesce(F.sum(n_tok).over(w), F.lit(0))
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            n_tok.alias("n_tok"),
+            F.floor(cb / 256).cast("bigint").alias("chunk_id"),
+            (cb % 256).cast("bigint").alias("offset_in_chunk"),
+        )
+        .orderBy("doc_id")
+    )

@@ -50,9 +50,14 @@ def test_gzip_csv_multifile_ingestion_metrics(spark, tmp_path):
     p = (
         Pipeline(df)
         .with_metric("Events")  # count(1): the reference's Events metric
+        # observe() forbids exact DISTINCT aggregates, so Files rides an
+        # HLL sketch; the default 5% rsd can miss by one even at 19
+        # distinct paths (hash-dependent — the tmp dir name is part of
+        # the hashed path, so some runs collide). rsd=0.005 keeps the
+        # sketch in sparse mode, which is exact at this cardinality.
         .with_metric(
             "Files",
-            F.approx_count_distinct(F.col("_file")).alias("Files"),
+            F.approx_count_distinct(F.col("_file"), 0.005).alias("Files"),
         )
         .group_by_key("key")
         .reduce({"cnt": F.count(F.lit(1))})
