@@ -236,16 +236,38 @@ def minhash_lsh_pairs(
         .persist()
     )
     rows_per_band = num_hashes // bands
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[F.col(f"_h{b * rows_per_band + r}") for r in range(rows_per_band)],
-            )
-            for b in range(bands)
-        ]
-    )
+    if fast:
+        # fast path: collapse each band's hashes into ONE xxhash64 long
+        # — the band shuffle carries 8-byte keys instead of ~70-byte
+        # concat strings. A 64-bit band-key collision only ADDS a
+        # candidate pair, and every candidate is exact-Jaccard
+        # verified, so correctness is unaffected.
+        band_keys = F.array(
+            *[
+                F.xxhash64(
+                    F.lit(b),
+                    *[
+                        F.col(f"_h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+                for b in range(bands)
+            ]
+        )
+    else:
+        band_keys = F.array(
+            *[
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[
+                        F.col(f"_h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+                for b in range(bands)
+            ]
+        )
     banded = reps.select("_id", F.explode(band_keys).alias("_band"))
     cand = (
         banded.alias("l")
