@@ -127,14 +127,20 @@ def ivf_assign(vec_col: Column, centroids: list[list[float]]) -> Column:
     query probes only its centroid's partition (coarse quantizer of an
     IVF index; centroids would come from k-means — any deterministic
     list works for the plumbing)."""
-    best_idx, best_score = F.lit(0), F.lit(-2.0)
-    for i, c in enumerate(centroids):
-        cc = F.array(*[F.lit(float(x)) for x in c])
-        score = cosine(vec_col, cc)
-        better = score > best_score
-        best_idx = F.when(better, F.lit(i)).otherwise(best_idx)
-        best_score = F.when(better, score).otherwise(best_score)
-    return best_idx
+    # Argmax via a scores ARRAY, not a when-chain: a chained
+    # best_idx/best_score fold embeds every cosine() HOF expression in
+    # all later when() branches, and HOF lambdas never enter codegen so
+    # Catalyst can't CSE them — measured ~100× re-evaluation (4 s for
+    # 500 rows at k=8). The array form evaluates each cosine twice
+    # (position + max). array_position returns the FIRST index holding
+    # the max — identical tie-break to the strict-> update loop.
+    scores = F.array(
+        *[
+            cosine(vec_col, F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
 def ivf_topk(
