@@ -35,3 +35,18 @@ def streaming_stateful_dedup(spark, sf_dir):
     return ST.run_to_memory(
         ST.stateful_seen_filter(ST.stream_events(spark, sf_dir)), name
     )
+
+
+@query("streaming_interval_join")  # rows-only: stream-stream state semantics
+def streaming_interval_join(spark, sf_dir):
+    """Stream-stream interval join (view→click attribution within 30
+    minutes) executed as a real streaming query with watermark-bounded
+    join state on both sides. Batch equivalence asserted in
+    tests/test_streaming.py::test_interval_join_matches_batch."""
+    name = f"cat_ssjoin_{uuid.uuid4().hex[:8]}"
+    return ST.run_to_memory(
+        ST.view_click_interval_join(
+            ST.stream_events(spark, sf_dir), ST.stream_events(spark, sf_dir)
+        ),
+        name,
+    )

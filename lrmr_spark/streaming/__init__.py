@@ -39,6 +39,7 @@ __all__ = [
     "sliding_counts",
     "session_counts",
     "stateful_seen_filter",
+    "view_click_interval_join",
     "run_to_memory",
 ]
 
@@ -182,3 +183,51 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> Data
     finally:
         q.stop()
     return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def view_click_interval_join(
+    views_src: DataFrame,
+    clicks_src: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INTERVAL join: attribute each click to the same
+    user's preceding view within ``gap`` (click.ts in [view.ts,
+    view.ts + gap]). The canonical funnel/attribution join.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions, so Spark can evict join state once the
+    other side's watermark passes view.ts + gap — state stays
+    proportional to the gap window, not the stream history (the
+    requirement for an unbounded 100 TB/day stream). Pass the same
+    bounded source twice locally; in production each side is its own
+    Kafka topic."""
+    views = (
+        views_src.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    clicks = (
+        clicks_src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    cond = (
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {gap}"))
+    )
+    return views.join(clicks, cond).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        (F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts")).alias("delta_s"),
+    )

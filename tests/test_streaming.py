@@ -119,3 +119,43 @@ def test_stateful_seen_filter_state_ttl_eviction(spark, tmp_path):
     emitted_100 = [r for r in rows if r[1] == 100]
     assert len(emitted_100) == 2, rows
     assert len(rows) == 5, rows
+
+
+def test_interval_join_matches_batch(spark, sf_dir):
+    got = ST.run_to_memory(
+        ST.view_click_interval_join(
+            ST.stream_events(spark, sf_dir), ST.stream_events(spark, sf_dir)
+        ),
+        "t_ssjoin",
+    )
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = (
+        views.join(
+            clicks,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 minutes")),
+        )
+        .select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "click_id",
+            (F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts")).alias("delta_s"),
+        )
+    )
+    got_set = {tuple(r) for r in got.collect()}
+    batch_set = {tuple(r) for r in batch.collect()}
+    # the bounded source arrives in one micro-batch, so the inner
+    # interval join must emit exactly the batch result
+    assert got_set == batch_set
+    assert len(got_set) > 0
