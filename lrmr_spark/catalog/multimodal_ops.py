@@ -57,3 +57,31 @@ def multimodal_fake_decode(spark, sf_dir):
     bytes and handles arbitrary binary."""
     media = MM.attach_binary_payload(load(spark, sf_dir, "documents"), "doc_id", "text")
     return MM.decode_media(media, fake=True)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id AS media_id, text,
+             CAST(ceil(length(text) / 32.0) AS BIGINT) AS total
+      FROM documents),
+    f AS (
+      SELECT media_id, text, total, i * greatest(total // 4, 1) AS frame_no
+      FROM b, unnest(range(0, 4)) AS t(i)
+      WHERE i * greatest(total // 4, 1) < total)
+    SELECT media_id, frame_no,
+           CAST(length(substr(text, frame_no * 32 + 1, 32)) AS BIGINT) AS frame_bytes,
+           md5(substr(text, frame_no * 32 + 1, 32)) AS frame_md5
+    FROM f ORDER BY media_id, frame_no
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Uniform-stride frame sampling through the Arrow-batched
+    mapInPandas path (operators.multimodal.sample_frames; real ffmpeg
+    seek stubbed per environment). 32-byte frames, ≤4 samples per
+    payload at uniform stride; only frame digests leave the task. The
+    oracle recomputes frames via substr — valid because the corpus is
+    ASCII (1 char = 1 byte); the Spark path slices raw bytes."""
+    media = MM.attach_binary_payload(load(spark, sf_dir, "documents"), "doc_id", "text")
+    return MM.sample_frames(media, fake=True).orderBy("media_id", "frame_no")

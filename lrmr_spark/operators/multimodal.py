@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_SCHEMA", "attach_binary_payload", "binary_metadata", "decode_media"]
+__all__ = ["MEDIA_SCHEMA", "attach_binary_payload", "binary_metadata", "decode_media", "sample_frames"]
 
 # typed metadata travels beside the opaque payload so predicate pushdown
 # and column pruning work without touching bytes
@@ -103,3 +103,58 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "n_bytes", "feat_mean", "feat_min", "feat_max"])
 
     return df.select("media_id", "payload").mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id bigint, frame_no bigint, frame_bytes bigint, frame_md5 string"
+
+
+def sample_frames(
+    df: DataFrame, frame_size: int = 32, max_frames: int = 4, fake: bool = False
+) -> DataFrame:
+    """Uniform-stride frame sampling via mapInPandas (Arrow batches) —
+    the video-pipeline primitive (sample k frames per clip for feature
+    extraction) with the payload treated as a frame sequence.
+
+    Real frame extraction (ffmpeg keyframe seek) is not available in
+    this container: ``fake=False`` raises NotImplementedError per the
+    stub contract. ``fake=True`` treats the payload as fixed-size
+    ``frame_size``-byte frames and samples ``max_frames`` of them at
+    uniform stride — deterministic integer math, identical plumbing.
+
+    At 100 TB: sampling happens INSIDE the UDF against the opaque
+    payload, so only the sampled frames' digests/features leave the
+    task — never the decoded clip. Batch memory is bounded by
+    arrow.maxRecordsPerBatch × payload size.
+    """
+    import hashlib
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "frame sampling requires video codecs not present in "
+                    "this environment; pass fake=True for the stub"
+                )
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                total = (len(b) + frame_size - 1) // frame_size
+                stride = max(total // max_frames, 1)
+                for i in range(max_frames):
+                    no = i * stride
+                    if no >= total:
+                        break
+                    frame = b[no * frame_size : (no + 1) * frame_size]
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_no": no,
+                            "frame_bytes": len(frame),
+                            "frame_md5": hashlib.md5(frame).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_no", "frame_bytes", "frame_md5"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(extract, schema=FRAME_SCHEMA)
