@@ -245,3 +245,48 @@ def dedup_simhash(spark, sf_dir):
     md5 hex-digit bits over distinct tokens), grouped by signature.
     Production uses the same aggregate shape over 64 xxhash64 bits."""
     return DD.simhash_clusters(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH fps AS (
+      SELECT doc_id, doc_id % 10 >= 8 AS is_new,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents),
+    corpus AS (SELECT DISTINCT fp FROM fps WHERE NOT is_new)
+    SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups_in_batch
+    FROM fps
+    WHERE is_new AND fp NOT IN (SELECT fp FROM corpus)
+    GROUP BY fp
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental dedup — the daily-crawl scenario: a new batch
+    (doc_id%10 ∈ {8,9} stands in for today's snapshot) is deduped
+    against the ACCUMULATED corpus fingerprint set (everything else),
+    then within itself. Novel fingerprints + batch-internal dup counts
+    come out; previously-seen content never re-enters the corpus.
+
+    Scale shape: only (fp, id) pairs move — the corpus side is a
+    DISTINCT fingerprint table (in production: the bucketed fingerprint
+    store written by write_bucketed, making this a shuffle-free
+    sort-merge anti-join on fp). Batch-internal dedup is the same
+    hash-groupBy as dedup_exact."""
+    from ..operators.text import fingerprint
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 10 >= 8).alias("is_new"),
+        fingerprint("text").alias("fp"),
+    )
+    corpus = d.filter(~F.col("is_new")).select("fp").distinct()
+    return (
+        d.filter(F.col("is_new"))
+        .join(corpus, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups_in_batch"),
+        )
+    )

@@ -397,3 +397,57 @@ def pack_sequences(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents) x
+      GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.tok,
+             t.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS score
+      FROM tf t JOIN df USING (tok) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, tok, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, tok ASC) AS rnk
+      FROM scored)
+    SELECT doc_id, tok, round(score, 6) AS score, rnk
+    FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 terms by TF-IDF (smoothed idf = ln((N+1)/
+    (df+1))) — the classic keyword/feature extraction pass. Three
+    bounded-key aggregations (term counts, document frequency, corpus
+    size) + one per-doc window; document frequency is vocabulary-sized
+    and the 1-row corpus count broadcasts. Ties broken by term so the
+    top-3 cut is deterministic."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        tf.join(df, "tok")
+        .join(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", F.round("score", 6).alias("score"), "rnk")
+        .orderBy("doc_id", "rnk")
+    )
