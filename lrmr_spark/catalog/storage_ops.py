@@ -72,3 +72,57 @@ def bucketed_join_orders(spark, sf_dir):
     a daily 100 TB dedup/join pipeline amortizes its shuffle into.
     Oracle: the same join + agg on the raw parquet."""
     return bucketed_join_df(spark, sf_dir)
+
+
+def events_time_pruned_df(spark, sf_dir):
+    """Materialize events partitioned by event date and run a
+    time-range rollup over 3 days; shared with the plan test."""
+    import os as _os
+
+    from ..tables import load as _load
+
+    path = _os.path.join(
+        "/root/repo/.scratch", "events_bydate_" + _tag(sf_dir)
+    )
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        ev = _load(spark, sf_dir, "events")
+        ev.withColumn("event_date", F.to_date("ts")).write.mode(
+            "overwrite"
+        ).partitionBy("event_date").parquet(path)
+    back = spark.read.parquet(path)
+    lo, hi = "1995-01-08", "1995-01-10"
+    return (
+        back.filter(
+            (F.col("event_date") >= F.lit(lo).cast("date"))
+            & (F.col("event_date") <= F.lit(hi).cast("date"))
+        )
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_date", "event_type")
+    )
+
+
+@query(
+    "events_time_pruned_rollup",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS event_date, event_type,
+           count(*) AS cnt,
+           round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '1995-01-08' AND DATE '1995-01-10'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_time_pruned_rollup(spark, sf_dir):
+    """Time-series physical layout: events materialized
+    partitionBy(event_date) — the hypertable/daily-partition design —
+    so a 3-day rollup reads exactly 3 partition directories
+    (plan-pinned PartitionFilters on event_date; the time filter never
+    touches data files outside the range). At 100 TB/day this is THE
+    difference between scanning 3 days and scanning 3 years. Oracle:
+    the same rollup over the raw events table — the layout must not
+    change the answer."""
+    return events_time_pruned_df(spark, sf_dir)

@@ -155,3 +155,16 @@ def test_ann_ivf_pruned_layout_partition_pruning(spark):
 
     m = _re.search(r"PartitionFilters: \[(.*?)\]", plan)
     assert m and "part" in m.group(1), plan
+
+
+def test_events_time_pruned_layout_partition_pruning(spark):
+    # the 3-day rollup must scan only the 3 matching event_date
+    # partition directories via PartitionFilters — never a full scan
+    from lrmr_spark.catalog.storage_ops import events_time_pruned_df
+
+    df = events_time_pruned_df(spark, SF)
+    plan = physical_plan(df)
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "event_date" in m.group(1), plan
