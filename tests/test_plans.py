@@ -168,3 +168,43 @@ def test_events_time_pruned_layout_partition_pruning(spark):
 
     m = _re.search(r"PartitionFilters: \[(.*?)\]", plan)
     assert m and "event_date" in m.group(1), plan
+
+
+def test_tpch_q17_broadcasts_filtered_part_dim(spark):
+    # the brand-filtered part dim must broadcast into the fact join;
+    # the only shuffles are the per-part avg and final agg
+    df = queries()["tpch_q17_small_quantity_revenue"](spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_tpch_q13_filter_lives_in_join_condition(spark):
+    # q13's defining trap: the priority filter must be part of the LEFT
+    # JOIN condition, not a post-join Filter — a WHERE would silently
+    # drop zero-order customers and corrupt the histogram
+    df = queries()["tpch_q13_order_distribution"](spark, SF)
+    plan = physical_plan(df)
+    import re as _re
+
+    # the join itself carries the predicate; no Filter node applies
+    # o_orderpriority after the join
+    assert _re.search(r"Join LeftOuter.*o_orderpriority", plan) or (
+        "o_orderpriority" in plan and "LeftOuter" in plan
+    ), plan
+
+
+def test_tpch_q21_semi_anti_join_chain(spark):
+    # the exists/not-exists pair must compile to LeftSemi + LeftAnti —
+    # never to aggregated subquery rewrites that materialize the
+    # multi-supplier order list
+    df = queries()["tpch_q21_waiting_suppliers"](spark, SF)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+
+
+def test_decontaminate_single_scan(spark):
+    # the single-pass window-max formulation must scan documents ONCE —
+    # the eval-set self-join formulation (two scans + shingle
+    # recompute) is the regression this pins against
+    df = queries()["decontaminate_ngram_overlap"](spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("documents.parquet") == 1, plan

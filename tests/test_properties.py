@@ -129,3 +129,91 @@ def test_connected_components_match_union_find(spark, edges):
         comps.setdefault(find(node), []).append(node)
     want = {n: min(members) for members in comps.values() for n in members}
     assert got == want
+
+
+TEXTS = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=20
+)
+
+
+@given(texts=TEXTS)
+@_SETTINGS
+def test_pack_sequences_invariants(spark, texts):
+    """Packing layout vs a plain-Python packer: every doc's chunk/offset
+    must equal the running-sum grid position, offsets stay inside the
+    chunk, and chunk ids are monotone in doc order within a shard."""
+    from lrmr_spark.catalog import queries as _qs  # noqa: F401  (style parity)
+    from pyspark.sql import Window
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+    C = 7
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    cb = F.coalesce(F.sum(n_tok).over(w), F.lit(0))
+    got = {
+        r["doc_id"]: (r["chunk_id"], r["off"])
+        for r in df.select(
+            "doc_id",
+            F.floor(cb / C).cast("bigint").alias("chunk_id"),
+            (cb % C).cast("bigint").alias("off"),
+        ).collect()
+    }
+    cum = 0
+    for i, t in enumerate(texts):
+        assert got[i] == (cum // C, cum % C)
+        assert 0 <= got[i][1] < C
+        cum += len([x for x in t.split() if x])
+
+
+@given(texts=TEXTS)
+@_SETTINGS
+def test_ngram_decontamination_matches_python(spark, texts):
+    """Window-max decontamination vs a plain-Python reference: a train
+    doc is flagged iff it shares a 2-gram with any eval doc, with the
+    flagged-gram count matching exactly."""
+    from pyspark.sql import Window
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def grams(t, k=2):
+        toks = [x for x in t.split() if x]
+        if not toks:
+            return set()
+        if len(toks) <= k:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    eval_grams = set()
+    for i, t in enumerate(texts):
+        if i % 3 == 0:
+            eval_grams |= grams(t)
+    want = {}
+    for i, t in enumerate(texts):
+        if i % 3 != 0:
+            n = len(grams(t) & eval_grams)
+            if n:
+                want[i] = n
+
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    g2 = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+    )
+    gdf = df.filter(n > 0).select(
+        "doc_id", F.explode(F.array_distinct(g2)).alias("g")
+    )
+    is_eval = (F.col("doc_id") % 3 == 0).cast("int")
+    has_eval = F.max(is_eval).over(Window.partitionBy("g"))
+    got = {
+        r["doc_id"]: r["n"]
+        for r in gdf.withColumn("_ev", is_eval)
+        .withColumn("_hit", has_eval)
+        .filter((F.col("_hit") == 1) & (F.col("_ev") == 0))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
