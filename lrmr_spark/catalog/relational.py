@@ -552,3 +552,51 @@ def sql_passthrough_nation_revenue(spark, sf_dir):
         GROUP BY n_name
         """
     )
+
+
+@query(
+    "join_full_outer_day_activity",
+    oracle="""
+    WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+               FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+                             AND o_orderdate <  TIMESTAMP '1999-03-01 00:00:00'
+               GROUP BY 1),
+    e AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
+          FROM events GROUP BY 1)
+    SELECT coalesce(o.d, e.d) AS d,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(n_events, 0) AS n_events
+    FROM o FULL OUTER JOIN e ON o.d = e.d
+    ORDER BY d
+    """,
+)
+def join_full_outer_day_activity(spark, sf_dir):
+    """FULL OUTER join — per-day order counts vs event counts where
+    either side may be absent (order days outside the event window and
+    vice versa). Both sides pre-aggregate to bounded day keys BEFORE
+    the join, so the full-outer shuffle carries one row per day, not
+    per record — the right shape for reconciling two 100 TB fact
+    tables."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-03-01").cast("timestamp"))
+        )
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    e = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        o.join(e, "d", "full_outer")
+        .select(
+            "d",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("d")
+    )

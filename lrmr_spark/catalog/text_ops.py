@@ -451,3 +451,103 @@ def text_tfidf_top_terms(spark, sf_dir):
         .select("doc_id", "tok", F.round("score", 6).alias("score"), "rnk")
         .orderBy("doc_id", "rnk")
     )
+
+
+@query(
+    "text_pii_redaction",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0
+               THEN ' reach user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-123-4567 ssn 123-45-6789'
+               ELSE '' END AS text
+      FROM documents),
+    red AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g'),
+               '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g') AS redacted
+      FROM aug)
+    SELECT doc_id, redacted,
+           CAST(len(regexp_extract_all(redacted, '<EMAIL>|<PHONE>|<SSN>')) AS BIGINT)
+             AS n_redactions
+    FROM red
+    """,
+)
+def text_pii_redaction(spark, sf_dir):
+    """PII-style redaction pass (emails, phone-number shapes, SSN
+    patterns → typed placeholder tokens) + per-doc redaction count —
+    the compliance scrub every public-crawl corpus runs before
+    training. Pure JVM regexp_replace chain: one scan, zero shuffles,
+    whole-stage codegen; the pattern set is a parameter in production
+    (this catalog entry pins three canonical shapes). The synthetic
+    corpus carries no PII, so the query plants deterministic
+    email/phone/SSN strings on doc_id%7 rows (identically in the
+    oracle) — the redaction path is genuinely exercised, not an
+    identity pass."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" reach user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or 555-123-4567 ssn 123-45-6789"),
+                ),
+            ).otherwise(""),
+        ),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+    ssn = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>"
+        ),
+        ssn,
+        "<SSN>",
+    )
+    return d.select(
+        "doc_id",
+        red.alias("redacted"),
+        F.size(F.regexp_extract_all(red, F.lit("<EMAIL>|<PHONE>|<SSN>"), 0))
+        .cast("bigint")
+        .alias("n_redactions"),
+    )
+
+
+@query(
+    "stratum_topk_sample",
+    oracle="""
+    SELECT lang, doc_id, rnk FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('pick:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      FROM documents) x
+    WHERE rnk <= 5 ORDER BY lang, rnk
+    """,
+)
+def stratum_topk_sample(spark, sf_dir):
+    """Exactly-k-per-stratum sampling: 5 documents per language chosen
+    by content-hash order — the deterministic replacement for
+    per-group reservoir sampling (same marginal uniformity, but stable
+    across reruns, partitionings, and engines). One window per stratum
+    key; at scale k·strata rows survive, everything else dies at the
+    map side of the window's rank filter."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    pick = F.md5(F.concat(F.lit("pick:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(pick, "doc_id")
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("lang", "rnk")
+    )
