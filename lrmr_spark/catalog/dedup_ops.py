@@ -290,3 +290,64 @@ def dedup_incremental(spark, sf_dir):
             F.count(F.lit(1)).alias("n_dups_in_batch"),
         )
     )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id % 10 < 9),
+    new AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(
+               CASE WHEN doc_id % 7 = 0 THEN text || ' amended' ELSE text END
+             ), '\\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id % 10 >= 1)
+    SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.doc_id IS NULL THEN 'added'
+                WHEN new.doc_id IS NULL THEN 'removed'
+                WHEN old.fp <> new.fp THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    WHERE old.doc_id IS NULL OR new.doc_id IS NULL OR old.fp <> new.fp
+    ORDER BY doc_id
+    """,
+)
+def snapshot_diff(spark, sf_dir):
+    """Snapshot diff (CDC shape): two corpus snapshots compared by id +
+    content fingerprint → added / removed / changed rows (unchanged
+    suppressed). Here the snapshots are deterministic slices of the
+    documents table with doc_id%7 rows textually amended, so all three
+    statuses occur. Scale shape: both sides reduce to (id, fp) BEFORE
+    the full-outer join — document bodies never ride the diff shuffle;
+    on bucketed fingerprint stores (write_bucketed on id) the join is
+    shuffle-free."""
+    from ..operators.text import fingerprint
+
+    d = load(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 10 < 9).select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+    amended = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" amended"))
+    ).otherwise(F.col("text"))
+    new = d.filter(F.col("doc_id") % 10 >= 1).select(
+        "doc_id", fingerprint(amended).alias("fp")
+    )
+    o, n = old.alias("o"), new.alias("n")
+    status = (
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .when(F.col("o.fp") != F.col("n.fp"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+            status.alias("status"),
+        )
+        .filter(F.col("status") != "unchanged")
+        .orderBy("doc_id")
+    )

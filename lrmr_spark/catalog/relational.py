@@ -600,3 +600,63 @@ def join_full_outer_day_activity(spark, sf_dir):
         )
         .orderBy("d")
     )
+
+
+@query(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_custkey' AS col, count(*) AS n_rows,
+           count(*) - count(o_custkey) AS n_null,
+           count(DISTINCT o_custkey) AS n_distinct,
+           CAST(min(o_custkey) AS VARCHAR) AS min_val,
+           CAST(max(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(round(CAST(min(o_totalprice) AS DOUBLE), 2) AS VARCHAR),
+           CAST(round(CAST(max(o_totalprice) AS DOUBLE), 2) AS VARCHAR)
+    FROM orders
+    ORDER BY col
+    """,
+)
+def profile_orders_columns(spark, sf_dir):
+    """Data-profiling pass: per-column row/null/distinct counts and
+    min/max (stringified to a uniform schema) — the quality report
+    every ingestion pipeline emits before promotion. ONE scan computes
+    all columns' stats simultaneously (a single multi-aggregate, not
+    one pass per column); exact distincts here, swap in
+    approx_count_distinct at 100 TB for one-pass sketching."""
+    o = load(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("nn_custkey"),
+        F.countDistinct("o_custkey").alias("nd_custkey"),
+        F.min("o_custkey").alias("mn_custkey"),
+        F.max("o_custkey").alias("mx_custkey"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.min("o_orderstatus").alias("mn_status"),
+        F.max("o_orderstatus").alias("mx_status"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.min("o_totalprice").alias("mn_price"),
+        F.max("o_totalprice").alias("mx_price"),
+    )
+    row = agg
+    out = row.selectExpr(
+        """stack(3,
+          'o_custkey', n_rows, n_rows - nn_custkey, nd_custkey,
+            CAST(mn_custkey AS STRING), CAST(mx_custkey AS STRING),
+          'o_orderstatus', n_rows, n_rows - nn_status, nd_status,
+            mn_status, mx_status,
+          'o_totalprice', n_rows, n_rows - nn_price, nd_price,
+            CAST(round(mn_price, 2) AS STRING), CAST(round(mx_price, 2) AS STRING)
+        ) AS (col, n_rows, n_null, n_distinct, min_val, max_val)"""
+    )
+    return out.orderBy("col")
