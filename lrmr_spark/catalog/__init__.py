@@ -144,3 +144,4 @@ def _load() -> None:
     from . import streaming_ops  # noqa: F401
     from . import skew_ops  # noqa: F401
     from . import storage_ops  # noqa: F401
+    from . import corpus_ops  # noqa: F401

@@ -1,0 +1,366 @@
+"""Corpus-statistics catalog entries: repetition quality signals,
+vocabulary/Zipf coverage, inverted-index postings, and source-mixture
+reweighting over the documents table.
+
+These are the corpus-level passes a training-data pipeline runs after
+per-document filtering (text_ops) and dedup (dedup_ops): measure
+repetition (Gopher-style rep signals), profile the vocabulary, build
+retrieval postings, and rebalance the source mixture to a target
+distribution.
+
+Cross-engine float discipline (ARCHITECTURE.md pitfall 5): every ratio
+is emitted in exact integer parts-per-million (``x * 1000000 DIV y``) —
+integer division is bit-identical across Spark/DuckDB, while
+``round(x/y, 6)`` can disagree on exact binary decimals like 1/128.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators import text as TX
+from ..tables import load
+from . import query
+
+# DuckDB order-preserving token list (mirrors operators.text.tokens)
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+# DuckDB k-gram builder over a token list named ``toks`` (mirrors
+# operators.text.shingles: clamped inclusive slices, min one gram)
+def _grams_sql(k: int) -> str:
+    return (
+        f"list_transform(range(1, greatest(len(toks) - {k}, 0) + 2), "
+        f"i -> array_to_string(toks[i:i+{k - 1}], ' '))"
+    )
+
+
+@query(
+    "text_repetition_signals",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    stats AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct,
+             len({_grams_sql(3)}) AS n_g3,
+             len(list_distinct({_grams_sql(3)})) AS n_g3_distinct
+      FROM raw),
+    grams AS (
+      SELECT doc_id, unnest({_grams_sql(2)}) AS g FROM raw),
+    counts AS (SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY doc_id, g),
+    top AS (SELECT doc_id, max(cnt) AS top_bigram_cnt, sum(cnt) AS n_bigrams
+            FROM counts GROUP BY doc_id)
+    SELECT s.doc_id,
+           CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           CAST(s.n_tokens - s.n_distinct AS BIGINT) * 1000000
+             // s.n_tokens AS dup_token_ppm,
+           CAST(t.top_bigram_cnt AS BIGINT) * 1000000
+             // t.n_bigrams AS top_bigram_ppm,
+           CAST(s.n_g3 - s.n_g3_distinct AS BIGINT) * 1000000
+             // greatest(s.n_g3, 1) AS dup_trigram_ppm
+    FROM stats s JOIN top t USING (doc_id)
+    ORDER BY s.doc_id
+    """,
+)
+def text_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction, most-frequent-bigram fraction, duplicate-trigram fraction
+    (all in exact ppm). High repetition → boilerplate/spam → filtered
+    before training.
+
+    Scale shape: the array-level stats (distinct counts) are pure
+    codegen'd projections; only the top-bigram count needs per-gram
+    counting, done by explode → two bounded aggregations keyed by
+    (doc_id, gram) then doc_id — the doc-level scalars ride the explode
+    and fold back with first(), so no doc-table re-join is needed. The
+    shuffle carries (doc_id, gram) pairs only, never document bodies."""
+    d = load(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    g2 = TX.shingles("text", 2)
+    g3 = TX.shingles("text", 3)
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(g3).alias("n_g3"),
+        F.size(F.array_distinct(g3)).alias("n_g3_distinct"),
+        F.explode(g2).alias("g"),
+    )
+    carried = ["n_tokens", "n_distinct", "n_g3", "n_g3_distinct"]
+    per_gram = base.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[F.first(c).alias(c) for c in carried],
+    )
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_bigram_cnt"),
+        F.sum("cnt").alias("n_bigrams"),
+        *[F.first(c).alias(c) for c in carried],
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.expr(
+            "CAST(n_tokens - n_distinct AS BIGINT) * 1000000 DIV n_tokens"
+        ).alias("dup_token_ppm"),
+        F.expr(
+            "CAST(top_bigram_cnt AS BIGINT) * 1000000 DIV n_bigrams"
+        ).alias("top_bigram_ppm"),
+        F.expr(
+            "CAST(n_g3 - n_g3_distinct AS BIGINT) * 1000000 DIV greatest(n_g3, 1)"
+        ).alias("dup_trigram_ppm"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "corpus_vocab_coverage",
+    oracle=f"""
+    WITH tf AS (
+      SELECT tok, count(*) AS cnt FROM (
+        SELECT unnest({_TOKS}) AS tok FROM documents) x
+      GROUP BY tok),
+    r AS (
+      SELECT tok, cnt,
+             row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rnk,
+             sum(cnt) OVER (ORDER BY cnt DESC, tok ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(cnt) OVER () AS total
+      FROM tf)
+    SELECT tok, cnt, rnk,
+           CAST(cum AS BIGINT) * 1000000 // CAST(total AS BIGINT) AS cum_ppm
+    FROM r WHERE rnk <= 30 ORDER BY rnk
+    """,
+)
+def corpus_vocab_coverage(spark, sf_dir):
+    """Zipf / vocabulary-coverage profile: top-30 terms by corpus
+    frequency with the cumulative fraction of all token occurrences they
+    cover (exact ppm) — the curve tokenizer designers read to size a
+    vocabulary.
+
+    Scale shape: the term-frequency aggregation is the scalable part
+    (map-side partial agg, shuffle keyed by term). The rank/cumsum
+    window is unpartitioned BY DESIGN: it runs over the *vocabulary*
+    (bounded, ≤10^7 rows — heavy-hitter-pruned first at the extreme),
+    never over the corpus. The doc-scale work never passes through a
+    single task."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_rank = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        tf.select(
+            "tok",
+            "cnt",
+            F.row_number().over(w_rank).alias("rnk"),
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(w_all).alias("total"),
+        )
+        .filter(F.col("rnk") <= 30)
+        .select(
+            "tok",
+            "cnt",
+            "rnk",
+            F.expr("cum * 1000000 DIV total").alias("cum_ppm"),
+        )
+        .orderBy("rnk")
+    )
+
+
+@query(
+    "inverted_index_postings",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents) x
+      GROUP BY doc_id, tok)
+    SELECT tok,
+           count(*) AS df,
+           CAST(sum(tf) AS BIGINT) AS tf_total,
+           array_to_string(
+             list_transform(list_sort(list(doc_id))[1:8],
+                            v -> CAST(v AS VARCHAR)), ',') AS postings_head
+    FROM tf GROUP BY tok ORDER BY tok
+    """,
+)
+def inverted_index_postings(spark, sf_dir):
+    """Inverted-index build: per term, document frequency, total term
+    frequency, and the head of the sorted posting list (first 8 doc ids,
+    comma-joined so the result is hash-stable). The retrieval-side twin
+    of text_tfidf_top_terms.
+
+    Scale shape: two keyed aggregations — (doc, term) term counts, then
+    term-keyed posting assembly. Posting lists are bounded here by the
+    head slice; a full 100 TB index shards postings by (term,
+    doc_id_range) so no single term's list exceeds a task (the classic
+    hot-term skew — 'the' — is exactly what AQE skew-split plus the
+    range sharding absorbs)."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    postings = F.transform(
+        F.slice(F.array_sort(F.collect_list("doc_id")), 1, 8),
+        lambda v: v.cast("string"),
+    )
+    return (
+        tf.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("tf_total"),
+            F.array_join(postings, ",").alias("postings_head"),
+        )
+        .orderBy("tok")
+    )
+
+
+@query(
+    "source_mixture_weights",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    x AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(sum(n_tokens) OVER () AS BIGINT) AS total,
+             count(*) OVER () AS n_sources
+      FROM per_src)
+    SELECT source, n_docs, n_tokens,
+           n_tokens * 1000000 // total AS share_ppm,
+           total * 1000000 // (n_sources * n_tokens) AS weight_ppm
+    FROM x ORDER BY source
+    """,
+)
+def source_mixture_weights(spark, sf_dir):
+    """Data-mixture weighting: per-source token counts, corpus share,
+    and the up/down-sampling weight that would equalize the mixture
+    (uniform target across sources; a target-share table plugs into the
+    same shape). weight_ppm > 1e6 → upsample, < 1e6 → downsample. All
+    ratios in exact integer ppm.
+
+    Scale shape: one corpus scan into a source-keyed aggregation; the
+    totals window runs over the per-source table (bounded by the number
+    of sources — thousands at most), not the corpus."""
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count("text")).alias("n_tokens"),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_src.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.sum("n_tokens").over(w_all).alias("total"),
+            F.count(F.lit(1)).over(w_all).alias("n_sources"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("n_tokens * 1000000 DIV total").alias("share_ppm"),
+            F.expr("total * 1000000 DIV (n_sources * n_tokens)").alias(
+                "weight_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "mixture_weighted_sample",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    t AS (
+      SELECT source, n_tokens,
+             CAST(sum(n_tokens) OVER () AS BIGINT) AS total,
+             count(*) OVER () AS n_sources
+      FROM per_src),
+    w AS (
+      SELECT source,
+             least((total * 65536) // (n_sources * n_tokens), 65536) AS cut
+      FROM t),
+    wh AS (
+      SELECT source,
+             CASE WHEN cut >= 65536 THEN 'zzzz'
+                  ELSE lpad(lower(hex(cut)), 4, '0') END AS cut_hex
+      FROM w)
+    SELECT d.source, count(*) AS n_total,
+           sum(CASE WHEN substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+                         < wh.cut_hex
+                    THEN 1 ELSE 0 END) AS n_kept
+    FROM documents d JOIN wh ON d.source = wh.source
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def mixture_weighted_sample(spark, sf_dir):
+    """Apply the mixture weights: deterministic content-hash sampling
+    that downsamples over-represented sources toward the uniform target
+    (keep-probability = min(weight, 1)). The keep decision compares the
+    first 16 bits of md5('mix:'||doc_id) against a per-source cut —
+    computed in exact integer space (``total*65536 DIV (n_src*tokens)``)
+    so the threshold is bit-identical across engines and reruns;
+    cut ≥ 2^16 (under-represented source) keeps everything ('zzzz'
+    compares above any hex digit).
+
+    Scale shape: the weights table is one bounded row per source; the
+    join back onto the corpus is left to AQE (it broadcasts a
+    thousands-row side automatically — no manual hint on a data-derived
+    table, per the broadcast discipline). The keep flag itself is a pure
+    projection: at 100 TB this runs as scan → broadcast-join → filter
+    with zero corpus shuffles."""
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(TX.token_count("text")).alias("n_tokens")
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cut = F.expr(
+        "least((total * 65536) DIV (n_sources * n_tokens), CAST(65536 AS BIGINT))"
+    )
+    weights = (
+        per_src.select(
+            "source",
+            F.sum("n_tokens").over(w_all).alias("total"),
+            F.count(F.lit(1)).over(w_all).alias("n_sources"),
+            "n_tokens",
+        )
+        .select("source", cut.alias("cut"))
+        .select(
+            "source",
+            F.when(F.col("cut") >= 65536, F.lit("zzzz"))
+            .otherwise(F.lpad(F.lower(F.hex("cut")), 4, "0"))
+            .alias("cut_hex"),
+        )
+    )
+    kept = (
+        F.substring(
+            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 4
+        )
+        < F.col("cut_hex")
+    )
+    return (
+        d.join(weights, "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
