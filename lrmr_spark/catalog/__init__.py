@@ -45,7 +45,6 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_tokenset",
     "dedup_minhash_lsh",
-    "dedup_minhash_shingles",
     "dedup_minhash_lsh_fast",
     "dedup_components",
     "dedup_simhash",
@@ -62,6 +61,8 @@ _PRIORITY = [
     "text_bpe_tokens",
     "decontaminate_ngram_overlap",
     "sample_split_hash",
+    # corpus statistics / mixture reweighting
+    "text_repetition_signals",
     # multimodal plumbing
     "multimodal_binary_meta",
     "multimodal_fake_decode",

@@ -37,6 +37,24 @@ def streaming_stateful_dedup(spark, sf_dir):
     )
 
 
+@query("streaming_static_enrich")  # rows-only: incremental/watermark semantics
+def streaming_static_enrich(spark, sf_dir):
+    """Stream-static enrichment join (event stream ⋈ customer dimension
+    snapshot) + watermarked tumbling counts per market segment, executed
+    as a real streaming query. Batch equivalence asserted in
+    tests/test_streaming.py::test_static_enrich_matches_batch."""
+    from ..tables import load
+
+    name = f"cat_enrich_{uuid.uuid4().hex[:8]}"
+    return ST.run_to_memory(
+        ST.static_enrich_counts(
+            ST.stream_events(spark, sf_dir), load(spark, sf_dir, "customer")
+        ),
+        name,
+        output_mode="append",
+    )
+
+
 @query("streaming_interval_join")  # rows-only: stream-stream state semantics
 def streaming_interval_join(spark, sf_dir):
     """Stream-stream interval join (view→click attribution within 30

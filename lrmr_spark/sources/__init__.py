@@ -34,6 +34,8 @@ __all__ = [
     "read_parquet",
     "read_orc",
     "decode_csv_paths",
+    "read_text",
+    "read_binary_files",
     "write_parquet",
     "write_bucketed",
     "read_delta",
@@ -99,6 +101,38 @@ def decode_csv_paths(
 
         df = df.withColumn("key", F.col(key_col))
     return df
+
+
+def read_text(
+    spark: SparkSession, path: str, wholetext: bool = False, **options: Any
+) -> DataFrame:
+    """Line-oriented (or whole-file) text reader — the raw-corpus
+    ingestion path. ``wholetext=False`` splits large files by line
+    ranges (parallel within a file); ``wholetext=True`` yields one row
+    per file (for document-per-file corpora — pair with many small
+    files, not one giant one, since a whole file must fit a task)."""
+    # wholetext must ride the reader call, not .option() (the option
+    # key is consumed at text()-call time in PySpark)
+    return spark.read.options(**options).text(path, wholetext=wholetext)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file reader (built-in ``binaryFile`` format): one row per
+    file with (path, modificationTime, length, content) — the ingestion
+    path for image/audio/video corpora into the multimodal operators
+    (operators.multimodal takes the ``content`` binary column).
+
+    Scale notes: metadata columns (path/length/mtime) are read from the
+    file listing, so filters on them prune files BEFORE any byte is
+    fetched (spark.sql.sources.binaryFile.maxLength guards huge blobs);
+    files are not splittable — one file = one task input, so shard media
+    into object-store-sized pieces upstream."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
 
 
 def write_parquet(

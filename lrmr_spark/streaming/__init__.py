@@ -40,6 +40,7 @@ __all__ = [
     "session_counts",
     "stateful_seen_filter",
     "view_click_interval_join",
+    "static_enrich_counts",
     "run_to_memory",
 ]
 
@@ -166,6 +167,38 @@ def stateful_seen_filter(
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def static_enrich_counts(
+    events: DataFrame, dim: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a dimension
+    snapshot (customer → market segment), then watermarked 1-hour
+    tumbling counts per segment — the canonical streaming-enrichment
+    shape (clickstream ⋈ user profile).
+
+    Stream-static joins are STATELESS: each micro-batch joins against
+    the current dimension snapshot, so no join state accumulates (unlike
+    stream-stream joins, which need watermark-bounded buffers). The
+    static side carries no broadcast hint — it is data-proportional
+    (customer), so the planner/AQE picks broadcast at dimension scale
+    and shuffle if it ever outgrows the threshold, per the repo's
+    broadcast discipline. Only the windowed aggregation keeps state,
+    dropped as the watermark passes."""
+    seg = dim.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .join(seg, "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "segment", "cnt", "total_value")
     )
 
 

@@ -100,3 +100,26 @@ def test_orc_roundtrip(spark, tmp_path):
     out = str(tmp_path / "o")
     df.write.mode("overwrite").orc(out)
     assert SRC.read_orc(spark, out).collect()[0]["v"] == 2.5
+
+
+def test_text_reader_lines_and_wholetext(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("line1\nline2\n")
+    (tmp_path / "b.txt").write_text("solo\n")
+    lines = SRC.read_text(spark, str(tmp_path))
+    assert sorted(r["value"] for r in lines.collect()) == ["line1", "line2", "solo"]
+    whole = SRC.read_text(spark, str(tmp_path), wholetext=True)
+    assert whole.count() == 2  # one row per file
+    assert any("line1\nline2" in r["value"] for r in whole.collect())
+
+
+def test_binary_files_reader_metadata_and_glob(spark, tmp_path):
+    (tmp_path / "img0.fake").write_bytes(b"\x89IMG" + bytes(range(16)))
+    (tmp_path / "img1.fake").write_bytes(b"\x89IMG" + bytes(range(8)))
+    (tmp_path / "notes.txt").write_bytes(b"skip me")
+    df = SRC.read_binary_files(spark, str(tmp_path), glob="*.fake")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"img0.fake", "img1.fake"}
+    assert rows["img0.fake"]["length"] == 20
+    assert bytes(rows["img0.fake"]["content"])[:4] == b"\x89IMG"
+    # metadata-only predicates prune on the listing, before content io
+    assert df.filter(F.col("length") > 15).count() == 1

@@ -121,6 +121,33 @@ def test_stateful_seen_filter_state_ttl_eviction(spark, tmp_path):
     assert len(rows) == 5, rows
 
 
+def test_static_enrich_matches_batch(spark, sf_dir, events_stream):
+    got = ST.run_to_memory(
+        ST.static_enrich_counts(events_stream, load(spark, sf_dir, "customer")),
+        "t_enrich",
+        output_mode="append",
+    )
+    seg = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    batch = (
+        load(spark, sf_dir, "events")
+        .join(seg, "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "segment", "cnt", "total_value")
+    )
+    got_set = {tuple(r) for r in got.collect()}
+    batch_set = {tuple(r) for r in batch.collect()}
+    # append mode emits only watermark-closed windows: subset of batch,
+    # every emitted window exact
+    assert got_set <= batch_set
+    assert len(got_set) > 0
+
+
 def test_interval_join_matches_batch(spark, sf_dir):
     got = ST.run_to_memory(
         ST.view_click_interval_join(
