@@ -281,3 +281,113 @@ def events_json_props(spark, sf_dir):
         F.round(F.avg(k), 2).alias("avg_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@query(
+    "events_ewma_value",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    framed AS (
+      SELECT user_id, event_id, cents,
+             list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS arr
+      FROM c)
+    SELECT user_id, event_id,
+           CAST(len(arr) AS BIGINT) AS n_window,
+           list_aggregate(
+             list_transform(arr, (x, i) -> x * CAST(pow(2, i - 1) AS BIGINT)),
+             'sum')
+             // (CAST(pow(2, len(arr)) AS BIGINT) - 1) AS ewma_cents
+    FROM framed ORDER BY user_id, event_id
+    """,
+)
+def events_ewma_value(spark, sf_dir):
+    """Per-event exponentially-weighted moving average of the value
+    column over the user's last 10 events (alpha = 1/2) — the streaming
+    feature every fraud/engagement model wants, computed batch-side.
+
+    Exact-integer formulation (pitfall 5): values go to cents, weights
+    are powers of two (newest = 2^(n-1)), and the normalized average is
+    a single integer division — no float accumulation order can flip a
+    bit cross-engine. The frame is a 10-row window per user, so state
+    is bounded; one shuffle on user_id. (The windowed collect_list
+    carries ≤10 longs per row; at 100 TB the same feature runs
+    incrementally in the streaming twin — acc' = acc DIV 2 + cents —
+    with applyInPandasWithState.)"""
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w9 = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, W.currentRow)
+    )
+    return (
+        ev.select("user_id", "event_id", "ts", cents.alias("cents"))
+        .withColumn("arr", F.collect_list("cents").over(w9))
+        .select(
+            "user_id",
+            "event_id",
+            F.size("arr").cast("bigint").alias("n_window"),
+            F.expr(
+                "aggregate(transform(arr, (x, i) -> x * CAST(pow(2, i) AS BIGINT)),"
+                " CAST(0 AS BIGINT), (a, b) -> a + b)"
+                " DIV (CAST(pow(2, size(arr)) AS BIGINT) - 1)"
+            ).alias("ewma_cents"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "events_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn_t
+      FROM events),
+    runs AS (
+      SELECT user_id, event_type, rn - rn_t AS grp,
+             min(ts) AS valid_from, max(ts) AS last_seen, count(*) AS n_events
+      FROM ordered GROUP BY user_id, event_type, rn - rn_t)
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           n_events
+    FROM runs ORDER BY user_id, valid_from
+    """,
+)
+def events_scd2_intervals(spark, sf_dir):
+    """SCD-type-2 interval build: collapse each user's event stream into
+    runs of consecutive identical event_type and emit validity intervals
+    [valid_from, valid_to) — valid_to is the next run's start, NULL for
+    the current (open) run. The dimension-history table every warehouse
+    maintains, built with the rn − rn_by_type gaps-and-islands identity
+    (zero joins: two window passes + one bounded aggregation, all
+    hash-partitioned by user_id)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_t = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = (
+        ev.withColumn("grp", F.row_number().over(w) - F.row_number().over(w_t))
+        .groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.min("ts").alias("valid_from"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w_lead = W.partitionBy("user_id").orderBy("valid_from")
+    return (
+        runs.select(
+            "user_id",
+            "event_type",
+            "valid_from",
+            F.lead("valid_from").over(w_lead).alias("valid_to"),
+            "n_events",
+        )
+        .orderBy("user_id", "valid_from")
+    )

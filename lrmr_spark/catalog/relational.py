@@ -660,3 +660,126 @@ def profile_orders_columns(spark, sf_dir):
         ) AS (col, n_rows, n_null, n_distinct, min_val, max_val)"""
     )
     return out.orderBy("col")
+
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH updates AS (
+      SELECT CASE WHEN o_orderkey % 10 = 2 THEN o_orderkey + 1000000000
+                  ELSE o_orderkey END AS o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'update'
+                  WHEN o_orderkey % 10 = 1 THEN 'delete'
+                  ELSE 'insert' END AS action,
+             'X' AS new_status
+      FROM orders WHERE o_orderkey % 10 IN (0, 1, 2)),
+    merged AS (
+      SELECT coalesce(u.o_orderkey, s.o_orderkey) AS o_orderkey,
+             CASE WHEN u.action = 'insert' THEN 'X'
+                  WHEN u.action = 'update' THEN u.new_status
+                  ELSE s.o_orderstatus END AS status_after,
+             CASE WHEN s.o_orderkey IS NULL THEN 'inserted'
+                  WHEN u.action = 'update' THEN 'updated'
+                  ELSE 'kept' END AS change
+      FROM orders s FULL OUTER JOIN updates u ON s.o_orderkey = u.o_orderkey
+      WHERE u.action IS NULL OR u.action <> 'delete')
+    SELECT change, status_after, count(*) AS n_rows,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM merged GROUP BY change, status_after ORDER BY change, status_after
+    """,
+)
+def merge_upsert_orders(spark, sf_dir):
+    """MERGE INTO semantics (upsert + delete) as a batch operator: apply
+    a change batch (update status on key%10==0, delete key%10==1, insert
+    new keys for key%10==2) to the orders snapshot via ONE full-outer
+    join on the key, then audit the result by change type. This is the
+    CDC-apply twin of snapshot_diff — together they round-trip a
+    lakehouse MERGE without a table format.
+
+    Scale shape: a single full-outer shuffle join on the primary key —
+    the change batch is usually a small fraction of the snapshot, so AQE
+    picks a broadcast/skew-aware strategy; Delta/Iceberg implement the
+    same logical plan with file-level pruning (only files containing
+    matched keys rewrite). No content column rides the join — just key,
+    action, and the 1-byte status."""
+    o = load(spark, sf_dir, "orders")
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 < 3)
+        .select(
+            F.when(
+                F.col("o_orderkey") % 10 == 2, F.col("o_orderkey") + 1_000_000_000
+            )
+            .otherwise(F.col("o_orderkey"))
+            .alias("u_key"),
+            F.when(F.col("o_orderkey") % 10 == 0, "update")
+            .when(F.col("o_orderkey") % 10 == 1, "delete")
+            .otherwise("insert")
+            .alias("action"),
+            F.lit("X").alias("new_status"),
+        )
+    )
+    s = o.select(F.col("o_orderkey").alias("s_key"), "o_orderstatus")
+    merged = (
+        s.join(updates, s.s_key == updates.u_key, "full_outer")
+        .filter(F.col("action").isNull() | (F.col("action") != "delete"))
+        .select(
+            F.coalesce("u_key", "s_key").alias("o_orderkey"),
+            F.when(F.col("action") == "insert", "X")
+            .when(F.col("action") == "update", F.col("new_status"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status_after"),
+            F.when(F.col("s_key").isNull(), "inserted")
+            .when(F.col("action") == "update", "updated")
+            .otherwise("kept")
+            .alias("change"),
+        )
+    )
+    return (
+        merged.groupBy("change", "status_after")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("change", "status_after")
+    )
+
+
+@query(
+    "window_ntile_buckets",
+    oracle="""
+    SELECT o_orderpriority, quartile, count(*) AS n_orders,
+           round(CAST(min(o_totalprice) AS DOUBLE), 2) AS min_price,
+           round(CAST(max(o_totalprice) AS DOUBLE), 2) AS max_price
+    FROM (
+      SELECT o_orderpriority, o_totalprice,
+             ntile(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders) x
+    GROUP BY o_orderpriority, quartile ORDER BY o_orderpriority, quartile
+    """,
+)
+def window_ntile_buckets(spark, sf_dir):
+    """ntile() quartile assignment per order priority + per-bucket price
+    ranges — equi-depth binning for percentile-band reporting (ordering
+    tie-broken by key so bucket edges are deterministic). One window
+    shuffle on the priority key, bounded output."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )

@@ -37,6 +37,20 @@ def streaming_stateful_dedup(spark, sf_dir):
     )
 
 
+@query("streaming_sessionization")  # rows-only: session_window state semantics
+def streaming_sessionization(spark, sf_dir):
+    """Event-time sessionization via session_window() with a 30-minute
+    inactivity gap, executed as a real streaming query — the streaming
+    twin of the batch gaps-and-islands events_sessionization entry.
+    Session merging/emission is driven by the watermark; state per
+    (user, open session) is dropped once the watermark passes the
+    session close."""
+    name = f"cat_sessions_{uuid.uuid4().hex[:8]}"
+    return ST.run_to_memory(
+        ST.session_counts(ST.stream_events(spark, sf_dir)), name
+    )
+
+
 @query("streaming_static_enrich")  # rows-only: incremental/watermark semantics
 def streaming_static_enrich(spark, sf_dir):
     """Stream-static enrichment join (event stream ⋈ customer dimension

@@ -37,5 +37,6 @@ def test_every_query_has_oracle_or_is_documented_rows_only():
         "streaming_stateful_dedup",  # cross-batch custom state
         "streaming_interval_join",  # stream-stream join state semantics
         "streaming_static_enrich",  # incremental/watermark semantics
+        "streaming_sessionization",  # session_window state semantics
         "dedup_minhash_lsh_fast",  # xxhash64 not reproducible in SQL
     }, rows_only
