@@ -234,3 +234,130 @@ def scalar_arrays(spark, sf_dir):
         F.element_at(F.reverse(toks), 1).alias("last_token"),
         F.array_join(F.slice(toks, 1, 3), "-").alias("first3"),
     )
+
+
+@query(
+    "graph_pagerank_parts",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT 'o:' || CAST(l_orderkey AS VARCHAR) AS src,
+                      'p:' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM lineitem
+      UNION ALL
+      SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR),
+                      'o:' || CAST(l_orderkey AS VARCHAR)
+      FROM lineitem),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    n AS (SELECT 1000000 // count(*) AS tp FROM nodes),
+    r0 AS (SELECT node, (SELECT tp FROM n) AS rank_ppm FROM nodes),
+    r1 AS (
+      SELECT e.dst AS node,
+             (15 * (SELECT tp FROM n) + 85 * sum(r.rank_ppm // d.outdeg)) // 100
+               AS rank_ppm
+      FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst),
+    r2 AS (
+      SELECT e.dst AS node,
+             (15 * (SELECT tp FROM n) + 85 * sum(r.rank_ppm // d.outdeg)) // 100
+               AS rank_ppm
+      FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst),
+    r3 AS (
+      SELECT e.dst AS node,
+             (15 * (SELECT tp FROM n) + 85 * sum(r.rank_ppm // d.outdeg)) // 100
+               AS rank_ppm
+      FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst)
+    SELECT node, CAST(rank_ppm AS BIGINT) AS rank_ppm
+    FROM r3 ORDER BY rank_ppm DESC, node LIMIT 30
+    """,
+)
+def graph_pagerank_parts(spark, sf_dir):
+    """PageRank (3 fixed iterations, damping 0.85) over the undirected
+    order↔part bipartite graph from lineitem — authority scoring of the
+    kind corpus pipelines run on source/domain/link graphs to weight
+    training data. Top-30 nodes by rank.
+
+    Ranks are exact integer ppm (operators.graph.pagerank_ppm): every
+    step is integer division, so the fixed-point result is bit-identical
+    across engines/partitionings — which is what lets an ITERATIVE
+    distributed algorithm be oracle-checked at all (float PageRank
+    differs in the last ulp with sum order). The oracle is the same
+    recurrence as three chained SQL CTEs."""
+    li = load(spark, sf_dir, "lineitem")
+    o = F.concat(F.lit("o:"), F.col("l_orderkey").cast("string"))
+    p = F.concat(F.lit("p:"), F.col("l_partkey").cast("string"))
+    fwd = li.select(o.alias("src"), p.alias("dst")).distinct()
+    rev = li.select(p.alias("src"), o.alias("dst")).distinct()
+    from ..operators.graph import pagerank_ppm
+
+    ranks = pagerank_ppm(fwd.unionAll(rev), iterations=3, damping_pct=85)
+    return (
+        ranks.select("node", F.col("rank_ppm").cast("bigint").alias("rank_ppm"))
+        .orderBy(F.desc("rank_ppm"), F.asc("node"))
+        .limit(30)
+    )
+
+
+@query(
+    "robust_trimmed_mean",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    ranked AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c)
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_total,
+           count(*) AS n_kept,
+           CAST(sum(cents) AS BIGINT) // count(*) AS trimmed_mean_cents
+    FROM ranked
+    WHERE rn > n // 10 AND rn <= n - (n // 10)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def robust_trimmed_mean(spark, sf_dir):
+    """Robust statistics: 10%-trimmed mean of event value per type —
+    drop the bottom and top deciles BY RANK (not by float quantile
+    thresholds, which sit on engine-dependent interpolation), then
+    average the middle in exact integer cents. The outlier-resistant
+    aggregate monitoring pipelines prefer over plain avg.
+
+    One window pass (rank + count over the type key) + one bounded-key
+    aggregation; everything integer, so the result is partitioning- and
+    engine-independent."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = W.partitionBy("event_type").orderBy("cents", "event_id")
+    w_n = W.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type", "event_id", cents.alias("cents")
+    ).select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    return (
+        ranked.filter(
+            (F.col("rn") > F.expr("n DIV 10"))
+            & (F.col("rn") <= F.col("n") - F.expr("n DIV 10"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_total"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.expr("CAST(sum(cents) AS BIGINT) DIV count(1)").alias(
+                "trimmed_mean_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -252,3 +252,31 @@ def test_decode_media_fake_features(docs):
     assert len(rows) == n
     for r in rows[:10]:
         assert 0 <= r["feat_min"] <= r["feat_mean"] <= r["feat_max"] <= 255
+
+
+def test_pagerank_ppm_symmetric_cycle(spark):
+    from lrmr_spark.operators.graph import pagerank_ppm
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {r["node"]: r["rank_ppm"] for r in pagerank_ppm(edges, 3).collect()}
+    # symmetric 2-cycle is already the fixed point: both keep teleport
+    assert got == {"a": 500_000, "b": 500_000}
+
+
+def test_pagerank_ppm_path_golden(spark):
+    from lrmr_spark.operators.graph import pagerank_ppm
+
+    # a - b - c undirected path: b is the hub and must outrank a and c
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["rank_ppm"] for r in pagerank_ppm(edges, 1).collect()}
+    # teleport = 333333; deg a=1, b=2, c=1
+    # b <- a(333333) + c(333333) = 666666 -> (15*333333 + 85*666666) DIV 100
+    # a, c <- b: 333333 DIV 2 = 166666  -> (15*333333 + 85*166666) DIV 100
+    assert got["b"] == (15 * 333333 + 85 * 666666) // 100
+    assert got["a"] == got["c"] == (15 * 333333 + 85 * 166666) // 100
+    assert got["b"] > got["a"]
