@@ -37,6 +37,16 @@ def streaming_stateful_dedup(spark, sf_dir):
     )
 
 
+@query("streaming_ewma")  # rows-only: cross-batch numeric state
+def streaming_ewma(spark, sf_dir):
+    """Incremental per-user EWMA (exact integer cents) executed as a
+    real streaming query with per-user bigint state. Equivalence with
+    the batch fold asserted in
+    tests/test_streaming.py::test_stateful_ewma_matches_batch_fold."""
+    name = f"cat_ewma_{uuid.uuid4().hex[:8]}"
+    return ST.run_to_memory(ST.stateful_ewma(ST.stream_events(spark, sf_dir)), name)
+
+
 @query("streaming_sessionization")  # rows-only: session_window state semantics
 def streaming_sessionization(spark, sf_dir):
     """Event-time sessionization via session_window() with a 30-minute

@@ -39,6 +39,7 @@ __all__ = [
     "sliding_counts",
     "session_counts",
     "stateful_seen_filter",
+    "stateful_ewma",
     "view_click_interval_join",
     "static_enrich_counts",
     "run_to_memory",
@@ -164,6 +165,64 @@ def stateful_seen_filter(
             _make_seen_filter_fn(ttl_ms),
             outputStructType=_SEEN_OUTPUT_SCHEMA,
             stateStructType=_SEEN_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+_EWMA_OUTPUT_SCHEMA = "user_id bigint, event_id bigint, ewma_cents bigint"
+_EWMA_STATE_SCHEMA = "acc bigint, last_ts_ms bigint"
+
+
+def _make_ewma_fn(ttl_ms: int):
+    def _ewma_fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Incremental EWMA (alpha = 1/2) over each user's event stream:
+        acc' = acc DIV 2 + cents — one bigint of state per user, exact
+        integer arithmetic (the streaming twin of the batch
+        events_ewma_value entry; same recurrence as its docstring).
+        State evicts via event-time TTL like stateful_seen_filter."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        acc, last_ts_ms = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            out = []
+            for cents in pdf["cents"]:
+                acc = acc // 2 + int(cents)
+                out.append(acc)
+            pdf = pdf.assign(ewma_cents=out)
+            last_ts_ms = max(last_ts_ms, int(pdf["ts"].max().value // 1_000_000))
+            yield pdf[["user_id", "event_id", "ewma_cents"]]
+        state.update((acc, last_ts_ms))
+        state.setTimeoutTimestamp(last_ts_ms + ttl_ms)
+
+    return _ewma_fn
+
+
+def stateful_ewma(
+    events: DataFrame, watermark: str = "1 hour", ttl_ms: int = 30 * 86_400_000
+) -> DataFrame:
+    """Per-event incremental EWMA of value (exact integer cents,
+    alpha = 1/2) via applyInPandasWithState — the numeric-state
+    counterpart of stateful_seen_filter: one bigint accumulator per
+    user instead of a seen-set, evicted by the same watermark-driven
+    event-time TTL. Within a micro-batch events are folded in (ts,
+    event_id) order so the recurrence is deterministic."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.select("user_id", "event_id", "ts", cents.alias("cents"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_ewma_fn(ttl_ms),
+            outputStructType=_EWMA_OUTPUT_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

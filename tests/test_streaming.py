@@ -121,6 +121,40 @@ def test_stateful_seen_filter_state_ttl_eviction(spark, tmp_path):
     assert len(rows) == 5, rows
 
 
+def test_stateful_ewma_matches_batch_fold(spark, sf_dir, events_stream):
+    got = ST.run_to_memory(ST.stateful_ewma(events_stream), "t_ewma")
+    # batch twin: fold acc' = acc DIV 2 + cents over each user's full
+    # ordered history (JVM aggregate over a windowed collect_list)
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    batch = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("hist", F.collect_list("cents").over(w))
+        .select(
+            "user_id",
+            "event_id",
+            F.expr(
+                "aggregate(hist, CAST(0 AS BIGINT), (a, x) -> a DIV 2 + x)"
+            ).alias("ewma_cents"),
+        )
+    )
+    got_set = {tuple(r) for r in got.collect()}
+    batch_set = {tuple(r) for r in batch.collect()}
+    assert got_set == batch_set
+    assert len(got_set) > 0
+
+
 def test_static_enrich_matches_batch(spark, sf_dir, events_stream):
     got = ST.run_to_memory(
         ST.static_enrich_counts(events_stream, load(spark, sf_dir, "customer")),
