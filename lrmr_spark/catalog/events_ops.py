@@ -391,3 +391,113 @@ def events_scd2_intervals(spark, sf_dir):
         )
         .orderBy("user_id", "valid_from")
     )
+
+
+@query(
+    "events_value_moments",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events)
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(cents * cents) AS BIGINT) AS sumsq_cents,
+           CAST(sum(cents) AS BIGINT) // count(*) AS mean_cents,
+           (count(*) * CAST(sum(cents * cents) AS BIGINT)
+            - CAST(sum(cents) AS BIGINT) * CAST(sum(cents) AS BIGINT))
+             // (count(*) * count(*)) AS var_cents2
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_value_moments(spark, sf_dir):
+    """Exact-integer distribution moments per event type: count, sum,
+    sum-of-squares in cents, plus derived mean and population variance
+    via the n·Σx² − (Σx)² identity — all integer arithmetic, so the
+    result is bit-identical across engines (float avg/var_pop differ in
+    the last ulp with aggregation order and can't be hash-compared).
+
+    One scan, map-side-combinable sums, bounded key space. Range note:
+    the bigint identity holds to ~10^9 rows × 10^4-cent values; past
+    that, switch the sums to DECIMAL(38) — same plan shape."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select("event_type", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum(F.col("cents") * F.col("cents")).alias("sumsq_cents"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_cents",
+            "sumsq_cents",
+            F.expr("sum_cents DIV n").alias("mean_cents"),
+            F.expr(
+                "(n * sumsq_cents - sum_cents * sum_cents) DIV (n * n)"
+            ).alias("var_cents2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_outliers_zscore",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    m AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(cents * cents) AS BIGINT) AS sq
+      FROM c GROUP BY event_type)
+    SELECT c.event_type,
+           count(*) AS n_outliers,
+           CAST(min(c.cents) AS BIGINT) AS min_outlier_cents,
+           CAST(max(c.cents) AS BIGINT) AS max_outlier_cents
+    FROM c JOIN m ON c.event_type = m.event_type
+    WHERE (m.n * c.cents - m.s) * (m.n * c.cents - m.s)
+          > 4 * (m.n * m.sq - m.s * m.s)
+    GROUP BY c.event_type ORDER BY c.event_type
+    """,
+)
+def events_outliers_zscore(spark, sf_dir):
+    """Outlier detection: events more than 2 population standard
+    deviations from their type's mean — with the z² > 4 predicate
+    cross-multiplied into pure integer form
+    ((n·x − Σx)² > 4·(n·Σx² − (Σx)²)), so the DECISION BOUNDARY is
+    exact: no float threshold can classify a point differently across
+    engines (the usual flakiness of float z-score filters).
+
+    Plan: one moments aggregation (bounded keys) joined back to the
+    events — AQE broadcasts the tiny moments side; the predicate is a
+    pure projection, so at 100 TB this is scan → broadcast-join →
+    filter with a single corpus-wide shuffle-free pass after the
+    moments agg."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    c = ev.select("event_type", "event_id", cents.alias("cents"))
+    m = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sq"),
+    )
+    joined = c.join(m, "event_type")
+    dev = F.col("n") * F.col("cents") - F.col("s")
+    return (
+        joined.filter(
+            dev * dev > 4 * (F.col("n") * F.col("sq") - F.col("s") * F.col("s"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.min("cents").cast("bigint").alias("min_outlier_cents"),
+            F.max("cents").cast("bigint").alias("max_outlier_cents"),
+        )
+        .orderBy("event_type")
+    )
