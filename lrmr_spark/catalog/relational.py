@@ -783,3 +783,44 @@ def window_ntile_buckets(spark, sf_dir):
         )
         .orderBy("o_orderpriority", "quartile")
     )
+
+
+@query(
+    "scalar_maps",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(cardinality(m) AS INTEGER) AS n_entries,
+           m['status'][1] AS status_v,
+           m['missing'][1] AS missing_v,
+           array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted
+    FROM (
+      SELECT o_orderkey,
+             map(['status', 'priority', 'bucket'],
+                 [o_orderstatus, o_orderpriority,
+                  CASE WHEN o_totalprice >= 100000 THEN 'hi' ELSE 'lo' END]) AS m
+      FROM orders) x
+    """,
+)
+def scalar_maps(spark, sf_dir):
+    """Map-type scalar surface: create_map / map_concat / element_at /
+    map_keys / size — the semi-structured key-value column toolkit
+    (feature bags, tag maps). Missing-key lookup returns NULL on both
+    engines; map keys are emitted sorted so the hash comparison is
+    order-independent. Pure projection, zero shuffles."""
+    o = load(spark, sf_dir, "orders")
+    base = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    extra = F.create_map(
+        F.lit("bucket"),
+        F.when(F.col("o_totalprice") >= 100000, "hi").otherwise("lo"),
+    )
+    m = F.map_concat(base, extra)
+    return o.select(
+        "o_orderkey",
+        F.size(m).alias("n_entries"),
+        F.element_at(m, F.lit("status")).alias("status_v"),
+        F.element_at(m, F.lit("missing")).alias("missing_v"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+    )
