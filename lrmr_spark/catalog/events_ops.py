@@ -501,3 +501,107 @@ def events_outliers_zscore(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_gapfill_daily",
+    oracle="""
+    WITH b AS (
+      SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      FROM events),
+    days AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        AS day FROM b),
+    t AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE))
+    SELECT t.event_type, days.day, coalesce(daily.cnt, 0) AS cnt
+    FROM t CROSS JOIN days
+    LEFT JOIN daily ON daily.event_type = t.event_type AND daily.day = days.day
+    ORDER BY t.event_type, days.day
+    """,
+)
+def events_gapfill_daily(spark, sf_dir):
+    """Gap-filling / densification: a complete (event_type × day) date
+    spine over the observed range with zero-filled counts for missing
+    days — what every time-series dashboard and forecasting feed needs
+    (missing rows, not NULLs, are the silent bug).
+
+    The date spine is generated (sequence + explode from a 1-row
+    min/max aggregate), so the only cross join is (types × days) —
+    schema-bounded, thousands of rows at any data scale. The daily
+    counts aggregate is the corpus-scale side; the spine joins against
+    it LEFT so zeros survive. At 100 TB this is one scan + one bounded
+    broadcast join."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        types.crossJoin(days)
+        .join(daily, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+               - epoch_us(ts) AS dt_us
+      FROM events)
+    SELECT user_id,
+           count(*) AS n_intervals,
+           CAST(sum(dt_us) AS BIGINT) AS span_us,
+           CAST(sum(cents * dt_us) AS BIGINT) // CAST(sum(dt_us) AS BIGINT)
+             AS twa_cents
+    FROM c WHERE dt_us IS NOT NULL
+    GROUP BY user_id HAVING sum(dt_us) > 0
+    ORDER BY user_id
+    """,
+)
+def events_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average value per user — each reading weighted by
+    how long it was current (the TSDB aggregate plain avg silently gets
+    wrong on irregular sampling). Weights are exact microsecond
+    durations from lead(); the average is one integer division of two
+    bigint sums, so the result is engine-exact (Σ dt per user is the
+    user's span, which bounds Σ cents·dt well inside int64).
+
+    One window pass (lead over user_id) + one bounded-key aggregation;
+    single shuffle on user_id."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    c = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("dt_us"),
+    )
+    return (
+        c.filter(F.col("dt_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dt_us").alias("span_us"),
+            F.expr(
+                "CAST(sum(cents * dt_us) AS BIGINT) DIV CAST(sum(dt_us) AS BIGINT)"
+            ).alias("twa_cents"),
+        )
+        .filter(F.col("span_us") > 0)
+        .orderBy("user_id")
+    )
