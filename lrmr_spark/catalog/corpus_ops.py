@@ -54,9 +54,9 @@ def _grams_sql(k: int) -> str:
     SELECT s.doc_id,
            CAST(s.n_tokens AS BIGINT) AS n_tokens,
            CAST(s.n_tokens - s.n_distinct AS BIGINT) * 1000000
-             // s.n_tokens AS dup_token_ppm,
+             // greatest(s.n_tokens, 1) AS dup_token_ppm,
            CAST(t.top_bigram_cnt AS BIGINT) * 1000000
-             // t.n_bigrams AS top_bigram_ppm,
+             // greatest(t.n_bigrams, 1) AS top_bigram_ppm,
            CAST(s.n_g3 - s.n_g3_distinct AS BIGINT) * 1000000
              // greatest(s.n_g3, 1) AS dup_trigram_ppm
     FROM stats s JOIN top t USING (doc_id)
@@ -101,10 +101,10 @@ def text_repetition_signals(spark, sf_dir):
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.expr(
-            "CAST(n_tokens - n_distinct AS BIGINT) * 1000000 DIV n_tokens"
+            "CAST(n_tokens - n_distinct AS BIGINT) * 1000000 DIV greatest(n_tokens, 1)"
         ).alias("dup_token_ppm"),
         F.expr(
-            "CAST(top_bigram_cnt AS BIGINT) * 1000000 DIV n_bigrams"
+            "CAST(top_bigram_cnt AS BIGINT) * 1000000 DIV greatest(n_bigrams, 1)"
         ).alias("top_bigram_ppm"),
         F.expr(
             "CAST(n_g3 - n_g3_distinct AS BIGINT) * 1000000 DIV greatest(n_g3, 1)"
@@ -128,7 +128,7 @@ def text_repetition_signals(spark, sf_dir):
              sum(cnt) OVER () AS total
       FROM tf)
     SELECT tok, cnt, rnk,
-           CAST(cum AS BIGINT) * 1000000 // CAST(total AS BIGINT) AS cum_ppm
+           CAST(cum AS BIGINT) * 1000000 // greatest(CAST(total AS BIGINT), 1) AS cum_ppm
     FROM r WHERE rnk <= 30 ORDER BY rnk
     """,
 )
@@ -168,7 +168,7 @@ def corpus_vocab_coverage(spark, sf_dir):
             "tok",
             "cnt",
             "rnk",
-            F.expr("cum * 1000000 DIV total").alias("cum_ppm"),
+            F.expr("cum * 1000000 DIV greatest(total, 1)").alias("cum_ppm"),
         )
         .orderBy("rnk")
     )
@@ -236,8 +236,8 @@ def inverted_index_postings(spark, sf_dir):
              count(*) OVER () AS n_sources
       FROM per_src)
     SELECT source, n_docs, n_tokens,
-           n_tokens * 1000000 // total AS share_ppm,
-           total * 1000000 // (n_sources * n_tokens) AS weight_ppm
+           n_tokens * 1000000 // greatest(total, 1) AS share_ppm,
+           total * 1000000 // greatest(n_sources * n_tokens, 1) AS weight_ppm
     FROM x ORDER BY source
     """,
 )
@@ -271,10 +271,10 @@ def source_mixture_weights(spark, sf_dir):
             "source",
             "n_docs",
             "n_tokens",
-            F.expr("n_tokens * 1000000 DIV total").alias("share_ppm"),
-            F.expr("total * 1000000 DIV (n_sources * n_tokens)").alias(
-                "weight_ppm"
-            ),
+            F.expr("n_tokens * 1000000 DIV greatest(total, 1)").alias("share_ppm"),
+            F.expr(
+                "total * 1000000 DIV greatest(n_sources * n_tokens, 1)"
+            ).alias("weight_ppm"),
         )
         .orderBy("source")
     )
@@ -293,7 +293,7 @@ def source_mixture_weights(spark, sf_dir):
       FROM per_src),
     w AS (
       SELECT source,
-             least((total * 65536) // (n_sources * n_tokens), 65536) AS cut
+             least((total * 65536) // greatest(n_sources * n_tokens, 1), 65536) AS cut
       FROM t),
     wh AS (
       SELECT source,
@@ -332,7 +332,7 @@ def mixture_weighted_sample(spark, sf_dir):
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     cut = F.expr(
-        "least((total * 65536) DIV (n_sources * n_tokens), CAST(65536 AS BIGINT))"
+        "least((total * 65536) DIV greatest(n_sources * n_tokens, 1), CAST(65536 AS BIGINT))"
     )
     weights = (
         per_src.select(

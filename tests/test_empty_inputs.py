@@ -62,3 +62,38 @@ def test_pipeline_on_empty(spark):
     )
     res = p.run_and_collect()
     assert res.rows == []
+
+
+def test_pagerank_on_empty_edges(spark):
+    from lrmr_spark.operators.graph import pagerank_ppm
+
+    e = spark.createDataFrame([], "src string, dst string")
+    assert pagerank_ppm(e, 2).count() == 0
+
+
+def test_ewma_fold_single_and_empty_history(spark):
+    # the EWMA DIV fold is total on any non-empty window; single event
+    # (window of itself) must return its own cents
+    df = spark.createDataFrame([(1, 1, 250)], "user_id long, event_id long, cents long")
+    got = df.select(
+        F.expr(
+            "aggregate(array(cents), CAST(0 AS BIGINT), (a, x) -> a DIV 2 + x)"
+        ).alias("e")
+    ).collect()
+    assert got[0]["e"] == 250
+
+
+def test_repetition_signals_on_blank_docs(spark, sf_dir):
+    # blank text → zero tokens; the operator must survive (greatest
+    # guards) rather than divide by zero. Run the same plan shape on a
+    # tiny degenerate frame via the operator's building blocks.
+    from lrmr_spark.operators import text as TX
+
+    df = spark.createDataFrame([(1, ""), (2, "x")], "doc_id long, text string")
+    rows = df.select(
+        TX.token_count("text").alias("n"),
+        F.size(TX.shingles("text", 2)).alias("g2"),
+    ).collect()
+    # shingles() clamps to at least one (possibly short) gram per doc
+    assert [r["n"] for r in rows] == [0, 1]
+    assert all(r["g2"] >= 1 for r in rows)
