@@ -208,3 +208,49 @@ def test_decontaminate_single_scan(spark):
     df = queries()["decontaminate_ngram_overlap"](spark, SF)
     plan = physical_plan(df)
     assert plan.count("documents.parquet") == 1, plan
+
+
+def test_merge_upsert_single_join(spark):
+    # MERGE apply = exactly ONE full-outer join on the key; a second
+    # join would mean the snapshot is scanned/joined twice
+    plan = physical_plan(queries()["merge_upsert_orders"](spark, SF))
+    import re
+
+    # match numbered node-detail lines only (the formatted plan prints
+    # every node twice: once in the tree header, once in the details)
+    joins = re.findall(
+        r"^\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+        plan,
+        re.MULTILINE,
+    )
+    assert len(joins) == 1, joins
+    assert "FullOuter" in plan
+
+
+def test_mixture_weights_not_hint_broadcast(spark):
+    # the per-source weights table is data-derived: broadcast is AQE's
+    # call, never a hard hint (broadcast discipline)
+    for name in ("mixture_weighted_sample", "events_outliers_zscore"):
+        df = queries()[name](spark, SF)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "broadcast" not in logical.lower(), name
+
+
+def test_single_user_shuffle_for_timeseries_windows(spark):
+    # EWMA / TWA / SCD2: one hash exchange on user_id feeds the window;
+    # the downstream aggregation must reuse that partitioning
+    for name, max_ex in (
+        ("events_ewma_value", 2),  # window + final orderBy range exchange
+        ("events_time_weighted_avg", 2),
+        ("events_scd2_intervals", 2),
+    ):
+        df = queries()[name](spark, SF)
+        assert count_exchanges(df) <= max_ex, name
+
+
+def test_gapfill_spine_joins_are_broadcast(spark):
+    # the date spine and type list are bounded: both joins must resolve
+    # to broadcast (no shuffle of the corpus-side daily aggregate
+    # against a thousands-row spine)
+    df = queries()["events_gapfill_daily"](spark, SF)
+    assert has_broadcast_join(df)
