@@ -69,34 +69,37 @@ def text_repetition_signals(spark, sf_dir):
     (all in exact ppm). High repetition → boilerplate/spam → filtered
     before training.
 
-    Scale shape: the array-level stats (distinct counts) are pure
-    codegen'd projections; only the top-bigram count needs per-gram
-    counting, done by explode → two bounded aggregations keyed by
-    (doc_id, gram) then doc_id — the doc-level scalars ride the explode
-    and fold back with first(), so no doc-table re-join is needed. The
-    shuffle carries (doc_id, gram) pairs only, never document bodies."""
+    Scale shape: two independent passes joined on doc_id. Pass 1 is a
+    pure projection computing every array-level stat (token/trigram
+    distinct counts) exactly once per document. Pass 2 explodes bigrams
+    into the (doc_id, gram) counting aggregation. They must NOT be one
+    pass: scalar columns carried alongside an explode() are collapsed
+    into the post-generate projection and re-evaluated per exploded row
+    — with higher-order-function shingle expressions that multiplied
+    runtime ~40× (measured 152 s → 4 s at sf0.1; ARCHITECTURE.md
+    pitfall 12). The join shuffles five ints per doc; gram shuffles
+    carry (doc_id, gram) pairs only, never document bodies."""
     d = load(spark, sf_dir, "documents")
     toks = TX.tokens("text")
     g2 = TX.shingles("text", 2)
     g3 = TX.shingles("text", 3)
-    base = d.select(
+    stats = d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
         F.size(g3).alias("n_g3"),
         F.size(F.array_distinct(g3)).alias("n_g3_distinct"),
-        F.explode(g2).alias("g"),
     )
-    carried = ["n_tokens", "n_distinct", "n_g3", "n_g3_distinct"]
-    per_gram = base.groupBy("doc_id", "g").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        *[F.first(c).alias(c) for c in carried],
+    per_gram = (
+        d.select("doc_id", F.explode(g2).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    per_doc = per_gram.groupBy("doc_id").agg(
+    top = per_gram.groupBy("doc_id").agg(
         F.max("cnt").alias("top_bigram_cnt"),
         F.sum("cnt").alias("n_bigrams"),
-        *[F.first(c).alias(c) for c in carried],
     )
+    per_doc = stats.join(top, "doc_id")
     return per_doc.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),

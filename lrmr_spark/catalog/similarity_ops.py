@@ -376,20 +376,37 @@ def embedding_kmeans_iter(spark, sf_dir):
     this operator with the assignment persisted between iterations —
     the canonical iterative-algorithm shape on Spark.
 
-    Scale: posexplode multiplies rows by dim (64×), but the aggregation
-    key space is bounded (k × dim = 512 keys), so map-side partial
-    aggregation collapses each task's output to ≤512 rows before the
-    shuffle — the explode never hits the wire. Assignment is pure
-    column expressions (no Python, no shuffle)."""
+    Scale: the centroid update is ONE aggregation with 64 per-dimension
+    element_at sums — no explode. The earlier posexplode formulation
+    re-evaluated the HOF assignment expression per generated row
+    (scalars beside a generator collapse into the post-explode
+    projection — ARCHITECTURE.md pitfall 12; measured ~3× here, 35× on
+    the corpus-stats query), and multiplied rows 64× before the
+    map-side combine. Sum columns are k×dim bounded either way;
+    assignment is pure column expressions (no Python, no shuffle)."""
     cents = [list(c) for c in _centroids()]
+    dim = len(cents[0])
     emb = load(spark, sf_dir, "embeddings")
     assigned = emb.withColumn("cluster", SIM.ivf_assign(F.col("embedding"), cents))
-    exploded = assigned.selectExpr("cluster", "posexplode(embedding) AS (pos, v)")
+    sums = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        *[
+            F.sum(F.element_at("embedding", i + 1).cast("double")).alias(f"s{i}")
+            for i in range(dim)
+        ],
+    )
+    stack = (
+        f"stack({dim}, "
+        + ", ".join(f"{i + 1}, s{i}" for i in range(dim))
+        + ") AS (dim, ssum)"
+    )
     return (
-        exploded.groupBy("cluster", (F.col("pos") + 1).alias("dim"))
-        .agg(
-            F.round(F.avg(F.col("v").cast("double")), 5).alias("centroid_val"),
-            F.count(F.lit(1)).alias("n_members"),
+        sums.selectExpr("cluster", "n_members", stack)
+        .select(
+            "cluster",
+            "dim",
+            F.round(F.col("ssum") / F.col("n_members"), 5).alias("centroid_val"),
+            "n_members",
         )
         .orderBy("cluster", "dim")
     )
