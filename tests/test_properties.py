@@ -217,3 +217,80 @@ def test_ngram_decontamination_matches_python(spark, texts):
         .collect()
     }
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.sampled_from("abcdef"), st.sampled_from("abcdef")).filter(
+            lambda t: t[0] != t[1]
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@_SETTINGS
+def test_pagerank_ppm_matches_python(spark, edges):
+    # symmetrize so every node has both in- and out-edges (operator
+    # contract); integer ppm arithmetic must match Python EXACTLY
+    from lrmr_spark.operators.graph import pagerank_ppm
+
+    sym = set()
+    for a, b in edges:
+        sym.add((a, b))
+        sym.add((b, a))
+    df = spark.createDataFrame(sorted(sym), "src string, dst string")
+    got = {r["node"]: r["rank_ppm"] for r in pagerank_ppm(df, 3).collect()}
+
+    nodes = sorted({a for a, _ in sym})
+    deg = Counter(a for a, _ in sym)
+    tp = 1_000_000 // len(nodes)
+    rank = {v: tp for v in nodes}
+    for _ in range(3):
+        inc = {v: 0 for v in nodes}
+        for a, b in sym:
+            inc[b] += rank[a] // deg[a]
+        rank = {v: (15 * tp + 85 * inc[v]) // 100 for v in nodes}
+    assert got == rank
+
+
+@given(cents=st.lists(st.integers(0, 10_000), min_size=1, max_size=12))
+@_SETTINGS
+def test_ewma_div_fold_matches_python(spark, cents):
+    # the streaming/batch EWMA recurrence acc' = acc DIV 2 + x, folded
+    # JVM-side over an array literal, must equal the Python loop
+    arr = "array(" + ", ".join(f"CAST({c} AS BIGINT)" for c in cents) + ")"
+    got = spark.range(1).select(
+        F.expr(f"aggregate({arr}, CAST(0 AS BIGINT), (a, x) -> a DIV 2 + x)").alias("e")
+    ).collect()[0]["e"]
+    acc = 0
+    for c in cents:
+        acc = acc // 2 + c
+    assert got == acc
+
+
+@given(vals=st.lists(st.integers(0, 10_000), min_size=1, max_size=30))
+@_SETTINGS
+def test_trimmed_mean_matches_python(spark, vals):
+    from pyspark.sql import Window as W
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "idx long, cents long")
+    w = W.orderBy("cents", "idx")
+    w_n = W.partitionBy()
+    got = (
+        df.select(
+            "cents",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(w_n).alias("n"),
+        )
+        .filter(
+            (F.col("rn") > F.expr("n DIV 10"))
+            & (F.col("rn") <= F.col("n") - F.expr("n DIV 10"))
+        )
+        .agg(F.expr("CAST(sum(cents) AS BIGINT) DIV count(1)").alias("m"))
+        .collect()[0]["m"]
+    )
+    s = sorted(vals)
+    k = len(s) // 10
+    kept = s[k : len(s) - k]
+    assert got == sum(kept) // len(kept)
