@@ -361,3 +361,50 @@ def robust_trimmed_mean(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "asof_next_click",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts,
+           r.ts AS r_ts, r.value AS r_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, min_by(value, event_id) AS value,
+             min(event_id) AS event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ) r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+def asof_next_click(spark, sf_dir):
+    """FORWARD as-of join: each purchase annotated with the user's
+    earliest click at-or-after it — next-event attribution (post-
+    purchase engagement). Same union-and-carry plan as the backward
+    variant with the window frame mirrored (first() over the following
+    frame); one shuffle on user_id. Verified against DuckDB's native
+    forward ASOF JOIN (l.ts <= r.ts), with the right side pre-deduped
+    to one row per (user_id, ts) by min event_id so tie semantics are
+    pinned on both engines."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.min_by("value", "event_id").alias("value"),
+            F.min("event_id").alias("event_id"),
+        )
+    )
+    return AS.asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["ts", "value"],
+        direction="forward",
+    )

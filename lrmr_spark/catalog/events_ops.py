@@ -605,3 +605,34 @@ def events_time_weighted_avg(spark, sf_dir):
         .filter(F.col("span_us") > 0)
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_heatmap_dow_hour",
+    oracle="""
+    SELECT CAST(isodow(ts) - 1 AS INTEGER) AS dow,
+           CAST(hour(ts) AS INTEGER) AS hour,
+           count(*) AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_heatmap_dow_hour(spark, sf_dir):
+    """Activity heatmap: event counts and exact-cents totals per
+    (day-of-week × hour-of-day) cell — the canonical traffic-pattern
+    rollup behind every ops dashboard. Monday = 0 (Spark weekday() ≡
+    DuckDB isodow()−1, pinned here). One scan into a ≤168-key
+    aggregation; fully map-side-combinable."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.expr("weekday(ts)").cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
+        .orderBy("dow", "hour")
+    )

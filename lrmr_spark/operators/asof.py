@@ -35,40 +35,54 @@ def asof_join(
     right_cols: Sequence[str],
     tiebreak: str | None = None,
     prefix: str = "r_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward-inclusive as-of join.
+    """As-of join, backward- or forward-inclusive.
 
-    Returns every left row plus ``right_cols`` of the most recent right
-    row (``right_ts <= left_ts``) per ``on`` group, null when none.
-    ``tiebreak`` orders equal-timestamp right rows (the last one wins);
-    pass a unique right column to make ties deterministic.
+    ``direction="backward"`` (default): every left row plus
+    ``right_cols`` of the MOST RECENT right row with
+    ``right_ts <= left_ts`` per ``on`` group (null when none).
+    ``direction="forward"``: the EARLIEST right row with
+    ``right_ts >= left_ts`` — next-event attribution (e.g. "first click
+    after each purchase"). Both are the same union-and-carry plan with
+    the window frame mirrored; still ONE shuffle on the key.
+    ``tiebreak`` orders equal-timestamp right rows (backward: last
+    wins, forward: first wins); pass a unique right column to make
+    ties deterministic.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
+    backward = direction == "backward"
     payload = F.struct(*[F.col(c) for c in right_cols])
+    # at equal ts the right row must be eligible: rights sort before
+    # lefts for backward-inclusive, after lefts for forward-inclusive
+    r_side, l_side = (0, 1) if backward else (1, 0)
     r = right.select(
         *on,
         F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_side"),
+        F.lit(r_side).alias("_side"),
         (F.col(tiebreak) if tiebreak else F.lit(0)).alias("_tb"),
         payload.alias("_rv"),
     )
     l = left.select(
         *on,
         F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_side"),
+        F.lit(l_side).alias("_side"),
         F.lit(None).alias("_tb"),
         F.lit(None).cast(r.schema["_rv"].dataType).alias("_rv"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lv"),
     )
     r = r.withColumn("_lv", F.lit(None).cast(l.schema["_lv"].dataType))
-    # rights sort before lefts at equal ts (backward-INCLUSIVE)
-    w = (
-        W.partitionBy(*on)
-        .orderBy("_ts", "_side", "_tb")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    carried = l.unionByName(r).withColumn("_last_rv", F.last("_rv", ignorenulls=True).over(w))
-    out = carried.filter(F.col("_side") == 1).select(
+    base = W.partitionBy(*on).orderBy("_ts", "_side", "_tb")
+    if backward:
+        w = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+        carry = F.last("_rv", ignorenulls=True).over(w)
+    else:
+        w = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+        carry = F.first("_rv", ignorenulls=True).over(w)
+    carried = l.unionByName(r).withColumn("_last_rv", carry)
+    out = carried.filter(F.col("_side") == l_side).select(
         F.col("_lv.*"),
         *[F.col("_last_rv").getField(c).alias(f"{prefix}{c}") for c in right_cols],
     )

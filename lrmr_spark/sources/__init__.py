@@ -36,6 +36,7 @@ __all__ = [
     "decode_csv_paths",
     "read_text",
     "read_binary_files",
+    "read_jdbc",
     "write_parquet",
     "write_bucketed",
     "read_delta",
@@ -176,4 +177,40 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
     except Exception as exc:  # pragma: no cover - jar-dependent
         raise NotImplementedError(
             "Delta Lake requires the delta-spark package on the classpath"
+        ) from exc
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: Any,
+) -> DataFrame:
+    """JDBC reader with partitioned parallel pulls — set
+    ``partition_column`` + bounds so the read splits into
+    ``num_partitions`` range queries instead of one serial cursor (the
+    difference between minutes and hours against a big table). Driver
+    jars are not present in this container; gated like read_delta."""
+    try:
+        reader = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .options(**options)
+        )
+        if partition_column is not None:
+            reader = (
+                reader.option("partitionColumn", partition_column)
+                .option("numPartitions", num_partitions)
+                .option("lowerBound", lower_bound)
+                .option("upperBound", upper_bound)
+            )
+        return reader.load()
+    except Exception as exc:  # pragma: no cover - driver-jar-dependent
+        raise NotImplementedError(
+            "JDBC reads require the database driver jar on the classpath"
         ) from exc
