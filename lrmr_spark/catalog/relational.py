@@ -824,3 +824,54 @@ def scalar_maps(spark, sf_dir):
         F.element_at(m, F.lit("missing")).alias("missing_v"),
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
     )
+
+
+@query(
+    "schema_evolution_union",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus, 1 AS schema_version
+      FROM orders WHERE o_orderkey % 2 = 0),
+    v2 AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             2 AS schema_version
+      FROM orders WHERE o_orderkey % 2 = 1),
+    u AS (SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2)
+    SELECT schema_version,
+           count(*) AS n_rows,
+           count(o_orderstatus) AS n_status,
+           count(o_orderpriority) AS n_priority,
+           CAST(sum(coalesce(price_cents, 0)) AS BIGINT) AS total_cents
+    FROM u GROUP BY schema_version ORDER BY schema_version
+    """,
+)
+def schema_evolution_union(spark, sf_dir):
+    """Schema evolution: append two snapshot generations with different
+    column sets via unionByName(allowMissingColumns=True) — old rows
+    get NULLs for new columns and vice versa (the lakehouse
+    schema-on-read contract; DuckDB's UNION ALL BY NAME is the oracle
+    twin). The audit aggregation counts non-null presence per column
+    per generation. Pure narrow union — no shuffle until the bounded
+    audit aggregation."""
+    o = load(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", F.lit(1).alias("schema_version")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.lit(2).alias("schema_version"),
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        u.groupBy("schema_version")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderstatus").alias("n_status"),
+            F.count("o_orderpriority").alias("n_priority"),
+            F.sum(F.coalesce("price_cents", F.lit(0))).alias("total_cents"),
+        )
+        .orderBy("schema_version")
+    )

@@ -254,3 +254,28 @@ def test_gapfill_spine_joins_are_broadcast(spark):
     # against a thousands-row spine)
     df = queries()["events_gapfill_daily"](spark, SF)
     assert has_broadcast_join(df)
+
+
+def test_dynamic_partition_pruning_on_date_layout(spark):
+    # DPP: joining the date-partitioned events layout against a small
+    # filtered dim on the PARTITION column must inject a runtime
+    # dynamicpruning subquery into the scan's partition filters — at
+    # 100 TB this skips every partition the dim doesn't name, without
+    # a static date predicate in the query
+    import os
+
+    from lrmr_spark.catalog.storage_ops import _tag, events_time_pruned_df
+    from lrmr_spark.tables import load
+
+    events_time_pruned_df(spark, SF).count()  # ensure layout exists
+    path = os.path.join("/root/repo/.scratch", "events_bydate_" + _tag(SF))
+    fact = spark.read.parquet(path)
+    dim = (
+        load(spark, SF, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(F.to_date("ts").alias("event_date"))
+        .distinct()
+        .limit(3)
+    )
+    q = fact.join(dim, "event_date").groupBy("event_type").count()
+    assert "dynamicpruning" in physical_plan(q).lower()
