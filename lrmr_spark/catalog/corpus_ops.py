@@ -367,3 +367,46 @@ def mixture_weighted_sample(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "corpus_shuffle_shards",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('shuf:' || CAST(doc_id AS VARCHAR)) AS sortkey,
+             CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS INTEGER) % 16 AS shard
+      FROM documents)
+    SELECT shard, count(*) AS n_docs,
+           min(sortkey) AS first_key, max(sortkey) AS last_key
+    FROM keyed GROUP BY shard ORDER BY shard
+    """,
+)
+def corpus_shuffle_shards(spark, sf_dir):
+    """Deterministic training-order shuffle: every document gets a
+    content-hash sort key and a hash-derived shard (16 here); the
+    training loader reads shards in order, each shard sorted by key —
+    a reproducible global permutation of a 100 TB corpus with NO global
+    sort (the classic pre-training data-order requirement). Hash
+    sharding (not rangepartitioning) keeps shard bounds independent of
+    sampling, so reruns and engines agree exactly.
+
+    This entry audits the layout (per-shard counts + key range); the
+    physical write is write_parquet(partition_by=['shard']) + in-file
+    sort, tested in test_asof_sources.py::test_corpus_shuffle_layout."""
+    d = load(spark, sf_dir, "documents")
+    sortkey = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(sortkey, 1, 4), 16, 10).cast("int") % 16
+    )
+    return (
+        d.select("doc_id", sortkey.alias("sortkey"), shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("sortkey").alias("first_key"),
+            F.max("sortkey").alias("last_key"),
+        )
+        .orderBy("shard")
+    )

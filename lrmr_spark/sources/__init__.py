@@ -39,6 +39,7 @@ __all__ = [
     "read_jdbc",
     "write_parquet",
     "write_bucketed",
+    "compact_parquet",
     "read_delta",
 ]
 
@@ -214,3 +215,34 @@ def read_jdbc(
         raise NotImplementedError(
             "JDBC reads require the database driver jar on the classpath"
         ) from exc
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_files: int, sort_within: list[str] | None = None
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``target_files`` files (optionally sorted within each file for
+    min/max row-group skipping). Streaming sinks and incremental
+    appends accumulate thousands of tiny files whose per-file open cost
+    dominates scans; periodic compaction is the table-maintenance
+    operation every lakehouse schedules (Delta OPTIMIZE / Iceberg
+    rewrite_data_files — same logical rewrite, no table format needed).
+
+    Rewrites into a sibling staging dir then atomically swaps, so a
+    concurrent reader sees either the old or the new layout. Returns
+    the number of data files after compaction."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    df = df.repartition(target_files)
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
+    staging = path.rstrip("/") + ".compact_tmp"
+    backup = path.rstrip("/") + ".compact_old"
+    shutil.rmtree(staging, ignore_errors=True)
+    df.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup, ignore_errors=True)
+    return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))

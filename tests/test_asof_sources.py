@@ -123,3 +123,60 @@ def test_binary_files_reader_metadata_and_glob(spark, tmp_path):
     assert bytes(rows["img0.fake"]["content"])[:4] == b"\x89IMG"
     # metadata-only predicates prune on the listing, before content io
     assert df.filter(F.col("length") > 15).count() == 1
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    out = str(tmp_path / "frag")
+    # fragment: 40 tiny files
+    spark.createDataFrame([(i,) for i in range(400)], "id long").repartition(
+        40
+    ).write.parquet(out)
+    import os
+
+    n_before = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    assert n_before >= 30
+    n_after = SRC.compact_parquet(spark, out, 4, sort_within=["id"])
+    assert n_after == 4
+    # data survives byte-for-byte
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(400))
+
+
+def test_corpus_shuffle_layout(spark, tmp_path, sf_dir):
+    # the physical layout behind corpus_shuffle_shards: partition by
+    # hash shard, sort by content-hash key within each shard — a
+    # deterministic global training order with no global sort
+    from lrmr_spark.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    sortkey = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    shard = F.conv(F.substring(sortkey, 1, 4), 16, 10).cast("int") % 16
+    out = str(tmp_path / "shuffled")
+    (
+        d.select("doc_id", sortkey.alias("sortkey"), shard.alias("shard"))
+        .repartition("shard")
+        # sort by (shard, sortkey): the partitioned writer requires its
+        # partition columns sorted and would otherwise INSERT its own
+        # sort on shard alone, destroying the sortkey order — a
+        # prefix-satisfied ordering passes through untouched
+        .sortWithinPartitions("shard", "sortkey")
+        .write.partitionBy("shard")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == d.count()
+    # partition pruning: reading one shard touches one directory
+    one = back.filter(F.col("shard") == 3)
+    from lrmr_spark.plans import physical_plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[(.*?)\]", physical_plan(one))
+    assert m and "shard" in m.group(1)
+    # within a shard file, rows are sorted by the shuffle key
+    import pyarrow.parquet as pq
+    import os, glob
+
+    files = glob.glob(os.path.join(out, "shard=3", "*.parquet"))
+    assert files
+    keys = pq.read_table(files[0], columns=["sortkey"])["sortkey"].to_pylist()
+    assert keys == sorted(keys)
