@@ -636,3 +636,42 @@ def events_heatmap_dow_hour(spark, sf_dir):
         )
         .orderBy("dow", "hour")
     )
+
+
+@query(
+    "events_rolling_weekly_active",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM pairs)
+    SELECT d.day, count(DISTINCT p.user_id) AS wau
+    FROM days d
+    JOIN pairs p ON p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day ORDER BY d.day
+    """,
+)
+def events_rolling_weekly_active(spark, sf_dir):
+    """Rolling 7-day active users per day (WAU) — THE engagement metric.
+    COUNT(DISTINCT) can't ride a window frame, so the standard shape is:
+    dedupe to (day, user) pairs (corpus-scale work, one shuffle), build
+    the day spine (bounded), band-join pairs into each trailing window,
+    and count distinct per day. The join fan-out is ≤7× the PAIR table
+    (already user-deduped per day), never 7× the raw events; the final
+    distinct-count shuffles (day, user) keys only. At billions of users
+    swap the exact distinct for HLL sketch merge (approx_stats shows the
+    sketch path) with the same spine-join shape."""
+    ev = load(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = pairs.select("day").distinct().select(F.col("day").alias("d"))
+    return (
+        days.join(
+            pairs,
+            (F.col("day") >= F.date_sub(F.col("d"), 6)) & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.col("d").alias("day"), "wau")
+        .orderBy("day")
+    )
