@@ -408,3 +408,80 @@ def asof_next_click(spark, sf_dir):
         right_cols=["ts", "value"],
         direction="forward",
     )
+
+
+@query(
+    "cogroup_click_purchase_profile",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, count(*) AS n_clicks, min(event_id) AS first_click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id),
+    p AS (
+      SELECT user_id, count(*) AS n_purchases,
+             min(event_id) AS first_purchase_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           coalesce(n_clicks, 0) AS n_clicks,
+           coalesce(n_purchases, 0) AS n_purchases,
+           coalesce(first_click_id, -1) AS first_click_id,
+           coalesce(first_purchase_id, -1) AS first_purchase_id,
+           coalesce(n_purchases, 0) * 1000000
+             // greatest(coalesce(n_clicks, 0) + coalesce(n_purchases, 0), 1)
+             AS purchase_share_ppm
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    ORDER BY 1
+    """,
+)
+def cogroup_click_purchase_profile(spark, sf_dir):
+    """Cogroup (the two-sided grouped-map operator): click events and
+    purchase events are grouped on user_id independently, then each
+    user's two groups are handed to ONE Python function together —
+    the escape hatch for per-key logic that needs both sides at once
+    (custom sessionized attribution, per-user train/label alignment)
+    and can't be written as a join + window.
+
+    Spark shape: ``dfA.groupBy(k).cogroup(dfB.groupBy(k))
+    .applyInPandas(fn)`` — both sides hash-shuffle on user_id once,
+    co-partitioned, then Arrow-batched pandas per key. Per-key state
+    is bounded by that user's events; no driver collect. All outputs
+    are exact integers (counts, min ids, ppm share). Oracle: the
+    cogroup degenerates to FULL OUTER join of two aggregates — two
+    independent formulations must agree. The reference's Reduce gets
+    one grouped stream (transformation.go); cogroup is the two-input
+    generalization Spark offers."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id"
+    )
+
+    def profile(key, cdf: "pd.DataFrame", pdf: "pd.DataFrame") -> "pd.DataFrame":
+        nc, np_ = len(cdf), len(pdf)
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": int(key[0]),
+                    "n_clicks": nc,
+                    "n_purchases": np_,
+                    "first_click_id": int(cdf.event_id.min()) if nc else -1,
+                    "first_purchase_id": int(pdf.event_id.min()) if np_ else -1,
+                    "purchase_share_ppm": np_ * 1_000_000 // max(nc + np_, 1),
+                }
+            ]
+        )
+
+    out = (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            profile,
+            schema="user_id bigint, n_clicks bigint, n_purchases bigint, "
+            "first_click_id bigint, first_purchase_id bigint, "
+            "purchase_share_ppm bigint",
+        )
+    )
+    return out.orderBy("user_id")

@@ -351,3 +351,76 @@ def snapshot_diff(spark, sf_dir):
         .filter(F.col("status") != "unchanged")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "cross_doc_ngram_exposure",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+      FROM documents),
+    dg AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 5, 0) + 2),
+               i -> array_to_string(toks[i:i+4], ' ')))) AS g
+      FROM raw),
+    tot AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY doc_id),
+    sh AS (SELECT g FROM dg GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    expo AS (SELECT doc_id, count(*) AS n_shared
+             FROM dg JOIN sh USING (g) GROUP BY doc_id)
+    SELECT t.doc_id,
+           t.n_grams,
+           coalesce(e.n_shared, 0) AS n_shared,
+           coalesce(e.n_shared, 0) * 1000000
+             // greatest(t.n_grams, 1) AS shared_ppm
+    FROM tot t LEFT JOIN expo e USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def cross_doc_ngram_exposure(spark, sf_dir):
+    """Cross-document repeated-n-gram exposure (the signal behind
+    substring-level train-set dedup, Lee et al. 2022): for each
+    document, what fraction of its distinct 5-grams also appears in at
+    least one OTHER document. High exposure = boilerplate/template
+    content that inflates memorization; pipelines drop or trim it.
+
+    Scale shape: two passes joined on doc_id. The gram pass explodes
+    per-doc DISTINCT 5-grams into (doc_id, gram) rows, aggregates
+    gram -> distinct-doc count (map-side combinable), keeps only
+    grams with >=2 docs, and joins that (small, skew-bounded) shared
+    set back to the gram stream — document bodies never shuffle. The
+    scalar pass computes per-doc gram totals in its own projection
+    (NOT carried beside the explode — ARCHITECTURE.md pitfall 12
+    would re-evaluate the shingle HOF per generated row). At 100 TB
+    the gram join key becomes xxhash64(gram) (8-byte shuffle instead
+    of the string; collisions only over-flag exposure at ~2^-64);
+    the md5-free string key here keeps the oracle exact."""
+    from ..operators import text as TX
+
+    d = load(spark, sf_dir, "documents")
+    g5 = F.array_distinct(TX.shingles("text", 5))
+    dg = d.select("doc_id", F.explode(g5).alias("g"))
+    tot = d.select("doc_id", F.size(g5).alias("n_grams"))
+    shared = (
+        dg.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    expo = dg.join(shared, "g").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    return (
+        tot.join(expo, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.expr(
+                "coalesce(n_shared, 0) * 1000000 DIV greatest(n_grams, 1)"
+            ).alias("shared_ppm"),
+        )
+        .orderBy("doc_id")
+    )

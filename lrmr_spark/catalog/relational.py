@@ -875,3 +875,56 @@ def schema_evolution_union(spark, sf_dir):
         )
         .orderBy("schema_version")
     )
+
+
+@query(
+    "fuzzy_join_part_names",
+    oracle="""
+    WITH nm AS (SELECT DISTINCT p_name FROM part),
+    blk AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS b FROM nm),
+    cand AS (
+      SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+      FROM blk a JOIN blk b ON a.b = b.b AND a.p_name < b.p_name)
+    SELECT name_a, name_b,
+           levenshtein(name_a, name_b) AS dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) BETWEEN 1 AND 2
+    ORDER BY name_a, name_b
+    """,
+)
+def fuzzy_join_part_names(spark, sf_dir):
+    """Blocked fuzzy join (record linkage): harmonize near-identical
+    part names by pairing names that share a token block and sit
+    within Levenshtein distance 1-2 — the entity-resolution primitive
+    for merging product catalogs or crawl metadata.
+
+    Scale shape: the naive formulation is an O(n^2) cross join on
+    edit distance — a non-starter. Blocking makes it tractable: each
+    name emits one candidate-key row per token (explode), the
+    self-join runs ONLY within equal blocks (standard multi-pass
+    blocking — a pair is compared iff it shares at least one token,
+    which any distance<=2 edit of a multi-token name does unless the
+    edit spans both tokens), and the expensive levenshtein() runs
+    only on the blocked candidates, JVM-side. Shuffle carries
+    (token, name) pairs; names are deduped BEFORE blocking so the
+    join fans out over distinct names, not rows. Oracle: identical
+    blocking + DuckDB's levenshtein."""
+    nm = load(spark, sf_dir, "part").select("p_name").distinct()
+    blk = nm.select("p_name", F.explode(F.split("p_name", " ")).alias("b"))
+    a, b = blk.alias("a"), blk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"), F.col("b.p_name").alias("name_b")
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist").between(1, 2))
+        .orderBy("name_a", "name_b")
+    )

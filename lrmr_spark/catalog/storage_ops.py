@@ -74,6 +74,122 @@ def bucketed_join_orders(spark, sf_dir):
     return bucketed_join_df(spark, sf_dir)
 
 
+def _interleave_bits_sql(xcol: str, ycol: str, div: str, bits: int = 8) -> str:
+    """Morton/Z-value bit interleave expressed in pure integer
+    arithmetic (bit i of v == ``(v div 2^i) % 2``), so the identical
+    formula runs in Spark SQL (``DIV``) and DuckDB (``//``) — both
+    engines agree exactly for non-negative inputs."""
+    terms = []
+    for i in range(bits):
+        p, q = 2**i, 4**i
+        terms.append(f"(({xcol} {div} {p}) % 2) * {q}")
+        terms.append(f"(({ycol} {div} {p}) % 2) * {2 * q}")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_locality_index",
+    oracle=f"""
+    WITH z AS (
+      SELECT user_id AS x,
+             CAST(extract(hour FROM ts) AS BIGINT) AS y,
+             {_interleave_bits_sql('user_id', "CAST(extract(hour FROM ts) AS BIGINT)", '//')} AS zval
+      FROM events)
+    SELECT zval // 1024 AS shard,
+           count(*) AS n_rows,
+           min(x) AS min_user, max(x) AS max_user,
+           min(y) AS min_hour, max(y) AS max_hour
+    FROM z GROUP BY 1 ORDER BY 1
+    """,
+)
+def zorder_locality_index(spark, sf_dir):
+    """Z-order (Morton-curve) layout index over events on the two
+    query dimensions (user_id, hour-of-day): interleave the bits of
+    both keys into one z-value, shard by z-range, and emit the
+    per-shard min/max of BOTH dimensions — the file-statistics table a
+    z-ordered table layout produces (Delta OPTIMIZE ZORDER BY, Iceberg
+    sort orders).
+
+    Why it matters at 100 TB: sorting by a single key gives tight
+    min/max file stats on that key only; z-ordering keeps the per-file
+    range of EVERY interleaved dimension bounded (~sqrt locality), so
+    min/max skipping prunes scans for predicates on either column.
+    The z-value is pure integer arithmetic (bit i == ``v DIV 2^i %
+    2``), JVM-side whole-stage codegen, no UDF; one exchange for the
+    shard aggregation. The oracle recomputes the identical interleave
+    in DuckDB — exact-integer end to end."""
+    ev = load(spark, sf_dir, "events")
+    z = ev.select(
+        F.col("user_id").alias("x"),
+        F.expr("CAST(extract(hour FROM ts) AS BIGINT)").alias("y"),
+        F.expr(
+            _interleave_bits_sql(
+                "user_id", "CAST(extract(hour FROM ts) AS BIGINT)", "DIV"
+            )
+        ).alias("zval"),
+    )
+    return (
+        z.groupBy(F.expr("zval DIV 1024").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_user"),
+            F.max("x").alias("max_user"),
+            F.min("y").alias("min_hour"),
+            F.max("y").alias("max_hour"),
+        )
+        .orderBy("shard")
+    )
+
+
+@query(
+    "shard_minmax_skipping",
+    oracle="""
+    WITH idx AS (
+      SELECT o_orderkey // 1000 AS shard,
+             count(*) AS n_rows,
+             min(CAST(o_orderdate AS DATE)) AS min_date,
+             max(CAST(o_orderdate AS DATE)) AS max_date
+      FROM orders GROUP BY 1)
+    SELECT shard, n_rows, min_date, max_date,
+           CAST(max_date >= DATE '1995-03-01'
+                AND min_date <= DATE '1995-03-31' AS INT) AS scan_needed
+    FROM idx ORDER BY shard
+    """,
+)
+def shard_minmax_skipping(spark, sf_dir):
+    """File-level data-skipping index: orders range-sharded by key
+    (emulating files written in ingest order), per-shard min/max
+    o_orderdate materialized, and each shard flagged for whether a
+    March-1995 predicate must scan it — exactly the parquet
+    row-group / Delta file-stats pruning decision, surfaced as a
+    queryable secondary index.
+
+    At 100 TB this index is the difference between listing 10M file
+    footers per query and one scan of a tiny stats table: the index is
+    built once per ingest batch (one narrow aggregation, min/max are
+    map-side combinable) and every later time-windowed query consults
+    it to prune. The oracle recomputes the same index + decision on
+    the raw table."""
+    o = load(spark, sf_dir, "orders")
+    idx = o.groupBy(F.expr("o_orderkey DIV 1000").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.col("o_orderdate").cast("date")).alias("min_date"),
+        F.max(F.col("o_orderdate").cast("date")).alias("max_date"),
+    )
+    return idx.select(
+        "shard",
+        "n_rows",
+        "min_date",
+        "max_date",
+        (
+            (F.col("max_date") >= F.lit("1995-03-01").cast("date"))
+            & (F.col("min_date") <= F.lit("1995-03-31").cast("date"))
+        )
+        .cast("int")
+        .alias("scan_needed"),
+    ).orderBy("shard")
+
+
 def events_time_pruned_df(spark, sf_dir):
     """Materialize events partitioned by event date and run a
     time-range rollup over 3 days; shared with the plan test."""
