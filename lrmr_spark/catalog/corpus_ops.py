@@ -410,3 +410,70 @@ def corpus_shuffle_shards(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+@query(
+    "docs_chunk_windows",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+      FROM documents),
+    sized AS (
+      SELECT doc_id, toks, len(toks) AS n FROM raw WHERE len(toks) > 0),
+    chunks AS (
+      SELECT doc_id, toks, n,
+             unnest(range(0, CASE WHEN n <= 50 THEN 1
+                                  ELSE 1 + (n - 11) // 40 END)) AS k
+      FROM sized)
+    SELECT doc_id,
+           k AS chunk_idx,
+           k * 40 + 1 AS chunk_start,
+           least(50, n - k * 40) AS chunk_len,
+           array_to_string(toks[k * 40 + 1 : k * 40 + least(50, n - k * 40)], ' ')
+             AS chunk_text
+    FROM chunks ORDER BY doc_id, chunk_idx
+    """,
+)
+def docs_chunk_windows(spark, sf_dir):
+    """RAG / context-window chunking: split every document into
+    50-token chunks with stride 40 (10-token overlap) — the
+    retrieval-index and training-window packing primitive. Chunk count
+    for n tokens is 1 + ceil((n-50)/40) (always >= 1), so every token
+    is covered and consecutive chunks share 10 tokens of context.
+
+    Scale shape: entirely JVM-side higher-order functions — tokenize
+    once, build the chunk array with transform(sequence(...)) and
+    explode it. Every chunk field (idx/start/len/text) is computed
+    INSIDE the generator expression, so the tokenization runs once per
+    document, not once per emitted chunk (ARCHITECTURE.md pitfall 12:
+    scalars carried beside explode re-evaluate per generated row —
+    packing them into the generated struct avoids it). No shuffle at
+    all: chunking is a narrow map over the corpus scan; the orderBy is
+    presentation-only for the oracle compare."""
+    from ..operators import text as TX
+
+    d = load(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n = F.size(toks)
+    nc = F.when(n <= 50, F.lit(1)).otherwise(
+        (F.floor((n - F.lit(11)) / F.lit(40)) + 1).cast("int")
+    )
+    chunk_len = lambda k: F.least(F.lit(50), n - k * 40)  # noqa: E731
+    chunks = F.transform(
+        F.sequence(F.lit(0), nc - 1),
+        lambda k: F.struct(
+            k.cast("bigint").alias("chunk_idx"),
+            (k * 40 + 1).cast("bigint").alias("chunk_start"),
+            chunk_len(k).cast("bigint").alias("chunk_len"),
+            F.array_join(F.slice(toks, k * 40 + 1, chunk_len(k)), " ").alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    return (
+        d.filter(n > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.*")
+        .orderBy("doc_id", "chunk_idx")
+    )

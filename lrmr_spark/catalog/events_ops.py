@@ -675,3 +675,216 @@ def events_rolling_weekly_active(spark, sf_dir):
         .select(F.col("d").alias("day"), "wau")
         .orderBy("day")
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s.t_signup
+        AND e.ts <= s.t_signup + INTERVAL '7 days'
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        AND e.ts <= c.t_click + INTERVAL '7 days'
+      GROUP BY e.user_id)
+    SELECT CAST(s.t_signup AS DATE) AS cohort_day,
+           count(*) AS n_signup,
+           count(c.t_click) AS n_click,
+           count(p.t_purchase) AS n_purchase,
+           count(p.t_purchase) * 1000000 // count(*) AS conv_ppm
+    FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_funnel_conversion(spark, sf_dir):
+    """Ordered 3-step funnel (signup -> click -> purchase, each step
+    strictly after the previous and within 7 days): the product-
+    analytics sequence-match primitive, grouped into daily signup
+    cohorts with an exact-integer conversion ppm.
+
+    Scale shape: each step is one groupBy(user_id) aggregate joined to
+    the previous step's (user_id, ts) table — every join and every agg
+    shuffles on the SAME key, so the exchange is planned once and
+    reused (co-partitioned chain); per-step state is one timestamp per
+    user, never the event list. No window over the whole history, no
+    per-user event materialization — at 100 TB the funnel cost is
+    three scans + one user-keyed shuffle chain. Strictly-after + min()
+    semantics make the result order-insensitive and tie-proof."""
+    ev = load(spark, sf_dir, "events")
+    week = F.expr("INTERVAL 7 DAYS")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter((F.col("ts") > F.col("t_signup")) & (F.col("ts") <= F.col("t_signup") + week))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_click") + week))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .groupBy(F.col("t_signup").cast("date").alias("cohort_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_signup"),
+            F.count("t_click").alias("n_click"),
+            F.count("t_purchase").alias("n_purchase"),
+            F.expr(
+                "count(t_purchase) * 1000000 DIV count(1)"
+            ).alias("conv_ppm"),
+        )
+        .orderBy("cohort_day")
+    )
+
+
+@query(
+    "events_bitmap_distinct_rollup",
+    oracle="""
+    WITH bm AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             user_id // 32 AS bucket,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS bitset
+      FROM events GROUP BY 1, 2, 3),
+    daily AS (
+      SELECT week, day, sum(bit_count(bitset)) AS daily_users
+      FROM bm GROUP BY week, day),
+    weekly AS (
+      SELECT week, sum(bit_count(merged)) AS weekly_users FROM (
+        SELECT week, bucket, bit_or(bitset) AS merged
+        FROM bm GROUP BY week, bucket)
+      GROUP BY week)
+    SELECT d.day, d.daily_users, w.weekly_users
+    FROM daily d JOIN weekly w USING (week)
+    ORDER BY d.day
+    """,
+)
+def events_bitmap_distinct_rollup(spark, sf_dir):
+    """Exact distinct-user counts via re-aggregable bitmaps: user ids
+    packed into per-(day, bucket) 32-bit bitsets (bucket = id DIV 32,
+    bit = id MOD 32, bit_or aggregate), daily distinct = sum of
+    popcounts, and weekly distinct computed by OR-merging the DAILY
+    bitmaps — never rescanning raw events.
+
+    This is the 100 TB answer to repeated COUNT(DISTINCT): distinct
+    counts don't re-aggregate (sum of daily distincts != weekly
+    distinct), so every rollup normally pays a full shuffle of raw
+    ids. Bitmaps make distinct states mergeable and EXACT (the
+    RoaringBitmap / ClickHouse groupBitmap pattern): the per-day
+    bitmap table is ~|users|/32 rows, any coarser period ORs it in a
+    narrow second-stage agg, and popcount (bit_count) is JVM codegen.
+    The oracle reproduces the identical packing in DuckDB — exact
+    integers end to end."""
+    ev = load(spark, sf_dir, "events")
+    bm = (
+        ev.select(
+            F.date_trunc("week", "ts").cast("date").alias("week"),
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.expr("user_id DIV 32").alias("bucket"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(user_id % 32 as int))"
+            ).alias("bit"),
+        )
+        .groupBy("week", "day", "bucket")
+        .agg(F.bit_or("bit").alias("bitset"))
+    )
+    daily = bm.groupBy("week", "day").agg(
+        F.sum(F.bit_count("bitset")).alias("daily_users")
+    )
+    weekly = (
+        bm.groupBy("week", "bucket")
+        .agg(F.bit_or("bitset").alias("merged"))
+        .groupBy("week")
+        .agg(F.sum(F.bit_count("merged")).alias("weekly_users"))
+    )
+    return (
+        daily.join(weekly, "week")
+        .select("day", "daily_users", "weekly_users")
+        .orderBy("day")
+    )
+
+
+@query(
+    "events_active_time_union",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL '5 minutes' AS e FROM events),
+    ord AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM iv),
+    isl AS (
+      SELECT user_id, s, e,
+             sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM ord),
+    m AS (
+      SELECT user_id, island, min(s) AS st, max(e) AS en
+      FROM isl GROUP BY user_id, island)
+    SELECT user_id, count(*) AS n_intervals,
+           sum(epoch_us(en) - epoch_us(st)) // 1000000 AS active_seconds
+    FROM m GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_active_time_union(spark, sf_dir):
+    """Interval-union 'active time': each event opens a 5-minute
+    activity interval; overlapping intervals per user are merged
+    (gaps-and-islands via running-max-of-ends) and the TOTAL covered
+    time is the sum of merged-interval lengths — the dedup-by-overlap
+    aggregation behind billable-minutes, uptime, and watch-time
+    metrics, where naive sum() double-counts overlap.
+
+    Scale shape: ONE shuffle on user_id, then two window passes and an
+    aggregate inside each partition; per-user state is a sort of that
+    user's events, never a cross join of intervals. Lengths are summed
+    in exact integer microseconds (unix_micros) and divided once at
+    the end — no float accumulation to drift against the oracle."""
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    w_ord = W.partitionBy("user_id").orderBy("s", "e")
+    prev_max = F.max("e").over(w_ord.rowsBetween(W.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(w_ord.rowsBetween(W.unboundedPreceding, 0))
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("st"), F.max("e").alias("en")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.expr(
+                "sum(unix_micros(en) - unix_micros(st)) DIV 1000000"
+            ).alias("active_seconds"),
+        )
+        .orderBy("user_id")
+    )

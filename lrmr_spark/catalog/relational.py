@@ -928,3 +928,52 @@ def fuzzy_join_part_names(spark, sf_dir):
         .filter(F.col("dist").between(1, 2))
         .orderBy("name_a", "name_b")
     )
+
+
+@query(
+    "dq_constraint_audit",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_custkey,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+             AS n_dup_orderkey,
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_status,
+           CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative_total,
+           CAST(sum(CASE WHEN o_custkey IS NOT NULL AND c_custkey IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_custkey
+    FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON o_custkey = c_custkey
+    """,
+)
+def dq_constraint_audit(spark, sf_dir):
+    """Data-quality constraint audit (the Deequ/Great-Expectations
+    shape): completeness (null FK), uniqueness (duplicate PK),
+    domain (status outside its enum), range (negative totals), and
+    referential integrity (orphan FK) — all emitted as ONE summary
+    row, the validation report an ingest pipeline gates on.
+
+    Scale shape: one scan of the fact table, one left join against the
+    deduped dimension KEY column only (key set, not the dim payload),
+    and a single multi-aggregate — every check is a conditional sum
+    folded into the same partial-aggregation pass, so auditing N
+    constraints costs the same shuffle as auditing one. The dimension
+    side is data-proportional, so no broadcast hint: AQE picks the
+    join strategy (broadcasts only while the key set is actually
+    small)."""
+    o = load(spark, sf_dir, "orders")
+    ckeys = load(spark, sf_dir, "customer").select("c_custkey").distinct()
+    j = o.join(ckeys, o["o_custkey"] == ckeys["c_custkey"], "left")
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        flag(F.col("o_custkey").isNull()).alias("n_null_custkey"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("n_dup_orderkey"),
+        flag(~F.col("o_orderstatus").isin("O", "F", "P")).alias("n_bad_status"),
+        flag(F.col("o_totalprice") < 0).alias("n_negative_total"),
+        flag(
+            F.col("o_custkey").isNotNull() & F.col("c_custkey").isNull()
+        ).alias("n_orphan_custkey"),
+    )
