@@ -485,3 +485,79 @@ def cogroup_click_purchase_profile(spark, sf_dir):
         )
     )
     return out.orderBy("user_id")
+
+
+@query(
+    "sketch_distinct_mincount",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM events),
+    b AS (
+      SELECT event_type, h % 16 AS bucket, min(h // 16) AS mn
+      FROM h GROUP BY event_type, bucket),
+    est AS (
+      SELECT event_type,
+             CAST(sum(268435456 // (mn + 1)) AS BIGINT) AS est_distinct
+      FROM b GROUP BY event_type),
+    ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type)
+    SELECT ex.event_type, ex.n_exact, est.est_distinct,
+           abs(est.est_distinct - ex.n_exact) * 1000000 // ex.n_exact
+             AS err_ppm
+    FROM ex JOIN est USING (event_type) ORDER BY event_type
+    """,
+)
+def sketch_distinct_mincount(spark, sf_dir):
+    """Portable approximate-distinct sketch (MinCount / Flajolet-Martin
+    with stochastic averaging): hash each user id to 32 bits, split the
+    hash space into 16 buckets (h MOD 16), keep only the MINIMUM
+    remaining hash value per bucket, and estimate each bucket's
+    distinct count as M/(min+1) (minimum of n uniform draws on [0, M)
+    concentrates at M/(n+1)); the per-bucket estimates sum to the
+    total because the buckets partition the distinct set.
+
+    Why this exists next to approx_count_distinct: Spark's HLL sketch
+    is engine-internal (not oracle-checkable, not portable across
+    systems), while this sketch is 16 integers with EXACT integer
+    arithmetic — the same md5-derived values fall out of DuckDB, so
+    the driver hash-matches it like any other query (`approx_stats`
+    stays rows-only for exactly this reason). Scale shape: the whole
+    sketch is a min() aggregate — map-side combinable, mergeable
+    across days/partitions like the bitmap rollup, 16 rows per group
+    on the wire. The exact count is computed alongside only to report
+    err_ppm; a production rollup ships the 16 mins alone."""
+    ev = load(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    b = (
+        ev.select("event_type", h.alias("h"))
+        .groupBy("event_type", F.expr("h % 16").alias("bucket"))
+        .agg(F.expr("min(h DIV 16)").alias("mn"))
+    )
+    est = b.groupBy("event_type").agg(
+        F.expr("cast(sum(268435456 DIV (mn + 1)) as bigint)").alias("est_distinct")
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return (
+        ex.join(est, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "est_distinct",
+            F.expr(
+                "abs(est_distinct - n_exact) * 1000000 DIV n_exact"
+            ).alias("err_ppm"),
+        )
+        .orderBy("event_type")
+    )

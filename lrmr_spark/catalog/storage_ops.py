@@ -242,3 +242,58 @@ def events_time_pruned_rollup(spark, sf_dir):
     the same rollup over the raw events table — the layout must not
     change the answer."""
     return events_time_pruned_df(spark, sf_dir)
+
+
+@query(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def incremental_agg_maintenance(spark, sf_dir):
+    """Incremental materialized-view maintenance: the per-priority
+    order rollup is computed as (pre-aggregated history) MERGE
+    (aggregated fresh batch) — a full-outer join summing partial
+    states — rather than rescanning all of history. The oracle is the
+    DIRECT aggregation over everything; equality IS the correctness
+    claim (incremental merge == full recompute).
+
+    This is how a 100 TB warehouse keeps daily rollups fresh: history
+    (here: orders before 1997-01-01) is aggregated once and stored;
+    each ingest batch (the rest) aggregates only its own rows and
+    merges by key. Count and sum are self-mergeable partial states;
+    avg/variance ride along as (n, Σx, Σx²) triples — same merge. The
+    merge join runs on the GROUP key (bounded cardinality), so the
+    maintenance cost is proportional to the batch, not the history.
+    Exact integer cents throughout."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.expr("cast(round(o_totalprice * 100) as bigint)")
+    cutoff = F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date")
+
+    def rollup(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(cents).alias("c")
+        )
+
+    base = rollup(o.filter(cutoff))
+    delta = rollup(o.filter(~cutoff))
+    b, d = base.alias("b"), delta.alias("d")
+    return (
+        b.join(d, F.col("b.o_orderpriority") == F.col("d.o_orderpriority"), "full")
+        .select(
+            F.coalesce(F.col("b.o_orderpriority"), F.col("d.o_orderpriority")).alias(
+                "o_orderpriority"
+            ),
+            (
+                F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("b.c"), F.lit(0)) + F.coalesce(F.col("d.c"), F.lit(0))
+            ).alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

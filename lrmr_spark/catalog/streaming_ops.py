@@ -92,3 +92,16 @@ def streaming_interval_join(spark, sf_dir):
         ),
         name,
     )
+
+
+@query("streaming_dropdup_watermark")  # rows-only: bounded-state dedup semantics
+def streaming_dropdup_watermark(spark, sf_dir):
+    """Engine-native dropDuplicatesWithinWatermark executed end-to-end
+    on the bounded source: one row per (user_id, event_id), dedup
+    state evicted as the watermark advances. Count equivalence with
+    batch dropDuplicates is asserted in
+    tests/test_streaming.py::test_dropdup_watermark_matches_batch."""
+    name = f"cat_dropdup_{uuid.uuid4().hex[:8]}"
+    return ST.run_to_memory(
+        ST.dedup_within_watermark(ST.stream_events(spark, sf_dir)), name
+    )

@@ -323,3 +323,20 @@ def view_click_interval_join(
         "click_id",
         (F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts")).alias("delta_s"),
     )
+
+
+def dedup_within_watermark(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Built-in cross-batch dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps one row per (user_id,
+    event_id) and — unlike plain dropDuplicates on a stream — evicts
+    each key's state once the watermark passes its event time, so
+    state is proportional to the watermark window, not the stream
+    history. The engine-native twin of stateful_seen_filter (which
+    keeps custom per-user state via applyInPandasWithState); prefer
+    this one when the dedup key is exact equality and the TTL is the
+    watermark itself."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_id"]
+    )

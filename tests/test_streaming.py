@@ -265,3 +265,22 @@ def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
 
     got = sorted(r["id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3, 4, 5]  # each row exactly once across restarts
+
+
+def test_dropdup_watermark_matches_batch(spark, sf_dir, events_stream):
+    got = ST.run_to_memory(
+        ST.dedup_within_watermark(events_stream), "t_dropdup"
+    )
+    batch = (
+        load(spark, sf_dir, "events")
+        .dropDuplicates(["user_id", "event_id"])
+        .count()
+    )
+    # single-file bounded source: every key is seen inside its watermark
+    # window, so the streaming dedup must equal batch dropDuplicates
+    assert got.count() == batch
+    # and the output must itself be duplicate-free on the dedup key
+    assert (
+        got.groupBy("user_id", "event_id").count().filter("count > 1").count()
+        == 0
+    )
