@@ -977,3 +977,95 @@ def dq_constraint_audit(spark, sf_dir):
             F.col("o_custkey").isNotNull() & F.col("c_custkey").isNull()
         ).alias("n_orphan_custkey"),
     )
+
+
+@query(
+    "recursive_cte_user_hierarchy",
+    oracle="""
+    WITH RECURSIVE chain AS (
+      SELECT DISTINCT user_id AS u, user_id AS cur, 0 AS depth FROM events
+      UNION ALL
+      SELECT u, (cur - 1) // 2 AS cur, depth + 1 AS depth
+      FROM chain WHERE cur > 0)
+    SELECT u AS user_id,
+           CAST(max(depth) AS BIGINT) AS depth_to_root,
+           CAST(sum(cur) AS BIGINT) AS ancestor_sum
+    FROM chain GROUP BY u ORDER BY u
+    """,
+)
+def recursive_cte_user_hierarchy(spark, sf_dir):
+    """WITH RECURSIVE (Spark 4 recursive CTEs): walk each user up a
+    deterministic binary-heap hierarchy (parent(c) = (c-1) DIV 2, root
+    0) and report depth-to-root plus the sum of ids along the path —
+    the org-chart / BOM-rollup traversal shape, the one query class
+    pre-4.0 Spark could not express in SQL at all.
+
+    Execution: Spark runs the recursion as iterated UnionLoop steps;
+    each iteration is one narrow map over the frontier (no shuffle
+    inside the loop body here), and iteration count is bounded by the
+    hierarchy depth — log2(max id) ≈ 20 levels even at billions of
+    users, NOT data volume. The same recursion runs verbatim in
+    DuckDB; all arithmetic is integer, so the gate hash-matches.
+    Cite: reference has no SQL surface (SURVEY §2.5) — this extends
+    the relational family Spark-natively."""
+    from ..tables import load as _load
+
+    _load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT DISTINCT user_id AS u, user_id AS cur, 0 AS depth FROM events
+          UNION ALL
+          SELECT u, (cur - 1) DIV 2 AS cur, depth + 1 AS depth
+          FROM chain WHERE cur > 0)
+        SELECT u AS user_id,
+               CAST(max(depth) AS BIGINT) AS depth_to_root,
+               CAST(sum(cur) AS BIGINT) AS ancestor_sum
+        FROM chain GROUP BY u ORDER BY u
+        """
+    )
+
+
+@query(
+    "lateral_topk_orders",
+    oracle="""
+    SELECT p.o_orderpriority, l.o_orderkey, l.cents
+    FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+    LATERAL (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o
+      WHERE o.o_orderpriority = p.o_orderpriority
+      ORDER BY cents DESC, o_orderkey LIMIT 2) l
+    ORDER BY p.o_orderpriority, l.cents DESC, l.o_orderkey
+    """,
+)
+def lateral_topk_orders(spark, sf_dir):
+    """LATERAL correlated subquery (per-group top-k as a join, not a
+    window): for each order priority, the lateral subquery re-executes
+    with the outer row bound, returning that group's top-2 orders by
+    price. The SQL-standard form of "top-N per group" — and the shape
+    that, unlike a window rank, lets the inner query use its own LIMIT
+    pushdown (TakeOrderedAndProject per group instead of ranking every
+    row when the per-group index exists).
+
+    Spark decorrelates the lateral into a DomainJoin and plans it as
+    one shuffle; exact integer cents + orderkey tiebreak keep the
+    top-2 unambiguous. Identical SQL runs in DuckDB (both engines
+    implement SQL:2016 LATERAL)."""
+    from ..tables import load as _load
+
+    _load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT p.o_orderpriority, l.o_orderkey, l.cents
+        FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+        LATERAL (
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders o
+          WHERE o.o_orderpriority = p.o_orderpriority
+          ORDER BY cents DESC, o_orderkey LIMIT 2) l
+        ORDER BY p.o_orderpriority, l.cents DESC, l.o_orderkey
+        """
+    )

@@ -279,3 +279,45 @@ def test_dynamic_partition_pruning_on_date_layout(spark):
     )
     q = fact.join(dim, "event_date").groupBy("event_type").count()
     assert "dynamicpruning" in physical_plan(q).lower()
+
+
+def test_chunking_is_narrow(spark):
+    # docs_chunk_windows: tokenize + generate chunks is a narrow map
+    # over the corpus scan; the only exchange is the presentation sort
+    df = queries()["docs_chunk_windows"](spark, SF)
+    assert count_exchanges(df) <= 1
+    plan = physical_plan(df)
+    assert "Generate" in plan  # explode of the chunk array
+    assert "CartesianProduct" not in plan
+
+
+def test_bitmap_rollup_partial_agg(spark):
+    # bitmap bitsets must partial-aggregate map-side (the whole point:
+    # |users|/32 rows per day on the wire, not raw events)
+    df = queries()["events_bitmap_distinct_rollup"](spark, SF)
+    assert "partial_bit_or" in physical_plan(df)
+
+
+def test_sketch_mincount_partial_agg(spark):
+    # sketch = min() aggregate: must combine map-side, 16 rows/group
+    df = queries()["sketch_distinct_mincount"](spark, SF)
+    assert "partial_min" in physical_plan(df)
+
+
+def test_funnel_no_cartesian_no_broadcast_of_user_aggs(spark):
+    # per-user step tables grow with the user base: no broadcast hints,
+    # and the join chain stays on the user_id key (no cross products)
+    df = queries()["events_funnel_conversion"](spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_agg_merge_on_group_key(spark):
+    # the maintenance merge joins two pre-aggregated states on the
+    # bounded group key — no exchange may carry raw order rows beyond
+    # the two partial-aggregation shuffles + the merge itself
+    df = queries()["incremental_agg_maintenance"](spark, SF)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # both sides pre-aggregate map-side
