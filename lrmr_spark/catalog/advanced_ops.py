@@ -5,6 +5,7 @@ the array/collection scalar surface.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators import asof as AS
@@ -558,6 +559,99 @@ def sketch_distinct_mincount(spark, sf_dir):
             F.expr(
                 "abs(est_distinct - n_exact) * 1000000 DIV n_exact"
             ).alias("err_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_outliers_mad",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    r AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c),
+    med AS (
+      SELECT event_type, cents AS med_cents FROM r WHERE rn = (n + 1) // 2),
+    d AS (
+      SELECT c.event_type, abs(c.cents - m.med_cents) AS dev, m.med_cents
+      FROM c JOIN med m USING (event_type)),
+    rd AS (
+      SELECT event_type, dev, med_cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM d),
+    mad AS (
+      SELECT event_type, med_cents, dev AS mad_cents
+      FROM rd WHERE rn = (n + 1) // 2)
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           mad.med_cents, mad.mad_cents,
+           CAST(sum(CASE WHEN d.dev * 10000 > 14826 * mad.mad_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN mad USING (event_type)
+    GROUP BY d.event_type, mad.med_cents, mad.mad_cents
+    ORDER BY d.event_type
+    """,
+)
+def events_outliers_mad(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation: flag
+    values whose deviation from the per-group median exceeds
+    1.4826×MAD (the normal-consistency constant) — the
+    breakdown-point-0.5 alternative to z-scores, which a single
+    extreme value can't poison (events_outliers_zscore is the moment-
+    based twin).
+
+    Exactness discipline: 'median' is pinned to the LOWER median (the
+    value at row_number (n+1) DIV 2 ordered by cents) — with ties the
+    rank assignment is arbitrary but the VALUE at a rank is not, so
+    both engines agree exactly; the 1.4826 constant is cross-
+    multiplied into the integer predicate dev·10000 > 14826·mad (no
+    float decision boundary). Scale shape: two window passes and the
+    joins all key on event_type — one shuffle key end to end; at 100
+    TB swap the exact rank for the approx_percentile sketch and keep
+    the identical predicate."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", F.expr("cast(round(value * 100) as bigint)").alias("cents")
+    )
+    wp = W.partitionBy("event_type")
+
+    def lower_median(df, valcol, outname):
+        r = df.select(
+            "event_type",
+            F.col(valcol),
+            F.row_number().over(wp.orderBy(valcol)).alias("rn"),
+            F.count(F.lit(1)).over(wp).alias("n"),
+        )
+        return r.filter(F.expr("rn = (n + 1) DIV 2")).select(
+            "event_type", F.col(valcol).alias(outname)
+        )
+
+    med = lower_median(c, "cents", "med_cents")
+    d = c.join(med, "event_type").select(
+        "event_type",
+        "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("dev"),
+    )
+    mad = lower_median(d.select("event_type", "dev"), "dev", "mad_cents")
+    return (
+        d.join(mad, "event_type")
+        .groupBy("event_type", "med_cents", "mad_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.expr("dev * 10000 > 14826 * mad_cents"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type", "n_rows", "med_cents", "mad_cents", "n_outliers"
         )
         .orderBy("event_type")
     )

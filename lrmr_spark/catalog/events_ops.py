@@ -888,3 +888,57 @@ def events_active_time_union(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events),
+    t AS (
+      SELECT src, dst, count(*) AS n_transitions
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst)
+    SELECT src, dst, n_transitions,
+           n_transitions * 1000000
+             // sum(n_transitions) OVER (PARTITION BY src) AS p_ppm
+    FROM t ORDER BY src, dst
+    """,
+)
+def events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: for every consecutive (event, next-event) pair in a
+    user's timeline, count transitions and the per-source transition
+    probability — the behavioral model behind next-action prediction
+    and anomalous-flow detection.
+
+    Scale shape: one shuffle on user_id for the lead() window (per-
+    user state = a sort of that user's events), then a 25-cell
+    aggregate (event-type × event-type is bounded) that partial-
+    aggregates map-side; the probability normalization is a window
+    over the tiny result, not the data. Sequence order is pinned by
+    (ts, event_id) so ties can't flip a transition between engines;
+    probabilities are exact-integer ppm."""
+    ev = load(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("src"),
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("dst"),
+    )
+    t = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    return t.select(
+        "src",
+        "dst",
+        "n_transitions",
+        F.expr(
+            "n_transitions * 1000000 DIV sum(n_transitions) OVER (PARTITION BY src)"
+        ).alias("p_ppm"),
+    ).orderBy("src", "dst")

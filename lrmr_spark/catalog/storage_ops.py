@@ -297,3 +297,91 @@ def incremental_agg_maintenance(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "table_checksum_reconcile",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey // 500 AS shard,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                    CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)),
+                    1, 8)) AS BIGINT) AS rh
+      FROM orders),
+    repl AS (
+      SELECT o_orderkey // 500 AS shard,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                    CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                         + CASE WHEN o_orderkey % 1000 = 7 THEN 1 ELSE 0 END
+                         AS VARCHAR)), 1, 8)) AS BIGINT) AS rh
+      FROM orders),
+    cb AS (SELECT shard, count(*) AS n_base,
+                  CAST(sum(rh) AS BIGINT) AS sum_base FROM base GROUP BY shard),
+    cr AS (SELECT shard, count(*) AS n_replica,
+                  CAST(sum(rh) AS BIGINT) AS sum_replica FROM repl GROUP BY shard)
+    SELECT cb.shard, cb.n_base, cr.n_replica, cb.sum_base, cr.sum_replica
+    FROM cb JOIN cr USING (shard)
+    WHERE cb.sum_base <> cr.sum_replica OR cb.n_base <> cr.n_replica
+    ORDER BY cb.shard
+    """,
+)
+def table_checksum_reconcile(spark, sf_dir):
+    """Anti-entropy table reconciliation: both copies of a table are
+    reduced to per-shard (row count, sum of 32-bit row content hashes)
+    checksums, and only shards whose checksums disagree are reported —
+    the cross-region / source-vs-replica divergence detector that
+    narrows a 100 TB diff to the handful of shards worth re-reading
+    row-by-row.
+
+    The 'replica' here is the same orders table with a deterministic
+    planted drift (orderkey ≡ 7 mod 1000 gets +1 cent), so the
+    expected output is exactly the shards containing a drifted row.
+    Scale shape: each side is one scan + one narrow sum aggregate
+    (map-side combinable; the shuffle carries |keys|/500 checksum rows,
+    never data); the compare join runs on the tiny checksum tables.
+    Row hashes are 32-bit md5 prefixes so a bigint sum cannot overflow
+    below ~2^31 rows per shard, and the identical arithmetic runs in
+    DuckDB."""
+    o = load(spark, sf_dir, "orders")
+    cents = "cast(round(o_totalprice * 100) as bigint)"
+
+    def checksum(df, centsexpr, ncol, scol):
+        rh = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.expr(centsexpr).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return (
+            df.select(F.expr("o_orderkey DIV 500").alias("shard"), rh.alias("rh"))
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias(ncol),
+                F.sum("rh").cast("bigint").alias(scol),
+            )
+        )
+
+    cb = checksum(o, cents, "n_base", "sum_base")
+    cr = checksum(
+        o,
+        f"{cents} + if(o_orderkey % 1000 = 7, 1, 0)",
+        "n_replica",
+        "sum_replica",
+    )
+    return (
+        cb.join(cr, "shard")
+        .filter(
+            (F.col("sum_base") != F.col("sum_replica"))
+            | (F.col("n_base") != F.col("n_replica"))
+        )
+        .orderBy("shard")
+    )
