@@ -942,3 +942,111 @@ def events_transition_matrix(spark, sf_dir):
             "n_transitions * 1000000 DIV sum(n_transitions) OVER (PARTITION BY src)"
         ).alias("p_ppm"),
     ).orderBy("src", "dst")
+
+
+@query(
+    "events_growth_accounting",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events),
+    seq AS (
+      SELECT user_id, day,
+             lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+             lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+      FROM ud)
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(sum(CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained,
+           CAST(sum(CASE WHEN prev_day < day - 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_resurrected,
+           CAST(sum(CASE WHEN next_day IS NULL OR next_day > day + 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_churned_after
+    FROM seq GROUP BY day ORDER BY day
+    """,
+)
+def events_growth_accounting(spark, sf_dir):
+    """Growth accounting (the new/retained/resurrected/churned DAU
+    decomposition): each active (user, day) is classified by that
+    user's previous active day — first ever = new, yesterday =
+    retained, earlier = resurrected — plus the forward-looking churn
+    flag (no activity tomorrow). The standard product-health
+    decomposition where the four counts must exactly sum/balance
+    (n_active = new + retained + resurrected).
+
+    Scale shape: events collapse to distinct (user, day) FIRST (the
+    only pass over raw data), then one user-keyed window gives
+    lag/lead over each user's ~bounded day list, then a bounded
+    per-day aggregate. No day-over-day self-join (the naive
+    formulation joins the activity table to itself per day — 365
+    joins/year); the window form is one shuffle."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    seq = ud.select(
+        "user_id",
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
+    )
+    day_m1 = F.date_sub(F.col("day"), 1)
+    day_p1 = F.date_add(F.col("day"), 1)
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return (
+        seq.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            cnt(F.col("prev_day").isNull()).alias("n_new"),
+            cnt(F.col("prev_day") == day_m1).alias("n_retained"),
+            cnt(F.col("prev_day") < day_m1).alias("n_resurrected"),
+            cnt(
+                F.col("next_day").isNull() | (F.col("next_day") > day_p1)
+            ).alias("n_churned_after"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "events_value_histogram_log2",
+    oracle="""
+    WITH c AS (
+      SELECT greatest(CAST(round(value * 100) AS BIGINT), 1) AS cents
+      FROM events)
+    SELECT CAST(length(bin(cents)) AS BIGINT) AS bucket_log2,
+           count(*) AS n,
+           min(cents) AS min_cents,
+           max(cents) AS max_cents
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_value_histogram_log2(spark, sf_dir):
+    """Log2-bucketed value histogram (the HdrHistogram / Prometheus
+    exponential-bucket shape): each value lands in bucket
+    floor(log2(v))+1, computed EXACTLY as the bit-width of the integer
+    cents (length of its binary representation) — no float log whose
+    last-ulp rounding could flip a boundary value between engines.
+
+    Log buckets are the scale answer to latency/value distributions:
+    fixed bucket count regardless of range, mergeable across
+    days/shards by summing counts (unlike exact quantiles), constant
+    memory. One scan, one bounded aggregate, map-side combinable."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.expr("greatest(cast(round(value * 100) as bigint), 1)")
+    return (
+        ev.select(cents.alias("cents"))
+        .groupBy(
+            F.length(F.conv(F.col("cents"), 10, 2)).cast("bigint").alias("bucket_log2")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .orderBy("bucket_log2")
+    )

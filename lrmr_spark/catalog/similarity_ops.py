@@ -410,3 +410,82 @@ def embedding_kmeans_iter(spark, sf_dir):
         )
         .orderBy("cluster", "dim")
     )
+
+
+@query(
+    "text_sparse_dot_topk",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+      FROM documents),
+    tf AS (
+      SELECT doc_id, g AS term, count(*) AS tf
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(toks) - 3, 0) + 2),
+                 i -> array_to_string(toks[i:i+2], ' '))) AS g
+        FROM raw)
+      GROUP BY doc_id, g),
+    rare AS (
+      SELECT term FROM tf GROUP BY term
+      HAVING count(*) BETWEEN 2 AND 8),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+      FROM tf a JOIN rare USING (term) JOIN tf b USING (term)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, dot FROM pairs
+    ORDER BY dot DESC, doc_a, doc_b LIMIT 20
+    """,
+)
+def text_sparse_dot_topk(spark, sf_dir):
+    """Sparse term-vector similarity through the inverted index: the
+    top document pairs by dot product of 3-gram-frequency vectors,
+    computed by joining postings on the shingle — the classic scalable
+    text-similarity path (no dense embeddings, no pairwise cross
+    join). Shingles, not unigrams, are the term unit: this corpus's
+    ~30-word vocabulary makes every unigram stop-like (df > 200/500),
+    while 3-grams give a long rare tail — the same reason web-scale
+    near-dup uses shingled features.
+
+    The scale lever is DF-BAND PRUNING: only terms with document
+    frequency in [2, 8] join (df=1 terms can't produce a pair; high-df
+    terms are stop-like, contribute little discrimination, and their
+    posting self-join is the quadratic blowup — a df-100k term alone
+    would generate 10^10 candidate pairs). This bounds per-term join
+    fanout at df², making candidate generation O(Σ df²) over rare
+    terms only — the same candidate-bounding idea as MinHash banding,
+    here exact. Integer tf products keep the oracle exact; top-k is
+    TakeOrderedAndProject, not a global sort."""
+    from ..operators import text as TX
+
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(TX.shingles("text", 3)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    rare = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(2, 8))
+        .select("term")
+    )
+    a = tf.join(rare, "term").select(
+        "term", F.col("doc_id").alias("doc_a"), F.col("tf").alias("tf_a")
+    )
+    b = tf.join(rare, "term").select(
+        "term", F.col("doc_id").alias("doc_b"), F.col("tf").alias("tf_b")
+    )
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).cast("bigint").alias("dot"))
+    )
+    return pairs.orderBy(
+        F.col("dot").desc(), "doc_a", "doc_b"
+    ).limit(20)
