@@ -7,6 +7,7 @@ the *algorithm*, not just row counts.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators import dedup as DD
@@ -423,4 +424,73 @@ def cross_doc_ngram_exposure(spark, sf_dir):
             ).alias("shared_ppm"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "golden_record_merge",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source, text, lang,
+             md5(lower(trim(text))) AS fingerprint,
+             length(text) AS n_chars
+      FROM documents),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY fingerprint
+               ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY fingerprint) AS n_sources,
+             min(doc_id) OVER (PARTITION BY fingerprint) AS first_doc_id
+      FROM fp)
+    SELECT fingerprint, doc_id AS canonical_doc_id, source AS canonical_source,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_sources AS BIGINT) AS n_sources, first_doc_id
+    FROM ranked WHERE rn = 1 ORDER BY fingerprint
+    """,
+)
+def golden_record_merge(spark, sf_dir):
+    """Survivorship / golden-record selection (the step after dedup
+    in entity resolution): each duplicate cluster (here: exact
+    normalized-content fingerprint) elects ONE canonical record by an
+    explicit rule chain — longest text wins, doc_id breaks ties — and
+    the output carries cluster lineage (source count, first id) so
+    provenance survives the merge.
+
+    Scale shape: one shuffle on the fingerprint, one window pass per
+    cluster (bounded by cluster size), no self-join; the rule chain is
+    a deterministic ORDER BY, so reruns and engines elect the same
+    survivor — the property that makes the golden-record table safely
+    re-buildable at 100 TB. Extends dedup_exact (which only collapses)
+    with the merge semantics a real MDM/corpus pipeline needs."""
+    d = load(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    wp = W.partitionBy("fingerprint")
+    ranked = fp.select(
+        "fingerprint",
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(wp.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n_sources"),
+        F.min("doc_id").over(wp).alias("first_doc_id"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "fingerprint",
+            F.col("doc_id").alias("canonical_doc_id"),
+            F.col("source").alias("canonical_source"),
+            "n_chars",
+            "n_sources",
+            "first_doc_id",
+        )
+        .orderBy("fingerprint")
     )

@@ -1050,3 +1050,190 @@ def events_value_histogram_log2(spark, sf_dir):
         )
         .orderBy("bucket_log2")
     )
+
+
+@query(
+    "events_multi_grain_rollup",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(date_trunc('week', ts) AS DATE) AS week,
+             CAST(date_trunc('month', ts) AS DATE) AS month,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events)
+    SELECT CAST(grouping(day) + 2 * grouping(week) + 4 * grouping(month)
+                AS BIGINT) AS gid,
+           day, week, month,
+           count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM e GROUP BY GROUPING SETS ((day), (week), (month))
+    ORDER BY gid, day, week, month
+    """,
+)
+def events_multi_grain_rollup(spark, sf_dir):
+    """Multi-granularity rollup in ONE pass: daily, weekly, and
+    monthly aggregates emitted from a single GROUPING SETS scan —
+    the TSDB continuous-aggregate cascade (day → week → month)
+    collapsed into one job instead of three.
+
+    At 100 TB this is 1 scan + 1 expanded aggregate instead of 3
+    scans; Spark plans grouping sets as an Expand (3 rows per input)
+    feeding one hash aggregate — the expansion is map-side and partial
+    aggregation still applies, so the shuffle carries ~3×|distinct
+    grains| rows, not 3× data. grouping() bits disambiguate the grain
+    of each output row exactly as in the oracle."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    e.createOrReplaceTempView("mg_events")
+    return spark.sql(
+        """
+        SELECT CAST(grouping(day) + 2 * grouping(week) + 4 * grouping(month)
+                    AS BIGINT) AS gid,
+               day, week, month,
+               count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM mg_events GROUP BY GROUPING SETS ((day), (week), (month))
+        ORDER BY gid, day, week, month
+        """
+    )
+
+
+@query(
+    "events_lttb_downsample",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, event_id,
+             epoch_us(ts) AS x_us,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             min(epoch_us(ts)) OVER (PARTITION BY event_type) AS x0
+      FROM events),
+    pts AS (
+      SELECT event_type, event_id, cents, rn, n,
+             (x_us - x0) // 1000000 AS x_sec,
+             (rn - 1) * 20 // n AS bucket
+      FROM base),
+    bs AS (
+      SELECT event_type, bucket,
+             sum(x_sec) // count(*) AS ax,
+             sum(cents) // count(*) AS ay
+      FROM pts GROUP BY event_type, bucket),
+    scored AS (
+      SELECT p.event_type, p.bucket, p.event_id, p.x_sec, p.cents, p.rn, p.n,
+             abs((prev.ax - nxt.ax) * (p.cents - prev.ay)
+                 - (prev.ax - p.x_sec) * (nxt.ay - prev.ay)) AS area2
+      FROM pts p
+      JOIN bs prev ON prev.event_type = p.event_type
+                   AND prev.bucket = p.bucket - 1
+      JOIN bs nxt ON nxt.event_type = p.event_type
+                  AND nxt.bucket = p.bucket + 1
+      WHERE p.bucket BETWEEN 1 AND 18),
+    picked AS (
+      SELECT event_type, bucket, event_id, x_sec, cents
+      FROM (SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+                        ORDER BY area2 DESC, event_id) AS pick
+            FROM scored)
+      WHERE pick = 1
+      UNION ALL
+      SELECT event_type, bucket, event_id, x_sec, cents
+      FROM pts WHERE rn = 1 OR rn = n)
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           event_id, x_sec, cents
+    FROM picked ORDER BY event_type, bucket, event_id
+    """,
+)
+def events_lttb_downsample(spark, sf_dir):
+    """LTTB (largest-triangle-three-buckets) time-series downsampling,
+    parallel variant: each per-type series is rank-bucketed into 20
+    buckets; every interior bucket keeps the single point forming the
+    largest triangle with the NEIGHBOR BUCKETS' average points, plus
+    the series endpoints — the shape-preserving 'what to draw on a
+    dashboard' reduction of a billion-point series to a fixed budget.
+
+    Two deliberate deviations from textbook sequential LTTB, both for
+    scale + exactness: (1) the left anchor is the previous bucket's
+    AVERAGE, not its selected point — removing the bucket-to-bucket
+    sequential dependency makes every bucket's argmax independent
+    (one window + one bounded join, fully parallel; sequential LTTB
+    cannot be expressed without a serial pass); (2) anchors use
+    FLOOR-averages (integer DIV) so the triangle area doubles as an
+    exact integer — no float area whose last-ulp could flip an argmax
+    between engines; ties broken by event_id. Per-series state is the
+    20-row bucket table; the only data-sized passes are one
+    series-keyed window and one join against that 20-row table."""
+    ev = load(spark, sf_dir, "events")
+    wseries = W.partitionBy("event_type")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("x_us"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        F.row_number().over(wseries.orderBy("ts", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wseries).alias("n"),
+        F.min(F.unix_micros("ts")).over(wseries).alias("x0"),
+    )
+    pts = base.select(
+        "event_type",
+        "event_id",
+        "cents",
+        "rn",
+        "n",
+        F.expr("(x_us - x0) DIV 1000000").alias("x_sec"),
+        F.expr("(rn - 1) * 20 DIV n").alias("bucket"),
+    )
+    bs = pts.groupBy("event_type", "bucket").agg(
+        F.expr("sum(x_sec) DIV count(1)").alias("ax"),
+        F.expr("sum(cents) DIV count(1)").alias("ay"),
+    )
+    p, prev, nxt = pts.alias("p"), bs.alias("prev"), bs.alias("nxt")
+    scored = (
+        p.filter(F.col("bucket").between(1, 18))
+        .join(
+            prev,
+            (F.col("prev.event_type") == F.col("p.event_type"))
+            & (F.col("prev.bucket") == F.col("p.bucket") - 1),
+        )
+        .join(
+            nxt,
+            (F.col("nxt.event_type") == F.col("p.event_type"))
+            & (F.col("nxt.bucket") == F.col("p.bucket") + 1),
+        )
+        .select(
+            F.col("p.event_type").alias("event_type"),
+            F.col("p.bucket").alias("bucket"),
+            F.col("p.event_id").alias("event_id"),
+            F.col("p.x_sec").alias("x_sec"),
+            F.col("p.cents").alias("cents"),
+            F.abs(
+                (F.col("prev.ax") - F.col("nxt.ax"))
+                * (F.col("p.cents") - F.col("prev.ay"))
+                - (F.col("prev.ax") - F.col("p.x_sec"))
+                * (F.col("nxt.ay") - F.col("prev.ay"))
+            ).alias("area2"),
+        )
+    )
+    wpick = W.partitionBy("event_type", "bucket").orderBy(
+        F.col("area2").desc(), "event_id"
+    )
+    picked = scored.withColumn("pick", F.row_number().over(wpick)).filter(
+        F.col("pick") == 1
+    ).select("event_type", "bucket", "event_id", "x_sec", "cents")
+    ends = pts.filter((F.col("rn") == 1) | (F.col("rn") == F.col("n"))).select(
+        "event_type", "bucket", "event_id", "x_sec", "cents"
+    )
+    return (
+        picked.unionByName(ends)
+        .select(
+            "event_type",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "event_id",
+            "x_sec",
+            "cents",
+        )
+        .orderBy("event_type", "bucket", "event_id")
+    )
