@@ -246,3 +246,39 @@ def shuffle_repartition_stable(spark, sf_dir):
         )
         .df
     )
+
+
+@query(
+    "python_datasource_feeder",
+    oracle="""
+    SELECT chr(97 + CAST(i % 5 AS INTEGER)) AS key,
+           count(*) AS cnt,
+           CAST(sum((i * 2654435761) % 1000) AS BIGINT) AS total_value
+    FROM range(0, 10000) t(i)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def python_datasource_feeder(spark, sf_dir):
+    """Custom pluggable source: the reference's ``Feeder`` interface
+    (/root/reference/input/feeder.go:9-11 — anything that writes rows
+    into an output) implemented on Spark 4's Python DataSource API
+    (sources/pyds.py). The source declares schema + range partitions,
+    emits Arrow RecordBatches per partition on executors (never
+    through the driver), and narrows its [lo, hi) range in
+    pushFilters when the planner offers id predicates.
+
+    The deterministic row formula (key = chr(97 + id MOD 5), value =
+    Knuth hash MOD 1000) means the oracle regenerates the exact same
+    rows from DuckDB's range() — the gate checks the full
+    source → shuffle → aggregate path, not just plumbing."""
+    from ..sources import pyds
+
+    return (
+        pyds.read_feeder(spark, n=10000, parts=8)
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("total_value"),
+        )
+        .orderBy("key")
+    )

@@ -1,0 +1,176 @@
+"""Custom Python DataSource: the reference's pluggable ``Feeder``
+re-expressed on Spark 4's Python DataSource API.
+
+The reference models input as an interface — anything that writes rows
+into an output (``/root/reference/input/feeder.go:9-11``); lrmr ships
+range/file feeders built on it. Spark 4 exposes the same contract to
+Python: a ``DataSource`` declares schema + partitions, each
+``InputPartition`` is read independently on executors (Arrow
+RecordBatches, vectorized), and the planner calls ``pushFilters`` so
+the source can prune before emitting — the three properties (pluggable,
+partition-parallel, pushdown-aware) that make a Feeder scale.
+
+``RangeFeederDataSource`` is the deterministic synthetic feeder: rows
+``(id, key, value)`` with key = chr(97 + id MOD 5) and value a Knuth
+multiplicative hash MOD 1000, split into ``parts`` range partitions.
+Deterministic by formula → any engine can re-derive the exact rows (the
+DuckDB oracle regenerates them from range()), and every partition knows
+its own [lo, hi) — no driver-side row materialization ever.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    SimpleDataSourceStreamReader,
+    LessThanOrEqual,
+)
+
+FORMAT_NAME = "lrmr_feeder"
+_SCHEMA = "id bigint, key string, value bigint"
+_KNUTH = 2654435761
+
+
+@dataclass
+class _RangePart(InputPartition):
+    lo: int
+    hi: int
+
+
+class _RangeFeederReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 10000))
+        self.parts = max(int(options.get("parts", 8)), 1)
+        self.lo = 0
+        self.hi = self.n
+
+    def pushFilters(self, filters: list[Filter]):
+        """Narrow [lo, hi) for id-range predicates; anything else is
+        returned for Spark to evaluate post-scan."""
+        for f in filters:
+            handled = False
+            if (
+                f.attribute == ("id",)
+                and isinstance(getattr(f, "value", None), int)
+            ):
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, f.value + 1)
+                    handled = True
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, f.value)
+                    handled = True
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, f.value)
+                    handled = True
+                elif isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, f.value + 1)
+                    handled = True
+                elif isinstance(f, EqualTo):
+                    self.lo = max(self.lo, f.value)
+                    self.hi = min(self.hi, f.value + 1)
+                    handled = True
+            if not handled:
+                yield f
+
+    def partitions(self):
+        lo, hi = self.lo, max(self.hi, self.lo)
+        span = hi - lo
+        step = max((span + self.parts - 1) // self.parts, 1)
+        return [
+            _RangePart(s, min(s + step, hi)) for s in range(lo, hi, step)
+        ] or [_RangePart(lo, lo)]
+
+    def read(self, partition: _RangePart):
+        import pyarrow as pa
+
+        ids = list(range(partition.lo, partition.hi))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array([chr(97 + i % 5) for i in ids], type=pa.string()),
+                pa.array([(i * _KNUTH) % 1000 for i in ids], type=pa.int64()),
+            ],
+            names=["id", "key", "value"],
+        )
+
+
+class RangeFeederDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return FORMAT_NAME
+
+    def schema(self):
+        return _SCHEMA
+
+    def reader(self, schema):
+        return _RangeFeederReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _RangeFeederStreamReader(self.options)
+
+
+_registered: set[int] = set()
+
+
+def register(spark) -> None:
+    """Idempotently register the feeder format on this session."""
+    key = id(spark)
+    if key not in _registered:
+        spark.dataSource.register(RangeFeederDataSource)
+        _registered.add(key)
+
+
+def read_feeder(spark, n: int = 10000, parts: int = 8):
+    register(spark)
+    return (
+        spark.read.format(FORMAT_NAME)
+        .option("n", str(n))
+        .option("parts", str(parts))
+        .load()
+    )
+
+
+class _RangeFeederStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch twin of the range feeder: each trigger emits the
+    next ``batch`` ids until ``n`` is exhausted; offsets are plain
+    dicts, and readBetweenOffsets replays any span deterministically
+    (the formula IS the WAL), giving exactly-once recovery for free."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 10000))
+        self.batch = int(options.get("batch", 1000))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def _rows(self, lo: int, hi: int):
+        return [
+            (i, chr(97 + i % 5), (i * _KNUTH) % 1000) for i in range(lo, hi)
+        ]
+
+    def read(self, start):
+        pos = start["pos"]
+        end = min(pos + self.batch, self.n)
+        return iter(self._rows(pos, end)), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(self._rows(start["pos"], end["pos"]))
+
+
+def read_feeder_stream(spark, n: int = 10000, batch: int = 1000):
+    register(spark)
+    return (
+        spark.readStream.format(FORMAT_NAME)
+        .option("n", str(n))
+        .option("batch", str(batch))
+        .load()
+    )

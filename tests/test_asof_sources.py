@@ -180,3 +180,21 @@ def test_corpus_shuffle_layout(spark, tmp_path, sf_dir):
     assert files
     keys = pq.read_table(files[0], columns=["sortkey"])["sortkey"].to_pylist()
     assert keys == sorted(keys)
+
+
+def test_python_datasource_feeder_partitions_and_pushdown(spark):
+    from lrmr_spark.sources import pyds
+
+    df = pyds.read_feeder(spark, n=10000, parts=8)
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 10000
+    # source-side range pruning: handled id predicates narrow [lo, hi)
+    assert df.filter("id >= 9000 AND id < 9100").count() == 100
+    assert df.filter("id = 4242").count() == 1
+    assert df.filter("id < 0").count() == 0
+    # unhandled predicates still evaluate correctly post-scan
+    assert df.filter("key = 'a'").count() == 2000
+    # deterministic formula: same rows on re-read
+    row = df.filter("id = 123").collect()[0]
+    assert row["key"] == chr(97 + 123 % 5)
+    assert row["value"] == (123 * 2654435761) % 1000

@@ -284,3 +284,17 @@ def test_dropdup_watermark_matches_batch(spark, sf_dir, events_stream):
         got.groupBy("user_id", "event_id").count().filter("count > 1").count()
         == 0
     )
+
+
+def test_python_datasource_stream_feeder(spark):
+    from lrmr_spark.sources import pyds
+
+    got = ST.run_to_memory(
+        pyds.read_feeder_stream(spark, n=3000, batch=1000), "t_pyds_stream"
+    )
+    assert got.count() == 3000
+    # micro-batch replay is deterministic: same formula rows as batch
+    assert (
+        got.selectExpr("sum(value) v").collect()[0]["v"]
+        == pyds.read_feeder(spark, n=3000).selectExpr("sum(value) v").collect()[0]["v"]
+    )
