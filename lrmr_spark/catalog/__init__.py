@@ -96,7 +96,8 @@ _PRIORITY = [
     "join_multiway_region_revenue",
     "set_except_all_custkeys",
     "pivot_status_qty",
-    "scalar_string_math",
+    # custom Python DataSource feeder (Spark-4 source API parity)
+    "python_datasource_feeder",
     "sql_passthrough_nation_revenue",
     # window + events (incl. this round's de-broadcast fix)
     "window_topk_per_customer",
