@@ -33,6 +33,8 @@ from pyspark.sql.datasource import (
     LessThan,
     SimpleDataSourceStreamReader,
     LessThanOrEqual,
+    DataSourceWriter,
+    WriterCommitMessage,
 )
 
 FORMAT_NAME = "lrmr_feeder"
@@ -117,6 +119,9 @@ class RangeFeederDataSource(DataSource):
     def simpleStreamReader(self, schema):
         return _RangeFeederStreamReader(self.options)
 
+    def writer(self, schema, overwrite):
+        return _JsonlDirWriter(self.options, overwrite)
+
 
 _registered: set[int] = set()
 
@@ -174,3 +179,73 @@ def read_feeder_stream(spark, n: int = 10000, batch: int = 1000):
         .option("batch", str(batch))
         .load()
     )
+
+
+@dataclass
+class _PartFileCommit(WriterCommitMessage):
+    filename: str
+    n_rows: int
+
+
+class _JsonlDirWriter(DataSourceWriter):
+    """Custom sink with a two-phase commit protocol (the output-side
+    counterpart of the feeder): each task writes its partition to a
+    UNIQUELY-NAMED staged file and returns a commit message; only the
+    driver's commit() publishes the manifest listing exactly the
+    committed files. Readers resolve the directory THROUGH the
+    manifest, so half-written output from failed/speculative tasks is
+    invisible — the same visibility rule every table format
+    (Delta/Iceberg) builds on, in its minimal form."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("lrmr_feeder writer requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        fname = f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.jsonl"
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(self.path, "_staged-" + fname)
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        os.replace(staged, os.path.join(self.path, fname))
+        return _PartFileCommit(filename=fname, n_rows=n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(m.filename for m in messages),
+            "rows": sum(m.n_rows for m in messages),
+        }
+        tmp = os.path.join(self.path, "._MANIFEST.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST"))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except FileNotFoundError:
+                pass
+
+
+def read_manifest(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST")) as f:
+        return json.load(f)

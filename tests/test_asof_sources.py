@@ -198,3 +198,22 @@ def test_python_datasource_feeder_partitions_and_pushdown(spark):
     row = df.filter("id = 123").collect()[0]
     assert row["key"] == chr(97 + 123 % 5)
     assert row["value"] == (123 * 2654435761) % 1000
+
+
+def test_python_datasource_writer_commit_protocol(spark, tmp_path):
+    from lrmr_spark.sources import pyds
+
+    out = str(tmp_path / "sink")
+    df = pyds.read_feeder(spark, n=1000, parts=4)
+    df.write.format(pyds.FORMAT_NAME).mode("append").save(out)
+
+    manifest = pyds.read_manifest(out)
+    assert manifest["rows"] == 1000
+    assert len(manifest["files"]) == 4
+    # the manifest lists exactly the published files; reading through
+    # it reproduces the dataset
+    back = spark.read.json([f"{out}/{f}" for f in manifest["files"]])
+    assert back.count() == 1000
+    assert back.selectExpr("sum(value) v").collect()[0]["v"] == (
+        df.selectExpr("sum(value) v").collect()[0]["v"]
+    )
