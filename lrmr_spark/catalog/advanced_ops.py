@@ -655,3 +655,104 @@ def events_outliers_mad(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "feature_store_pit_join",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+             CASE WHEN event_type = 'error'
+                  THEN CAST(round(value * 100) AS BIGINT) END AS err_cents
+      FROM events
+      WHERE event_type IN ('purchase', 'click', 'error')),
+    numbered AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, kind, event_id) AS rn
+      FROM u),
+    seq AS (
+      SELECT *, sum(is_click) OVER w AS clicks_cum,
+             max(CASE WHEN err_cents IS NOT NULL
+                      THEN rn * 1000000 + err_cents END) OVER w AS err_code
+      FROM numbered
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+                   ROWS UNBOUNDED PRECEDING))
+    SELECT user_id, event_id AS label_id, ts AS label_ts,
+           CAST(clicks_cum AS BIGINT) AS n_clicks_before,
+           CAST(coalesce(err_code % 1000000, -1) AS BIGINT)
+             AS last_error_cents
+    FROM seq WHERE kind = 0 ORDER BY label_id
+    """,
+)
+def feature_store_pit_join(spark, sf_dir):
+    """Feature-store point-in-time join: for every training label
+    (purchase), fetch feature values exactly as they stood STRICTLY
+    BEFORE the label timestamp — here a running click count and the
+    latest error value — the correctness rule that prevents feature
+    leakage in training data (using a feature computed after the label
+    is the classic offline/online skew bug).
+
+    Scale shape: NOT one as-of join per feature table (k features = k
+    shuffles). Labels and all feature events union into one stream,
+    ONE window per user carries every feature forward (cumulative
+    count; latest-error as a max over rn·10^6+cents — an
+    order-pinned integer encoding, no IGNORE NULLS portability bets),
+    and label rows are filtered out at the end: k features for one
+    user-keyed shuffle. Strictly-before is enforced structurally —
+    labels sort BEFORE same-timestamp feature rows (kind 0 < 1), so
+    an equal-ts feature can never leak into its own label."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.filter(
+        F.col("event_type").isin("purchase", "click", "error")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("kind"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_click"),
+        F.when(
+            F.col("event_type") == "error",
+            F.expr("cast(round(value * 100) as bigint)"),
+        ).alias("err_cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    numbered = u.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy("ts", "kind", "event_id")
+        ),
+    )
+    seq = numbered.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "kind",
+        F.sum("is_click").over(w).alias("clicks_cum"),
+        F.max(
+            F.when(
+                F.col("err_cents").isNotNull(),
+                F.col("rn") * 1000000 + F.col("err_cents"),
+            )
+        )
+        .over(w)
+        .alias("err_code"),
+    )
+    return (
+        seq.filter(F.col("kind") == 0)
+        .select(
+            "user_id",
+            F.col("event_id").alias("label_id"),
+            F.col("ts").alias("label_ts"),
+            F.col("clicks_cum").cast("bigint").alias("n_clicks_before"),
+            F.coalesce(F.expr("err_code % 1000000"), F.lit(-1))
+            .cast("bigint")
+            .alias("last_error_cents"),
+        )
+        .orderBy("label_id")
+    )

@@ -1237,3 +1237,45 @@ def events_lttb_downsample(spark, sf_dir):
         )
         .orderBy("event_type", "bucket", "event_id")
     )
+
+
+@query(
+    "events_variant_shredding",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+    SELECT event_type, k // 10 AS k_decade,
+           count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
+    FROM x GROUP BY event_type, k_decade
+    ORDER BY event_type, k_decade
+    """,
+)
+def events_variant_shredding(spark, sf_dir):
+    """Semi-structured analytics through the VARIANT type (Spark 4):
+    props parses ONCE into the binary Variant encoding and fields are
+    extracted with variant_get — unlike get_json_object, which
+    re-parses the JSON text per extraction. At 100 TB the difference
+    compounds: Variant columns shred into parquet (typed subcolumns +
+    pushdown in newer readers), so repeated extraction of a hot field
+    costs a columnar read, not a string parse.
+
+    The extraction result is cast to plain BIGINT before aggregation,
+    so the gate compares ordinary integers while the Spark plan
+    exercises parse_json → variant_get; events_json_props is the
+    string-path twin (get_json_object) for comparison."""
+    ev = load(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", F.expr("k DIV 10").alias("k_decade"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type", "k_decade")
+    )

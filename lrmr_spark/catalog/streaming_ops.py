@@ -105,3 +105,15 @@ def streaming_dropdup_watermark(spark, sf_dir):
     return ST.run_to_memory(
         ST.dedup_within_watermark(ST.stream_events(spark, sf_dir)), name
     )
+
+
+@query("streaming_mincount_sketch")  # rows-only: incremental/watermark semantics
+def streaming_mincount_sketch(spark, sf_dir):
+    """Per-window 16-bucket MinCount distinct-sketch state maintained
+    incrementally (one min() aggregation, 16 bigints of state per
+    group). Read-side estimate equivalence with the batch sketch is
+    asserted in tests/test_streaming.py::test_mincount_sketch_matches_batch."""
+    name = f"cat_mincount_{uuid.uuid4().hex[:8]}"
+    return ST.run_to_memory(
+        ST.mincount_sketch_state(ST.stream_events(spark, sf_dir)), name
+    )

@@ -551,3 +551,52 @@ def stratum_topk_sample(spark, sf_dir):
         .filter(F.col("rnk") <= 5)
         .orderBy("lang", "rnk")
     )
+
+
+@query(
+    "udtf_token_positions",
+    oracle="""
+    SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos, t.tok AS token
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+               (x, i) -> struct_pack(tok := x, i := i))) AS t
+      FROM documents)
+    ORDER BY doc_id, pos
+    """,
+)
+def udtf_token_positions(spark, sf_dir):
+    """Python UDTF (Spark 4 user-defined TABLE function): one input
+    row → many output rows with per-call Python state, invoked via
+    LATERAL — here emitting (position, token) per document token.
+
+    Honesty note on the hot path: a UDTF is row-at-a-time Python (the
+    slow path by this repo's own rules); the JVM equivalent is
+    ``posexplode(split(...))`` and THAT is what a production tokenizer
+    uses. The UDTF is catalogued as API parity for the cases that
+    genuinely need per-row Python with table output (a real BPE
+    tokenizer, a parser emitting variable records) — the same escape
+    hatch the reference's Transformer provides
+    (/root/reference/transformation.go), generalized to 1→N rows. The
+    oracle re-derives positions with DuckDB's (x, i) list lambda."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, token string")
+    class TokenPositions:
+        def eval(self, text: str):
+            if text:
+                pos = 0
+                for tok in text.split():
+                    yield pos, tok
+                    pos += 1
+
+    spark.udtf.register("lrmr_token_positions", TokenPositions)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM udtf_docs d, LATERAL lrmr_token_positions(d.text) t
+        ORDER BY d.doc_id, t.pos
+        """
+    )

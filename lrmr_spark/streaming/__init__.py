@@ -340,3 +340,40 @@ def dedup_within_watermark(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "event_id"]
     )
+
+
+def mincount_sketch_state(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of sketch_distinct_mincount: per watermarked
+    1-hour window, materialize the 16-bucket MinCount state (bucket →
+    min hash) as ONE streaming aggregation — min() is a valid
+    incremental aggregate, so the sketch updates in place per
+    micro-batch and the closed-window rows ARE the mergeable sketch
+    table. The final distinct estimate (sum of M/(min+1) over buckets)
+    is a read-side fold over 16 rows per group — done at query time or
+    by the batch twin; streaming never needs a second aggregation
+    (Structured Streaming allows only one) and never keeps raw ids in
+    state: per (window, type) the state is exactly 16 bigints, the
+    property that makes a distinct sketch viable on an unbounded
+    stream."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", "event_type", h.alias("h"))
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+            F.expr("h % 16").alias("bucket"),
+        )
+        .agg(F.expr("min(h DIV 16)").alias("mn"))
+        .select(
+            F.col("w.start").alias("w_start"), "event_type", "bucket", "mn"
+        )
+    )

@@ -40,6 +40,7 @@ def test_every_query_has_oracle_or_is_documented_rows_only():
         "streaming_sessionization",  # session_window state semantics
         "streaming_ewma",  # cross-batch numeric state
         "streaming_dropdup_watermark",  # bounded-state dedup semantics
+        "streaming_mincount_sketch",  # incremental sketch-state semantics
 
         "dedup_minhash_lsh_fast",  # xxhash64 not reproducible in SQL
     }, rows_only

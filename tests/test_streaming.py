@@ -298,3 +298,27 @@ def test_python_datasource_stream_feeder(spark):
         got.selectExpr("sum(value) v").collect()[0]["v"]
         == pyds.read_feeder(spark, n=3000).selectExpr("sum(value) v").collect()[0]["v"]
     )
+
+
+def test_mincount_sketch_matches_batch(spark, sf_dir, events_stream):
+    got = ST.run_to_memory(
+        ST.mincount_sketch_state(events_stream), "t_mincount"
+    )
+    batch = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.window("ts", "1 hour").start.alias("w_start"),
+            "event_type",
+            F.expr(
+                "conv(substring(md5(concat('kmv:', cast(user_id as string))), 1, 8)"
+                ", 16, 10)"
+            ).cast("bigint").alias("h"),
+        )
+        .groupBy("w_start", "event_type", F.expr("h % 16").alias("bucket"))
+        .agg(F.expr("min(h DIV 16)").alias("mn"))
+    )
+    got_set = {tuple(r) for r in got.collect()}
+    batch_set = {tuple(r) for r in batch.collect()}
+    # append mode emits only watermark-closed windows — subset, exact
+    assert got_set <= batch_set
+    assert len(got_set) > 0
