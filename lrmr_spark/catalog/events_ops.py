@@ -1279,3 +1279,72 @@ def events_variant_shredding(spark, sf_dir):
         )
         .orderBy("event_type", "k_decade")
     )
+
+
+@query(
+    "events_error_spike",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_err,
+             count(*) AS n_total
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT day, n_err, n_total,
+             sum(n_err) OVER (ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS base_err,
+             sum(n_total) OVER (ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS base_total
+      FROM d)
+    SELECT day, n_err, n_total,
+           n_err * 1000000 // n_total AS err_ppm,
+           CAST(CASE WHEN base_total IS NOT NULL
+                      AND n_err * base_total * 10 > 15 * n_total * base_err
+                     THEN 1 ELSE 0 END AS BIGINT) AS spike
+    FROM w ORDER BY day
+    """,
+)
+def events_error_spike(spark, sf_dir):
+    """Error-rate spike detection against a trailing baseline: each
+    day's error rate is compared to the pooled rate of the prior 7
+    days, and flagged when it exceeds 1.5× — the SLO burn-rate /
+    canary-regression alert shape.
+
+    The comparison is CROSS-MULTIPLIED into integers (err·base_total·
+    10 > 15·total·base_err) — no float rate ever decides an alert,
+    so engines and reruns agree on boundary days. The window runs over
+    the per-day aggregate (365 rows/year after one scan + one bounded
+    agg); 'pooled prior counts' rather than 'average of daily rates'
+    weights the baseline by traffic, which is what burn-rate alerts
+    want. The unpartitioned window is over days — bounded; shard by
+    service key at scale."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_err"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    wtrail = W.orderBy("day").rowsBetween(-7, -1)
+    w = d.select(
+        "day",
+        "n_err",
+        "n_total",
+        F.sum("n_err").over(wtrail).alias("base_err"),
+        F.sum("n_total").over(wtrail).alias("base_total"),
+    )
+    return w.select(
+        "day",
+        "n_err",
+        "n_total",
+        F.expr("n_err * 1000000 DIV n_total").alias("err_ppm"),
+        F.when(
+            F.col("base_total").isNotNull()
+            & F.expr("n_err * base_total * 10 > 15 * n_total * base_err"),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("spike"),
+    ).orderBy("day")

@@ -10,6 +10,7 @@ aggregations get map-side partial aggregation for free.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..tables import load, register_views
@@ -1068,4 +1069,211 @@ def lateral_topk_orders(spark, sf_dir):
           ORDER BY cents DESC, o_orderkey LIMIT 2) l
         ORDER BY p.o_orderpriority, l.cents DESC, l.o_orderkey
         """
+    )
+
+
+@query(
+    "market_basket_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+    supp AS (SELECT l_partkey, count(*) AS s FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS pair_support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 3)
+    SELECT p.part_a, p.part_b, p.pair_support,
+           p.pair_support * n.n * 1000000 // (sa.s * sb.s) AS lift_ppm
+    FROM pairs p, n_orders n
+    JOIN supp sa ON sa.l_partkey = p.part_a
+    JOIN supp sb ON sb.l_partkey = p.part_b
+    ORDER BY p.pair_support DESC, p.part_a, p.part_b
+    LIMIT 50
+    """,
+)
+def market_basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence mining: part pairs bought in the
+    same order, with support and exact-integer lift (observed
+    co-occurrence / expected-if-independent, in ppm) — the association
+    rule primitive behind 'frequently bought together'.
+
+    Scale shape: the pair explosion is bounded by BASKET size, not
+    catalog size — the self-join runs on l_orderkey (items per order
+    ~O(10), so ~C(10,2) pairs per order), then aggregates on the pair
+    key with map-side partials; the support filter (>= 3) prunes the
+    long tail before the lift join, and the per-part support table is
+    a bounded second aggregate. The naive formulation (part × part
+    with a co-occurrence count) would be catalog², never run. Lift is
+    cross-multiplied into integer ppm."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select(
+        F.count_distinct("l_orderkey").alias("n")
+    )  # 1-row aggregate, cross-joined lazily (broadcast) — no driver action
+    supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_support"))
+        .filter(F.col("pair_support") >= 3)
+    )
+    sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("sa"))
+    sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("sb"))
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_support",
+            F.expr("pair_support * n * 1000000 DIV (sa * sb)").alias("lift_ppm"),
+        )
+        .orderBy(F.col("pair_support").desc(), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+@query(
+    "orders_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                             AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT o_custkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents,
+             sum(cents) OVER () AS total_cents
+      FROM rev),
+    classed AS (
+      SELECT o_custkey, cents,
+             CASE WHEN cum_cents * 10 <= total_cents * 8 THEN 'A'
+                  WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked)
+    SELECT abc, count(*) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS class_cents,
+           min(cents) AS min_cents, max(cents) AS max_cents
+    FROM classed GROUP BY abc ORDER BY abc
+    """,
+)
+def orders_abc_pareto(spark, sf_dir):
+    """ABC / Pareto classification: customers ranked by revenue,
+    class A = the head covering the first 80% of cumulative revenue,
+    B = to 95%, C = the tail — the inventory/CRM prioritization
+    standard (the '80/20 rule' made exact).
+
+    The class boundaries are integer CROSS-MULTIPLIED (cum·10 ≤
+    total·8), so no float share ever decides a boundary row. The
+    unpartitioned cumulative window runs over the per-customer
+    AGGREGATE (one row per customer), not raw orders — at 100 TB
+    that's still |customers| rows through one ordered pass; if even
+    that is too much, the same classing works on range-partitioned
+    rank buckets. Deterministic tie order (cents DESC, custkey)."""
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.expr("cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)").alias(
+            "cents"
+        )
+    )
+    wcum = (
+        W.orderBy(F.col("cents").desc(), "o_custkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = rev.select(
+        "o_custkey",
+        "cents",
+        F.sum("cents").over(wcum).alias("cum_cents"),
+        F.sum("cents").over(W.partitionBy()).alias("total_cents"),
+    )
+    classed = ranked.select(
+        "o_custkey",
+        "cents",
+        F.when(F.expr("cum_cents * 10 <= total_cents * 8"), "A")
+        .when(F.expr("cum_cents * 100 <= total_cents * 95"), "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("class_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .orderBy("abc")
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             max(CAST(o_orderdate AS DATE)) AS last_order,
+             count(*) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey,
+             ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS m_score
+      FROM per_cust)
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           count(*) AS n_customers
+    FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def customer_rfm_segments(spark, sf_dir):
+    """RFM segmentation: every customer scored 1-5 on Recency (last
+    order date), Frequency (order count), and Monetary (revenue
+    cents) via equi-depth quintiles, then counted per (R,F,M) cell —
+    the marketing-segmentation standard.
+
+    ntile ties are pinned with a custkey tie-break in every ORDER BY
+    (equi-depth bucketing is otherwise nondeterministic across
+    engines/partitionings — the same discipline as
+    window_ntile_buckets). The three windows run over the per-customer
+    aggregate (|customers| rows), not raw orders; the output is the
+    bounded 5×5×5 cube."""
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.expr(
+            "cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)"
+        ).alias("monetary_cents"),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        F.ntile(5).over(W.orderBy("last_order", "o_custkey")).cast("bigint").alias("r_score"),
+        F.ntile(5).over(W.orderBy("frequency", "o_custkey")).cast("bigint").alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy("monetary_cents", "o_custkey"))
+        .cast("bigint")
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
     )
