@@ -1348,3 +1348,79 @@ def events_error_spike(spark, sf_dir):
         .cast("bigint")
         .alias("spike"),
     ).orderBy("day")
+
+
+@query(
+    "events_watermark_lateness_audit",
+    oracle="""
+    WITH arr AS (
+      SELECT ts,
+             max(ts) OVER (ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                           ROWS UNBOUNDED PRECEDING) AS frontier
+      FROM events),
+    lat AS (
+      SELECT (epoch_us(frontier) - epoch_us(ts)) // 60000000 AS late_min
+      FROM arr),
+    b AS (
+      SELECT CASE WHEN late_min = 0 THEN '0:on-time'
+                  WHEN late_min <= 5 THEN '1:<=5m'
+                  WHEN late_min <= 30 THEN '2:<=30m'
+                  WHEN late_min <= 60 THEN '3:<=1h'
+                  ELSE '4:>1h' END AS lateness
+      FROM lat)
+    SELECT lateness, count(*) AS n,
+           count(*) * 1000000 // (SELECT count(*) FROM b) AS share_ppm
+    FROM b GROUP BY lateness ORDER BY lateness
+    """,
+)
+def events_watermark_lateness_audit(spark, sf_dir):
+    """Watermark-policy audit: how late does each event arrive behind
+    the event-time frontier (the running max event time in ARRIVAL
+    order, which is exactly what a streaming watermark tracks)?
+    Bucketed lateness shares tell you what a '5 minutes' vs '1 hour'
+    watermark would actually drop — the empirical basis for choosing
+    withWatermark() before deploying any streaming job in this repo.
+
+    Arrival order here is a deterministic hash shuffle of event_id —
+    the testdata arrives perfectly time-ordered, so the hash models a
+    multi-source ingest where producers interleave arbitrarily (the
+    worst case a watermark must absorb); the frontier is a running max
+    over that arrival sequence, reproducible in both engines. The audit window is unpartitioned BY DESIGN
+    here (the watermark is global); at 100 TB the same frontier is
+    computed per ingest shard and the shard frontiers min-merged — a
+    two-phase prefix max — while buckets and shares stay identical.
+    Shares are exact-integer ppm."""
+    ev = load(spark, sf_dir, "events")
+    arr = ev.select(
+        "ts",
+        F.max("ts")
+        .over(
+            W.orderBy(F.md5(F.col("event_id").cast("string")), "event_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("frontier"),
+    )
+    lat = arr.select(
+        F.expr(
+            "(unix_micros(frontier) - unix_micros(ts)) DIV 60000000"
+        ).alias("late_min")
+    )
+    b = lat.select(
+        F.when(F.col("late_min") == 0, "0:on-time")
+        .when(F.col("late_min") <= 5, "1:<=5m")
+        .when(F.col("late_min") <= 30, "2:<=30m")
+        .when(F.col("late_min") <= 60, "3:<=1h")
+        .otherwise("4:>1h")
+        .alias("lateness")
+    )
+    counts = b.groupBy("lateness").agg(F.count(F.lit(1)).alias("n"))
+    total = b.select(F.count(F.lit(1)).alias("tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "lateness",
+            "n",
+            F.expr("n * 1000000 DIV tot").alias("share_ppm"),
+        )
+        .orderBy("lateness")
+    )
