@@ -404,14 +404,15 @@ def cross_doc_ngram_exposure(spark, sf_dir):
     g5 = F.array_distinct(TX.shingles("text", 5))
     dg = d.select("doc_id", F.explode(g5).alias("g"))
     tot = d.select("doc_id", F.size(g5).alias("n_grams"))
-    shared = (
-        dg.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
+    # (doc_id, g) rows are unique (array_distinct before explode), so a
+    # plain count-over-gram window IS the distinct-doc count — one pass
+    # over the gram stream instead of aggregate + self-join (which
+    # recomputed the explode subplan twice, ARCHITECTURE pitfall 3)
+    expo = (
+        dg.withColumn("nd", F.count(F.lit(1)).over(W.partitionBy("g")))
         .filter(F.col("nd") >= 2)
-        .select("g")
-    )
-    expo = dg.join(shared, "g").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shared")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     return (
         tot.join(expo, "doc_id", "left")
