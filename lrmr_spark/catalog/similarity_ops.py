@@ -468,18 +468,17 @@ def text_sparse_dot_topk(spark, sf_dir):
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    rare = (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df").between(2, 8))
-        .select("term")
-    )
-    a = tf.join(rare, "term").select(
-        "term", F.col("doc_id").alias("doc_a"), F.col("tf").alias("tf_a")
-    )
-    b = tf.join(rare, "term").select(
-        "term", F.col("doc_id").alias("doc_b"), F.col("tf").alias("tf_b")
-    )
+    # (doc_id, term) rows are unique post-groupBy, so df is a plain
+    # count-over-term window — no separate rare-term aggregate and no
+    # extra join per side (the aggregate+join form recomputed the
+    # explode subplan 3×; the two window branches share one exchange)
+    from pyspark.sql import Window as W
+
+    tfr = tf.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("term"))
+    ).filter(F.col("df").between(2, 8))
+    a = tfr.select("term", F.col("doc_id").alias("doc_a"), F.col("tf").alias("tf_a"))
+    b = tfr.select("term", F.col("doc_id").alias("doc_b"), F.col("tf").alias("tf_b"))
     pairs = (
         a.join(b, "term")
         .filter(F.col("doc_a") < F.col("doc_b"))
