@@ -477,3 +477,71 @@ def docs_chunk_windows(spark, sf_dir):
         .select("doc_id", "c.*")
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@query(
+    "docs_lm_familiarity",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+      FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(toks) - 2, 0) + 2),
+               i -> array_to_string(toks[i:i+1], ' '))) AS b
+      FROM raw WHERE len(toks) >= 2),
+    freq AS (
+      SELECT b, count(*) AS n FROM bg GROUP BY b),
+    tot AS (SELECT count(*) AS total FROM bg)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(f.n * 1000000 // t.total) AS BIGINT)
+             // count(*) AS familiarity_ppm
+    FROM bg JOIN freq f USING (b), tot t
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def docs_lm_familiarity(spark, sf_dir):
+    """Language-model familiarity score (the integer-exact stand-in
+    for a KenLM perplexity quality filter): each document scored by
+    the mean corpus-frequency (ppm) of its bigrams — text full of
+    bigrams the corpus has never seen (gibberish, boilerplate-mangled
+    extraction, wrong-language fragments) scores low and gets
+    filtered; the per-doc score distribution is the 'easy vs rare'
+    curriculum signal.
+
+    Two passes over the bigram stream: corpus bigram counts
+    (bounded-key agg) and a join back per doc occurrence — the doc
+    text never rides a shuffle, only (doc_id, bigram). Frequencies
+    become integer ppm BEFORE the per-doc mean (sum of ppm DIV
+    count), so no float log-prob ever enters the compare; a real
+    perplexity ranks documents the same way monotonically. 100 TB
+    lever: hash the bigram to 8 bytes for the shuffle key exactly as
+    in cross_doc_ngram_exposure."""
+    from ..operators import text as TX
+
+    d = load(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    bg = (
+        d.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            F.explode(TX.shingles("text", 2)).alias("b"),
+        )
+    )
+    freq = bg.groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+    tot = bg.select(F.count(F.lit(1)).alias("total"))
+    return (
+        bg.join(freq, "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr(
+                "cast(sum(n * 1000000 DIV total) as bigint) DIV count(1)"
+            ).alias("familiarity_ppm"),
+        )
+        .orderBy("doc_id")
+    )

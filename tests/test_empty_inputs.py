@@ -97,3 +97,12 @@ def test_repetition_signals_on_blank_docs(spark, sf_dir):
     # shingles() clamps to at least one (possibly short) gram per doc
     assert [r["n"] for r in rows] == [0, 1]
     assert all(r["g2"] >= 1 for r in rows)
+
+
+def test_pyds_feeder_degenerate_sizes(spark):
+    from lrmr_spark.sources import pyds
+
+    assert pyds.read_feeder(spark, n=0, parts=4).count() == 0
+    assert pyds.read_feeder(spark, n=1, parts=8).count() == 1
+    # filter that empties the pushed-down range entirely
+    assert pyds.read_feeder(spark, n=100).filter("id > 1000").count() == 0
