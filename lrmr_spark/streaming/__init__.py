@@ -45,18 +45,25 @@ __all__ = [
     "run_to_memory",
 ]
 
-# explicit schema: streaming sources never infer. ts arrives as long
-# nanos (see lrmr_spark.session nanosAsLong) and is converted below.
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Streaming sources never infer, so probe the parquet footer with a
+    one-off batch read. The generated testdata has shipped events.ts as
+    both TIMESTAMP(NANOS) (long under nanosAsLong) and plain
+    TIMESTAMP(MICROS); mirroring the physical type here lets
+    stream_events normalize exactly like the batch loader."""
+    import os
+
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", batch.schema["ts"].dataType),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,12 +73,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the file stream source requires a directory; pathGlobFilter scopes
     # it to the events table
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(spark, sf_dir))
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from lrmr_spark.tables import _normalize_events_ts
+
+    return _normalize_events_ts(raw)
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

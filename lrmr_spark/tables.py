@@ -47,13 +47,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): surfaced as a long via
-        # spark.sql.legacy.parquet.nanosAsLong; truncate ns → µs exactly
-        # like DuckDB's TIMESTAMP cast so oracle values match.
-        from pyspark.sql import functions as F
+        df = _normalize_events_ts(df)
+    return df
 
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to TimestampType regardless of the physical
+    parquet encoding. Generated testdata has shipped two layouts:
+    TIMESTAMP(NANOS) (surfaced as a long via nanosAsLong — truncate
+    ns → µs exactly like DuckDB's TIMESTAMP cast) and plain
+    TIMESTAMP(MICROS) (surfaced as timestamp/timestamp_ntz). Branching
+    on the read schema keeps every downstream query identical."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
         # integer division — float `/` would lose precision above 2^53 ns
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        # identity under the pinned UTC session timezone
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
