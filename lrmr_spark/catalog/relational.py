@@ -2,10 +2,16 @@
 lacks (joins, set ops, grouping sets, scalar functions, SQL) expressed
 natively so Catalyst owns the physical strategy.
 
-Scale notes: dimension sides of every join are broadcast (explicit
-``F.broadcast`` hint where the optimizer can't see the size statically);
-fact-fact joins shuffle on their keys with AQE skew handling; all
-aggregations get map-side partial aggregation for free.
+Scale notes — broadcast discipline: an explicit ``F.broadcast`` hint is
+only ever placed on sides whose size is bounded by construction —
+fixed-cardinality dims (nation: 25 rows, region: 5) and 1-row/
+bounded-key aggregates. Data-proportional tables (customer, supplier,
+part, any per-user/per-part aggregate) NEVER carry a hint: at test SF
+the planner's static parquet stats (or AQE's runtime stats) still pick
+a broadcast-hash join, while at 100 TB the same code degrades safely to
+shuffle joins instead of OOMing the driver. Fact-fact joins shuffle on
+their keys with AQE skew handling; all aggregations get map-side
+partial aggregation for free.
 """
 
 from __future__ import annotations
@@ -66,12 +72,14 @@ def tpch_q1(spark, sf_dir):
     """,
 )
 def join_inner_segment_revenue(spark, sf_dir):
-    """Inner join fact→dim. The dim side is broadcast (hinted) so the
-    fact table never shuffles — the dominant join pattern at 100 TB."""
+    """Inner join fact→dim. customer is data-proportional, so no hint:
+    the planner broadcasts it from size stats while it fits (so the
+    fact table never shuffles — the dominant join pattern) and falls
+    back to a shuffle join at 100 TB instead of OOMing."""
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -95,8 +103,10 @@ def join_inner_segment_revenue(spark, sf_dir):
 )
 def join_multiway_region_revenue(spark, sf_dir):
     """TPC-H Q5-shaped 5-way join. lineitem⋈orders is the only
-    shuffle-worthy pair (both facts, keyed on orderkey); customer/
-    nation/region chain is broadcast all the way down."""
+    shuffle-worthy pair (both facts, keyed on orderkey). nation/region
+    are fixed-cardinality and hint-broadcast; customer is
+    data-proportional, so its broadcast is left to the planner's size
+    stats (chosen at test SF, shuffle join at 100 TB)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -104,7 +114,7 @@ def join_multiway_region_revenue(spark, sf_dir):
     region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")

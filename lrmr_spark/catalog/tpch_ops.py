@@ -42,7 +42,7 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -157,7 +157,9 @@ def tpch_q12_shipmode_like(spark, sf_dir):
     """,
 )
 def tpch_q14_promo_share(spark, sf_dir):
-    """Q14: promo revenue share — broadcast part dim, single global agg."""
+    """Q14: promo revenue share — part is data-proportional so no
+    broadcast hint (planner stats pick BHJ while it fits); single
+    global agg."""
     p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
@@ -165,7 +167,7 @@ def tpch_q14_promo_share(spark, sf_dir):
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -195,7 +197,7 @@ def tpch_q16_supplier_cnt(spark, sf_dir):
     )
     li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -357,7 +359,7 @@ def tpch_q17_small_quantity_revenue(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    li_b = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    li_b = li.join(p, li.l_partkey == p.p_partkey)
     avgs = li_b.groupBy("l_partkey").agg(
         (F.avg("l_quantity") * 0.2).alias("_qty_cut")
     )
@@ -385,11 +387,11 @@ def tpch_q17_small_quantity_revenue(spark, sf_dir):
 )
 def tpch_q19_bracketed_revenue(spark, sf_dir):
     """Q19 shape: disjunctive multi-bracket predicate spanning both
-    join sides — Catalyst still broadcasts the dim and evaluates the
-    residual disjunction post-join."""
+    join sides — Catalyst evaluates the residual disjunction post-join
+    (part un-hinted: planner stats choose the join strategy)."""
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     li = load(spark, sf_dir, "lineitem")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     b1 = (
         (F.col("p_brand") == "Brand#5")
         & F.col("p_size").between(1, 15)
@@ -490,7 +492,7 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
     costs = (
-        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        li.join(parts, li.l_partkey == parts.p_partkey)
         .join(eligible.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"))
         .groupBy("p_partkey", "s_suppkey")
         .agg(F.min("l_extendedprice").alias("cost"))
@@ -626,7 +628,7 @@ def tpch_q8_market_share(spark, sf_dir):
         .select(F.col("n_nationkey").alias("n2_key"))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -690,7 +692,7 @@ def tpch_q9_product_profit(spark, sf_dir):
         "n_nationkey", F.col("n_name").alias("nation")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .withColumn("o_year", F.year("l_shipdate").cast("int"))
@@ -747,7 +749,7 @@ def tpch_q11_important_stock(spark, sf_dir):
         ).alias("value_c"),
     )
     v = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(F.sum("value_c").alias("value_c"))
     )
@@ -882,7 +884,7 @@ def tpch_q20_potential_promotion(spark, sf_dir):
         "l_partkey", "l_suppkey", F.round("l_quantity").cast("long").alias("q")
     )
     pq = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("q").alias("qty"))
     )
