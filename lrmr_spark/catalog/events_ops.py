@@ -1424,3 +1424,167 @@ def events_watermark_lateness_audit(spark, sf_dir):
         )
         .orderBy("lateness")
     )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind,
+             CASE WHEN event_type IN ('click', 'view')
+                  THEN lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                       || '|' || event_type
+             END AS touch
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+    c AS (
+      SELECT user_id, ts, value, kind,
+             last_value(touch IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, kind, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry
+      FROM u),
+    p AS (
+      SELECT CASE
+               WHEN carry IS NOT NULL
+                    AND epoch_us(ts) - CAST(substr(carry, 1, 20) AS BIGINT)
+                        <= 604800000000
+               THEN substr(carry, 22)
+               ELSE 'unattributed' END AS channel,
+             value
+      FROM c WHERE kind = 1)
+    SELECT channel, count(*) AS n_purchases,
+           round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+    FROM p GROUP BY channel ORDER BY channel
+    """,
+)
+def events_attribution_last_touch(spark, sf_dir):
+    """Marketing last-touch attribution: every purchase is credited to
+    the same user's most recent click/view within a 7-day window, else
+    'unattributed' — the union-and-carry shape (one user-keyed shuffle,
+    no self-join, no interval explosion).
+
+    Touches and conversions ride ONE window pass: the carried touch is
+    packed as a fixed-width (epoch_us, channel) string so a single
+    last(ignorenulls) carries both fields; ties at equal ts are pinned
+    (touch sorts before purchase, then event_id). At 100 TB this is one
+    hash exchange on user_id with bounded per-row state — the same plan
+    as the as-of join family (operators/asof.py)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    kind = F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0))
+    touch = F.when(
+        F.col("event_type").isin("click", "view"),
+        F.concat(
+            F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+            F.lit("|"),
+            F.col("event_type"),
+        ),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = (
+        ev.select(
+            "user_id", "ts", "event_id", "value",
+            kind.alias("kind"), touch.alias("touch"),
+        )
+        .withColumn("carry", F.last("touch", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+    )
+    week_us = 7 * 24 * 3600 * 1000000
+    channel = F.when(
+        F.col("carry").isNotNull()
+        & (
+            F.unix_micros(F.col("ts")) - F.substring("carry", 1, 20).cast("bigint")
+            <= F.lit(week_us)
+        ),
+        F.expr("substring(carry, 22)"),
+    ).otherwise(F.lit("unattributed"))
+    return (
+        carried.select(channel.alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+@query(
+    "events_histogram_quantiles",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             greatest(CAST(round(value * 100) AS BIGINT), 1) AS cents
+      FROM events),
+    h AS (
+      SELECT event_type, CAST(length(bin(cents)) AS BIGINT) AS bucket,
+             count(*) AS n
+      FROM c GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bucket,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum_n,
+             sum(n) OVER (PARTITION BY event_type) AS total_n
+      FROM h),
+    q AS (SELECT CAST(unnest([50, 95, 99]) AS BIGINT) AS q)
+    SELECT event_type, q,
+           min(bucket) AS q_bucket,
+           (CAST(1 AS BIGINT) << CAST(min(bucket) AS INTEGER)) - 1
+             AS q_upper_cents
+    FROM cum, q
+    WHERE cum_n * 100 >= q * total_n
+    GROUP BY event_type, q
+    ORDER BY event_type, q
+    """,
+)
+def events_histogram_quantiles(spark, sf_dir):
+    """Quantiles FROM the mergeable log2 histogram (p50/p95/p99 upper
+    bounds per event type) — how a TSDB answers percentile queries over
+    pre-aggregated shards: sketches merge by summing bucket counts
+    (events_value_histogram_log2), then the quantile is the first
+    bucket whose cumulative count crosses ceil(q·total).
+
+    Everything is exact integer arithmetic (bit-width buckets, shifted
+    powers of two, cross-multiplied rank threshold), so the result is
+    deterministic and cross-engine identical — no float log or
+    interpolation at boundaries. Plan: one bounded histogram aggregate
+    (map-side combinable), a window over ≤64 bucket rows per type, a
+    broadcast of 3 quantile constants — nothing here grows with data
+    volume except the first scan."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.expr("greatest(cast(round(value * 100) as bigint), 1)")
+    h = (
+        ev.select("event_type", cents.alias("cents"))
+        .groupBy(
+            "event_type",
+            F.length(F.conv(F.col("cents"), 10, 2)).cast("bigint").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_cum = W.partitionBy("event_type").orderBy("bucket")
+    w_tot = W.partitionBy("event_type")
+    cum = h.select(
+        "event_type",
+        "bucket",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n").over(w_tot).alias("total_n"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(50), F.lit(95), F.lit(99))).alias("q")
+    ).select(F.col("q").cast("bigint").alias("q"))
+    return (
+        cum.crossJoin(F.broadcast(qs))  # 3 bounded quantile constants
+        .filter(F.col("cum_n") * 100 >= F.col("q") * F.col("total_n"))
+        .groupBy("event_type", "q")
+        .agg(
+            F.min("bucket").alias("q_bucket"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(min(bucket) as int)) - 1"
+            ).alias("q_upper_cents"),
+        )
+        .orderBy("event_type", "q")
+    )

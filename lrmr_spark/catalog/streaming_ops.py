@@ -117,3 +117,19 @@ def streaming_mincount_sketch(spark, sf_dir):
     return ST.run_to_memory(
         ST.mincount_sketch_state(ST.stream_events(spark, sf_dir)), name
     )
+
+
+@query("streaming_backfill_available_now")  # rows-only: trigger/run-mode semantics
+def streaming_backfill_available_now(spark, sf_dir):
+    """Watermarked tumbling counts executed under Trigger.AvailableNow —
+    the backfill/catch-up run mode: drain everything available in
+    rate-limited micro-batches (maxFilesPerTrigger still applies), then
+    shut down. Same plan, state, and watermark semantics as the
+    continuous run; this is how a scheduled incremental job processes a
+    day's backlog at scale without an always-on cluster. Result-set
+    equivalence with the continuous-trigger run is asserted in
+    tests/test_streaming.py::test_available_now_matches_continuous."""
+    name = f"cat_backfill_{uuid.uuid4().hex[:8]}"
+    return ST.run_available_now(
+        ST.tumbling_counts(ST.stream_events(spark, sf_dir)), name, output_mode="append"
+    )

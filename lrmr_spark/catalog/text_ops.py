@@ -600,3 +600,48 @@ def udtf_token_positions(spark, sf_dir):
         ORDER BY d.doc_id, t.pos
         """
     )
+
+
+@query(
+    "text_bpe_pair_counts",
+    oracle="""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+      FROM documents),
+    i AS (
+      SELECT toks, unnest(range(1, len(toks))) AS i
+      FROM t WHERE len(toks) >= 2)
+    SELECT toks[i] AS tok_a, toks[i + 1] AS tok_b, count(*) AS n
+    FROM i GROUP BY tok_a, tok_b
+    ORDER BY n DESC, tok_a, tok_b LIMIT 50
+    """,
+)
+def text_bpe_pair_counts(spark, sf_dir):
+    """The BPE/WordPiece TRAINING step: corpus-wide adjacent-pair
+    frequencies (the statistic each merge round of tokenizer training
+    maximizes), top-50 with a deterministic tiebreak.
+
+    Scale shape: pairs are built per document from two array slices
+    zipped positionally — pure codegen'd projection, no window, no
+    per-doc shuffle. The only exchange is the pair-count aggregation,
+    which partial-aggregates map-side first (pair-id keys, bounded by
+    vocabulary², in practice Zipf-concentrated), then
+    TakeOrderedAndProject for the top-50 — a full tokenizer-training
+    round at 100 TB is exactly this plan run to a higher limit."""
+    d = load(spark, sf_dir, "documents")
+    pairs = (
+        d.select(TX.tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .withColumn("heads", F.expr("slice(toks, 1, size(toks) - 1)"))
+        .withColumn("tails", F.expr("slice(toks, 2, size(toks) - 1)"))
+        .select(F.explode(F.arrays_zip("heads", "tails")).alias("pr"))
+    )
+    return (
+        pairs.select(
+            F.col("pr.heads").alias("tok_a"), F.col("pr.tails").alias("tok_b")
+        )
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok_a", "tok_b")
+        .limit(50)
+    )

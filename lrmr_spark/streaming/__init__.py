@@ -43,6 +43,7 @@ __all__ = [
     "view_click_interval_join",
     "static_enrich_counts",
     "run_to_memory",
+    "run_available_now",
 ]
 
 def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
@@ -281,6 +282,36 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> Data
     )
     try:
         q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def run_available_now(
+    df: DataFrame, name: str, output_mode: str = "append", timeout_s: int = 300
+) -> DataFrame:
+    """Drive a streaming DF with ``Trigger.AvailableNow`` and return the
+    sink contents — the BACKFILL/catch-up execution mode: process
+    everything currently available in rate-limited micro-batches
+    (honoring maxFilesPerTrigger, unlike the deprecated Trigger.Once),
+    then shut down cleanly.
+
+    This is the scheduled-incremental pattern at 100 TB: a cron-started
+    job drains the source up to "now" with bounded per-batch memory,
+    commits offsets, and exits — no always-on cluster, identical state
+    and watermark semantics to the continuous run, resumable from the
+    same checkpoint."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        # availableNow terminates on its own once the source is drained
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(f"availableNow query {name} did not drain in {timeout_s}s")
     finally:
         q.stop()
     return df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -322,3 +322,22 @@ def test_mincount_sketch_matches_batch(spark, sf_dir, events_stream):
     # append mode emits only watermark-closed windows — subset, exact
     assert got_set <= batch_set
     assert len(got_set) > 0
+
+
+def test_available_now_matches_continuous(spark, sf_dir, events_stream):
+    # Trigger.AvailableNow is the backfill run mode: drain the source in
+    # rate-limited micro-batches, then terminate on its own. On the same
+    # bounded source it must emit exactly the rows the continuous
+    # (processAllAvailable) run does.
+    backfill = ST.run_available_now(
+        ST.tumbling_counts(events_stream), "t_backfill", output_mode="append"
+    )
+    continuous = ST.run_to_memory(
+        ST.tumbling_counts(ST.stream_events(spark, sf_dir)),
+        "t_continuous",
+        output_mode="append",
+    )
+    got = {tuple(r) for r in backfill.collect()}
+    want = {tuple(r) for r in continuous.collect()}
+    assert got == want
+    assert len(got) > 0
