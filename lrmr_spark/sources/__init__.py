@@ -138,13 +138,23 @@ def read_binary_files(
 
 
 def write_parquet(
-    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
 ) -> None:
     """Partitioned columnar sink — partition columns become directory
-    pruning at read time."""
+    pruning at read time. ``max_records_per_file`` caps output file
+    size (the write-side half of the small/huge-file hygiene that
+    compact_parquet repairs read-side): at 100 TB, unbounded task
+    outputs produce multi-GB files that defeat parallel scan splits,
+    while a cap keeps every file a unit of parallelism."""
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
 
 

@@ -224,13 +224,40 @@ class _JsonlDirWriter(DataSourceWriter):
         import json
         import os
 
+        # Versioned snapshot commit (time travel in its minimal form):
+        # every commit publishes an immutable _MANIFEST-v{N} listing the
+        # FULL visible file set as of that commit — append extends the
+        # parent snapshot, overwrite starts a new lineage — and then
+        # atomically points _MANIFEST at the new snapshot. Old snapshots
+        # stay readable by version number (read_versioned), exactly the
+        # Iceberg/Delta snapshot rule. Single-driver commit protocol:
+        # Spark serializes commit() per write job.
+        file_rows = {m.filename: m.n_rows for m in messages}
+        parent = None
+        if not self.overwrite:
+            try:
+                parent = read_manifest(self.path)
+            except FileNotFoundError:
+                parent = None
+        if parent is not None:
+            merged = dict(parent.get("file_rows", {}))
+            merged.update(file_rows)
+            file_rows = merged
+        version = 1 + max(list_versions(self.path), default=0)
         manifest = {
-            "files": sorted(m.filename for m in messages),
-            "rows": sum(m.n_rows for m in messages),
+            "version": version,
+            "parent": parent["version"] if parent else None,
+            "files": sorted(file_rows),
+            "file_rows": file_rows,
+            "rows": sum(file_rows.values()),
         }
+        payload = json.dumps(manifest)
         tmp = os.path.join(self.path, "._MANIFEST.tmp")
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            f.write(payload)
+        os.replace(tmp, os.path.join(self.path, f"_MANIFEST-v{version:05d}"))
+        with open(tmp, "w") as f:
+            f.write(payload)
         os.replace(tmp, os.path.join(self.path, "_MANIFEST"))
 
     def abort(self, messages):
@@ -243,9 +270,37 @@ class _JsonlDirWriter(DataSourceWriter):
                 pass
 
 
-def read_manifest(path: str) -> dict:
+def read_manifest(path: str, version: int | None = None) -> dict:
+    """Latest manifest, or a specific snapshot when ``version`` given."""
     import json
     import os
 
-    with open(os.path.join(path, "_MANIFEST")) as f:
+    name = "_MANIFEST" if version is None else f"_MANIFEST-v{version:05d}"
+    with open(os.path.join(path, name)) as f:
         return json.load(f)
+
+
+def list_versions(path: str) -> list[int]:
+    """All committed snapshot versions of a sink directory, ascending."""
+    import os
+    import re
+
+    try:
+        entries = os.listdir(path)
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(m.group(1))
+        for e in entries
+        if (m := re.fullmatch(r"_MANIFEST-v(\d{5})", e))
+    )
+
+
+def read_versioned(spark, path: str, version: int | None = None):
+    """Time-travel read: the dataset exactly as of snapshot ``version``
+    (latest when None). Readers resolve files THROUGH the manifest, so
+    uncommitted/aborted part files and files added by later snapshots
+    are invisible — the snapshot-isolation read rule of every table
+    format."""
+    m = read_manifest(path, version)
+    return spark.read.json([f"{path}/{f}" for f in m["files"]])

@@ -217,3 +217,48 @@ def test_python_datasource_writer_commit_protocol(spark, tmp_path):
     assert back.selectExpr("sum(value) v").collect()[0]["v"] == (
         df.selectExpr("sum(value) v").collect()[0]["v"]
     )
+
+
+def test_python_datasource_writer_time_travel(spark, tmp_path):
+    from lrmr_spark.sources import pyds
+
+    out = str(tmp_path / "sink_tt")
+    # v1: overwrite lineage root
+    pyds.read_feeder(spark, n=1000, parts=4).write.format(pyds.FORMAT_NAME).mode(
+        "overwrite"
+    ).save(out)
+    # v2: append extends the v1 snapshot
+    pyds.read_feeder(spark, n=500, parts=2).write.format(pyds.FORMAT_NAME).mode(
+        "append"
+    ).save(out)
+    assert pyds.list_versions(out) == [1, 2]
+    m1, m2 = pyds.read_manifest(out, 1), pyds.read_manifest(out, 2)
+    assert (m1["rows"], m2["rows"]) == (1000, 1500)
+    assert m2["parent"] == 1 and m1["parent"] is None
+    # latest pointer == newest snapshot
+    assert pyds.read_manifest(out) == m2
+    # time-travel reads resolve exactly each snapshot's file set
+    assert pyds.read_versioned(spark, out, 1).count() == 1000
+    assert pyds.read_versioned(spark, out).count() == 1500
+    # v3: overwrite starts a new lineage; old snapshots stay readable
+    pyds.read_feeder(spark, n=200, parts=1).write.format(pyds.FORMAT_NAME).mode(
+        "overwrite"
+    ).save(out)
+    assert pyds.list_versions(out) == [1, 2, 3]
+    m3 = pyds.read_manifest(out, 3)
+    assert m3["rows"] == 200 and m3["parent"] is None
+    assert pyds.read_versioned(spark, out, 2).count() == 1500
+
+
+def test_write_parquet_max_records_per_file(spark, tmp_path):
+    import glob
+
+    from lrmr_spark.sources import write_parquet
+
+    out = str(tmp_path / "sized")
+    df = spark.range(10_000).coalesce(1)
+    write_parquet(df, out, max_records_per_file=1_000)
+    files = glob.glob(f"{out}/*.parquet")
+    # one writing task, but the cap splits output into ≥10 scan units
+    assert len(files) >= 10
+    assert spark.read.parquet(out).count() == 10_000
