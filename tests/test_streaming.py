@@ -341,3 +341,44 @@ def test_available_now_matches_continuous(spark, sf_dir, events_stream):
     want = {tuple(r) for r in continuous.collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    # The operational core of incremental pipelines at scale: a stopped
+    # query restarted with the SAME checkpointLocation resumes from its
+    # committed source offsets — already-processed files are never
+    # re-emitted, new files are picked up exactly once.
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.range(0, 100).selectExpr("id", "id * 2 AS v").write.mode(
+        "append"
+    ).parquet(src)
+
+    def drain():
+        q = (
+            spark.readStream.schema("id bigint, v bigint")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    drain()
+    first = spark.read.parquet(sink).count()
+    assert first == 100
+
+    # second batch of source files; restart from the same checkpoint
+    spark.range(1000, 1050).selectExpr("id", "id * 2 AS v").write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    out = spark.read.parquet(sink)
+    assert out.count() == 150  # no re-processing of batch 1
+    assert out.where("id >= 1000").count() == 50
