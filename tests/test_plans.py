@@ -335,3 +335,46 @@ def test_incremental_agg_merge_on_group_key(spark):
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan  # both sides pre-aggregate map-side
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
+    # Runtime-filter join pruning: when a shuffle join's build side is
+    # selectively filtered, Spark injects a bloom_filter_agg on the
+    # build keys and semi-filters the probe-side SCAN before the
+    # shuffle — at 100 TB this prunes most of the fact table's shuffle
+    # I/O. The application-side threshold defaults to 10GB (it only
+    # pays off on big scans), so simulate at-scale input sizes by
+    # lowering it; everything else is default behavior.
+    from lrmr_spark.tables import load
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, SF, "lineitem")
+        orders = load(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, opt
+        assert "might_contain" in opt, opt  # probe side consumes the filter
+        [row] = j.collect()
+        assert row["count"] > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
