@@ -133,3 +133,19 @@ def streaming_backfill_available_now(spark, sf_dir):
     return ST.run_available_now(
         ST.tumbling_counts(ST.stream_events(spark, sf_dir)), name, output_mode="append"
     )
+
+
+@query("streaming_interval_join_left_outer")  # rows-only: watermark-gated null emission
+def streaming_interval_join_left_outer(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join executed end-to-end:
+    matched views emit with their click, unmatched views emit ONCE with
+    NULL click columns after the watermark proves no match can arrive.
+    Superset/agreement with the inner join is asserted in
+    tests/test_streaming.py::test_left_outer_interval_join."""
+    name = f"cat_lojoin_{uuid.uuid4().hex[:8]}"
+    return ST.run_to_memory(
+        ST.view_click_left_outer_join(
+            ST.stream_events(spark, sf_dir), ST.stream_events(spark, sf_dir)
+        ),
+        name,
+    )

@@ -41,6 +41,7 @@ __all__ = [
     "stateful_seen_filter",
     "stateful_ewma",
     "view_click_interval_join",
+    "view_click_left_outer_join",
     "static_enrich_counts",
     "run_to_memory",
     "run_available_now",
@@ -358,6 +359,54 @@ def view_click_interval_join(
         & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {gap}"))
     )
     return views.join(clicks, cond).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        (F.unix_timestamp("c_ts") - F.unix_timestamp("v_ts")).alias("delta_s"),
+    )
+
+
+def view_click_left_outer_join(
+    views_src: DataFrame,
+    clicks_src: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every view emits — with
+    its matching click(s) inside ``gap``, or ONCE with NULL click
+    columns after the click-side watermark passes view.ts + gap and no
+    match arrived. The "did the funnel step NOT happen" query, which an
+    inner join cannot answer on a stream.
+
+    The outer (null-extended) row cannot be emitted eagerly: the match
+    might still arrive. Spark holds the view in join state and emits
+    the null row only when the watermark PROVES no future click can
+    match — the same eviction bound as the inner join, so state stays
+    proportional to gap + watermark, never the stream history."""
+    views = (
+        views_src.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    clicks = (
+        clicks_src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    cond = (
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {gap}"))
+    )
+    return views.join(clicks, cond, "leftOuter").select(
         F.col("v_user").alias("user_id"),
         "view_id",
         "click_id",

@@ -382,3 +382,29 @@ def test_checkpoint_resume_exactly_once(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 150  # no re-processing of batch 1
     assert out.where("id >= 1000").count() == 50
+
+
+def test_left_outer_interval_join(spark, sf_dir):
+    inner = ST.run_to_memory(
+        ST.view_click_interval_join(
+            ST.stream_events(spark, sf_dir), ST.stream_events(spark, sf_dir)
+        ),
+        "t_ij_inner",
+    ).collect()
+    outer = ST.run_to_memory(
+        ST.view_click_left_outer_join(
+            ST.stream_events(spark, sf_dir), ST.stream_events(spark, sf_dir)
+        ),
+        "t_ij_outer",
+    ).collect()
+    inner_set = {(r["view_id"], r["click_id"]) for r in inner}
+    matched = {(r["view_id"], r["click_id"]) for r in outer if r["click_id"] is not None}
+    nulls = [r for r in outer if r["click_id"] is None]
+    # every inner match appears identically in the outer result...
+    assert matched == inner_set
+    # ...plus null-extended rows for views the watermark proved unmatched
+    assert len(nulls) > 0
+    assert all(r["delta_s"] is None for r in nulls)
+    # a view emits either matched rows or one null row, never both
+    matched_views = {v for v, _ in matched}
+    assert all(r["view_id"] not in matched_views for r in nulls)
