@@ -756,3 +756,62 @@ def feature_store_pit_join(spark, sf_dir):
         )
         .orderBy("label_id")
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges) t
+      GROUP BY node),
+    directed AS (
+      SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS src,
+             CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS dst
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v),
+    wedges AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM directed e1 JOIN directed e2 ON e1.dst = e2.src),
+    tri AS (
+      SELECT count(*) AS n_triangles FROM wedges w
+      WHERE EXISTS (SELECT 1 FROM directed d
+                    WHERE d.src = w.a AND d.dst = w.c))
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT n_triangles FROM tri) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Exact triangle count over the part co-purchase graph (edges =
+    part pairs bought together in ≥2 orders) via the degree-orientation
+    algorithm — see operators/graph.py:triangle_count for why the
+    orientation bounds wedge fanout by O(√m) per node and makes the
+    count skew-proof without salting. The graph-topology counterpart of
+    market_basket_pairs (which scores edges; this measures closure —
+    the clustering signal behind 'customers also bought' bundles)."""
+    from ..operators.graph import triangle_count
+
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        items.alias("a")
+        .join(items.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    return triangle_count(edges)

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_ppm"]
+__all__ = ["pagerank_ppm", "triangle_count"]
 
 
 def pagerank_ppm(
@@ -69,3 +69,57 @@ def pagerank_ppm(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> DataFrame:
+    """Exact triangle count over an undirected edge list via DEGREE
+    ORIENTATION — the MapReduce triangle algorithm (Suri &
+    Vassilvitskii, WWW'11; also Cohen's MapReduce graph kit).
+
+    Naive wedge enumeration joins edges on the shared endpoint: a hub
+    of degree d contributes d² wedges, so one celebrity node in a
+    100 TB graph emits 10¹² candidates. Orienting every edge from its
+    lower-(degree, id) endpoint to the higher one makes every node's
+    OUT-degree O(√m), which bounds total wedges by O(m^1.5) regardless
+    of skew — the orientation IS the skew handling, no salting needed.
+    Each triangle then appears exactly once (its lowest-ordered vertex
+    is the wedge center's predecessor), counted by one semi-join of
+    wedges against oriented edges.
+
+    Plan: two bounded joins against the degree table, one wedge
+    self-join on the orientation key, one left-semi closure check —
+    all shuffling (int, int) pairs only. Returns one row:
+    (n_nodes, n_edges, n_triangles).
+    """
+    e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    directed = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    e1 = directed.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = directed.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "b")
+    closing = directed.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["a", "c"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    return (
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(tri)
+    )
