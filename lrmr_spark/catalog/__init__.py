@@ -63,6 +63,7 @@ _PRIORITY = [
     "sample_split_hash",
     # corpus statistics / mixture reweighting
     "text_repetition_signals",
+    "corpus_curation_pipeline",
     # multimodal plumbing
     "multimodal_binary_meta",
     "multimodal_fake_decode",

@@ -545,3 +545,99 @@ def docs_lm_familiarity(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, source, text,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+      FROM documents),
+    kept AS (
+      SELECT doc_id, lang, source, text, len(tk) AS n_tok
+      FROM toks
+      WHERE length(text) >= 100
+        AND len(tk) >= 20
+        AND round(len(list_filter(tk, t -> t IN
+              ('the','a','an','of','and','or','to','in','is','it')))
+            / CAST(greatest(len(tk), 1) AS DOUBLE), 4) >= 0.01
+        AND round((length(text)
+            - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+            / CAST(greatest(length(text), 1) AS DOUBLE), 4) <= 0.30),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+          ORDER BY doc_id) AS rn
+        FROM kept) x WHERE rn = 1),
+    sampled AS (
+      SELECT doc_id, lang, source, n_tok FROM deduped
+      WHERE substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 2)
+            < (CASE WHEN lang = 'en' THEN '33' ELSE 'cc' END)),
+    packed AS (
+      SELECT doc_id, lang, source, n_tok,
+             coalesce(sum(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM sampled)
+    SELECT doc_id, lang, source, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(floor(cb / 256) AS BIGINT) AS chunk_id,
+           CAST(cb % 256 AS BIGINT) AS offset_in_chunk
+    FROM packed ORDER BY doc_id
+    """,
+)
+def corpus_curation_pipeline(spark, sf_dir):
+    """The END-TO-END curation pipeline as ONE composed plan — the
+    showcase that the catalog's operators are stages of a single
+    dataflow, not isolated demos: C4-style quality filter → exact
+    dedup (min-id representative per canonical fingerprint) →
+    content-hash stratified downsampling → per-shard sequence packing,
+    emitting each surviving document's (chunk, offset) in the training
+    context-window grid.
+
+    Scale shape of the composition: the filter and both hash decisions
+    are pure projections fused into the scan stage; dedup is the only
+    content-keyed shuffle (row_number over the fingerprint — document
+    bodies ride it once); the sample filter then SHRINKS the survivor
+    set before the packing window's per-shard shuffle. Stage order is
+    the point: filter-before-dedup cuts the fingerprint shuffle,
+    sample-before-pack cuts the window input — the same ordering a
+    100 TB curation run uses to keep every successive shuffle smaller
+    than the last."""
+    d = load(spark, sf_dir, "documents")
+    feats = TX.quality_features("text")
+    keep = (
+        (feats["n_chars"] >= 100)
+        & (feats["n_tokens"] >= 20)
+        & (feats["stopword_ratio"] >= 0.01)
+        & (feats["punct_ratio"] <= 0.30)
+    )
+    kept = d.filter(keep).select(
+        "doc_id", "lang", "source", "text", TX.token_count("text").alias("n_tok")
+    )
+    w_fp = Window.partitionBy(TX.fingerprint("text")).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(w_fp))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "text")
+    )
+    h2 = F.substring(
+        F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    cut = F.when(F.col("lang") == "en", "33").otherwise("cc")
+    sampled = deduped.filter(h2 < cut)
+    w_pack = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cb = F.coalesce(F.sum("n_tok").over(w_pack), F.lit(0))
+    return sampled.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        F.floor(cb / 256).cast("bigint").alias("chunk_id"),
+        (cb % 256).cast("bigint").alias("offset_in_chunk"),
+    ).orderBy("doc_id")

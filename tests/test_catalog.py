@@ -41,6 +41,8 @@ def test_every_query_has_oracle_or_is_documented_rows_only():
         "streaming_ewma",  # cross-batch numeric state
         "streaming_dropdup_watermark",  # bounded-state dedup semantics
         "streaming_mincount_sketch",  # incremental sketch-state semantics
+        "streaming_backfill_available_now",  # trigger/run-mode semantics
+        "streaming_interval_join_left_outer",  # watermark-gated null emission
 
         "dedup_minhash_lsh_fast",  # xxhash64 not reproducible in SQL
     }, rows_only
