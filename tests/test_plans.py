@@ -378,3 +378,13 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_curation_pipeline_exchange_budget(spark):
+    # the composed filter→dedup→sample→pack pipeline must cost exactly
+    # 3 exchanges: the fingerprint window (the only content-keyed
+    # shuffle), the per-shard packing window, and the final
+    # presentation sort — adding a 4th (e.g. an early orderBy or an
+    # unfused sample shuffle) is a composition regression
+    df = queries()["corpus_curation_pipeline"](spark, SF)
+    assert count_exchanges(df) == 3, physical_plan(df)
