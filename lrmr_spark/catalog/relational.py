@@ -1189,27 +1189,30 @@ def orders_abc_pareto(spark, sf_dir):
 
     The class boundaries are integer CROSS-MULTIPLIED (cum·10 ≤
     total·8), so no float share ever decides a boundary row. The
-    unpartitioned cumulative window runs over the per-customer
-    AGGREGATE (one row per customer), not raw orders — at 100 TB
-    that's still |customers| rows through one ordered pass; if even
-    that is too much, the same classing works on range-partitioned
-    rank buckets. Deterministic tie order (cents DESC, custkey)."""
+    running total uses the TWO-PHASE distributed cumsum
+    (operators/ranks.py): rows bucket by the bit-width of cents
+    (order-aligned with cents DESC), per-bucket offsets come from a
+    window over the ≤64-row bucket table, and the within-bucket cumsum
+    is hash-partitioned — no Exchange SinglePartition over the
+    |customers|-row frame, same exact values. Deterministic tie order
+    (cents DESC, custkey)."""
+    from ..operators.ranks import bit_width_bucket, with_global_cumsum
+
     o = load(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.expr("cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)").alias(
             "cents"
         )
     )
-    wcum = (
-        W.orderBy(F.col("cents").desc(), "o_custkey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    ranked = rev.select(
-        "o_custkey",
+    total = rev.agg(F.sum("cents").cast("bigint").alias("total_cents"))
+    ranked = with_global_cumsum(
+        rev,
         "cents",
-        F.sum("cents").over(wcum).alias("cum_cents"),
-        F.sum("cents").over(W.partitionBy()).alias("total_cents"),
-    )
+        bucket=bit_width_bucket("cents"),
+        order_cols=[F.col("cents").desc(), F.col("o_custkey")],
+        out_col="cum_cents",
+        bucket_desc=True,
+    ).crossJoin(F.broadcast(total))
     classed = ranked.select(
         "o_custkey",
         "cents",
@@ -1240,12 +1243,16 @@ def orders_abc_pareto(spark, sf_dir):
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS monetary_cents
       FROM orders GROUP BY o_custkey),
+    n AS (SELECT count(*) AS n FROM per_cust),
     scored AS (
       SELECT o_custkey,
-             ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
-             ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
-             ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS m_score
-      FROM per_cust)
+             1 + (5 * (row_number() OVER (ORDER BY last_order, o_custkey) - 1))
+                 // n.n AS r_score,
+             1 + (5 * (row_number() OVER (ORDER BY frequency, o_custkey) - 1))
+                 // n.n AS f_score,
+             1 + (5 * (row_number() OVER (ORDER BY monetary_cents, o_custkey) - 1))
+                 // n.n AS m_score
+      FROM per_cust, n)
     SELECT CAST(r_score AS BIGINT) AS r_score,
            CAST(f_score AS BIGINT) AS f_score,
            CAST(m_score AS BIGINT) AS m_score,
@@ -1259,12 +1266,18 @@ def customer_rfm_segments(spark, sf_dir):
     cents) via equi-depth quintiles, then counted per (R,F,M) cell —
     the marketing-segmentation standard.
 
-    ntile ties are pinned with a custkey tie-break in every ORDER BY
-    (equi-depth bucketing is otherwise nondeterministic across
-    engines/partitionings — the same discipline as
-    window_ntile_buckets). The three windows run over the per-customer
-    aggregate (|customers| rows), not raw orders; the output is the
-    bounded 5×5×5 cube."""
+    Quintiles are the RANK-THRESHOLD form 1 + (5·(rank−1)) DIV n —
+    same equi-depth cells as ntile up to remainder-row placement,
+    chosen because a rank is computable with the TWO-PHASE distributed
+    pattern (operators/ranks.py): order-aligned coarse buckets
+    (64-day grid for recency, bit-width for frequency/monetary),
+    per-bucket offsets from a ≤bounded bucket table, hash-partitioned
+    within-bucket row_number — no Exchange SinglePartition over the
+    |customers|-row frame. Ties pinned with the custkey tie-break in
+    every ordering, so ranks are a total order and the result is
+    engine-exact."""
+    from ..operators.ranks import bit_width_bucket, with_global_rank
+
     o = load(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
@@ -1273,14 +1286,30 @@ def customer_rfm_segments(spark, sf_dir):
             "cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)"
         ).alias("monetary_cents"),
     )
-    scored = per_cust.select(
+    n = per_cust.agg(F.count(F.lit(1)).alias("n"))
+    ranked = with_global_rank(
+        per_cust,
+        bucket=F.expr("datediff(last_order, date'1990-01-01') div 64").cast("bigint"),
+        order_cols=[F.col("last_order"), F.col("o_custkey")],
+        out_col="r_rnk",
+    )
+    ranked = with_global_rank(
+        ranked,
+        bucket=bit_width_bucket("frequency"),
+        order_cols=[F.col("frequency"), F.col("o_custkey")],
+        out_col="f_rnk",
+    )
+    ranked = with_global_rank(
+        ranked,
+        bucket=bit_width_bucket("monetary_cents"),
+        order_cols=[F.col("monetary_cents"), F.col("o_custkey")],
+        out_col="m_rnk",
+    )
+    scored = ranked.crossJoin(F.broadcast(n)).select(
         "o_custkey",
-        F.ntile(5).over(W.orderBy("last_order", "o_custkey")).cast("bigint").alias("r_score"),
-        F.ntile(5).over(W.orderBy("frequency", "o_custkey")).cast("bigint").alias("f_score"),
-        F.ntile(5)
-        .over(W.orderBy("monetary_cents", "o_custkey"))
-        .cast("bigint")
-        .alias("m_score"),
+        F.expr("1 + (5 * (r_rnk - 1)) div n").alias("r_score"),
+        F.expr("1 + (5 * (f_rnk - 1)) div n").alias("f_score"),
+        F.expr("1 + (5 * (m_rnk - 1)) div n").alias("m_score"),
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")

@@ -1,0 +1,101 @@
+"""Distributed EXACT global ranks and cumulative sums.
+
+An unpartitioned window (``Window.orderBy`` with no ``partitionBy``)
+compiles to ``Exchange SinglePartition`` — the whole frame funnels
+through ONE task, the classic scale-killer for global ranking or
+running totals over data-proportional rows (fine over bounded frames
+like a 64-row bucket table or the day spine; fatal over customers or
+events at 100 TB).
+
+These helpers compute the SAME exact results with the two-phase
+pattern MPP engines use for global ordering:
+
+1. bucket every row by a coarse ORDER-ALIGNED key — a monotone
+   function of the leading sort key, e.g. integer bit-width for
+   positive values — so all rows of one bucket sort entirely before
+   all rows of the next;
+2. aggregate per-bucket counts/sums (a BOUNDED table: ≤64 log2
+   buckets) and compute each bucket's running offset with a window
+   over that bounded table only;
+3. rank/cumsum within each bucket under a hash-partitioned window and
+   add the bucket's offset.
+
+Exactness requires only monotone alignment between bucket and order;
+within-bucket skew degrades parallelism, never correctness — refine
+the bucket (more key bits) if one value band dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["bit_width_bucket", "with_global_cumsum", "with_global_rank"]
+
+
+def bit_width_bucket(col: Column | str) -> Column:
+    """Order-aligned coarse bucket for POSITIVE integers: the bit width
+    of the value (≤64 buckets for any bigint). Monotone: every value of
+    width w+1 exceeds every value of width w."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.conv(c, 10, 2)).cast("bigint")
+
+
+def _offsets(
+    per_bucket: DataFrame, agg_col: str, bucket_desc: bool
+) -> DataFrame:
+    order = F.col("_bkt").desc() if bucket_desc else F.col("_bkt").asc()
+    # bounded frame: one row per bucket — the single-partition window
+    # here runs over ≤64 rows by construction, never the data
+    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    return per_bucket.select(
+        "_bkt", F.coalesce(F.sum(agg_col).over(w), F.lit(0)).alias("_boff")
+    )
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    value_col: str,
+    bucket: Column,
+    order_cols: list[Column],
+    out_col: str = "cum",
+    bucket_desc: bool = False,
+) -> DataFrame:
+    """Exact running total of ``value_col`` in the global order given by
+    ``order_cols`` — without a single-partition window over the data.
+    ``bucket`` must be order-aligned with the leading sort key;
+    ``bucket_desc=True`` when that key is descending."""
+    b = df.withColumn("_bkt", bucket)
+    per = b.groupBy("_bkt").agg(F.sum(value_col).alias("_bsum"))
+    off = _offsets(per, "_bsum", bucket_desc)
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        b.join(F.broadcast(off), "_bkt")  # bounded by construction (≤64 buckets)
+        .withColumn(out_col, F.col("_boff") + F.sum(value_col).over(w_in))
+        .drop("_bkt", "_boff")
+    )
+
+
+def with_global_rank(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[Column],
+    out_col: str = "rnk",
+    bucket_desc: bool = False,
+) -> DataFrame:
+    """Exact global row_number in the order given by ``order_cols``
+    (make it a total order — include a unique tiebreak column) without
+    a single-partition window over the data."""
+    b = df.withColumn("_bkt", bucket)
+    per = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_bn"))
+    off = _offsets(per, "_bn", bucket_desc)
+    w_in = Window.partitionBy("_bkt").orderBy(*order_cols)
+    return (
+        b.join(F.broadcast(off), "_bkt")
+        .withColumn(out_col, F.col("_boff") + F.row_number().over(w_in))
+        .drop("_bkt", "_boff")
+    )

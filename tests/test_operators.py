@@ -280,3 +280,54 @@ def test_pagerank_ppm_path_golden(spark):
     assert got["b"] == (15 * 333333 + 85 * 666666) // 100
     assert got["a"] == got["c"] == (15 * 333333 + 85 * 166666) // 100
     assert got["b"] > got["a"]
+
+
+def test_two_phase_rank_and_cumsum_match_naive_window(spark):
+    # the two-phase distributed forms must equal the single-partition
+    # window formulation exactly, including ties broken by the id
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lrmr_spark.operators.ranks import (
+        bit_width_bucket,
+        with_global_cumsum,
+        with_global_rank,
+    )
+
+    df = spark.range(1, 2001).select(
+        F.col("id"), ((F.col("id") * 2654435761) % 997 + 1).alias("v")
+    )
+    naive_rank = df.withColumn(
+        "rnk", F.row_number().over(Window.orderBy("v", "id"))
+    )
+    got_rank = with_global_rank(
+        df, bucket=bit_width_bucket("v"), order_cols=[F.col("v"), F.col("id")]
+    )
+    assert (
+        naive_rank.join(got_rank, "id")
+        .filter(naive_rank.rnk != got_rank.rnk)
+        .count()
+        == 0
+    )
+
+    naive_cum = df.withColumn(
+        "cum",
+        F.sum("v").over(
+            Window.orderBy(F.col("v").desc(), "id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    got_cum = with_global_cumsum(
+        df,
+        "v",
+        bucket=bit_width_bucket("v"),
+        order_cols=[F.col("v").desc(), F.col("id")],
+        bucket_desc=True,
+    )
+    assert (
+        naive_cum.join(got_cum, "id")
+        .filter(naive_cum.cum != got_cum.cum)
+        .count()
+        == 0
+    )

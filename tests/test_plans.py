@@ -388,3 +388,18 @@ def test_curation_pipeline_exchange_budget(spark):
     # unfused sample shuffle) is a composition regression
     df = queries()["corpus_curation_pipeline"](spark, SF)
     assert count_exchanges(df) == 3, physical_plan(df)
+
+
+def test_global_rank_cumsum_two_phase(spark):
+    # Pareto/RFM formerly ran unpartitioned windows over the
+    # per-customer frame (Exchange SinglePartition over |customers|
+    # rows — the global-ordering scale-killer). The two-phase rewrite
+    # (operators/ranks.py) leaves only BOUNDED single-partition sites:
+    # the ≤64-row bucket-offset window(s) and the 1-row total
+    # aggregate. Pin those counts — a reintroduced data-frame global
+    # window shows up as an extra SinglePartition exchange.
+    expected = {"orders_abc_pareto": 2, "customer_rfm_segments": 4}
+    for name, n_bounded in expected.items():
+        df = queries()[name](spark, SF)
+        plan = physical_plan(df)
+        assert plan.count("SinglePartition") == n_bounded, (name, plan)
