@@ -1385,20 +1385,24 @@ def events_watermark_lateness_audit(spark, sf_dir):
     the testdata arrives perfectly time-ordered, so the hash models a
     multi-source ingest where producers interleave arbitrarily (the
     worst case a watermark must absorb); the frontier is a running max
-    over that arrival sequence, reproducible in both engines. The audit window is unpartitioned BY DESIGN
-    here (the watermark is global); at 100 TB the same frontier is
-    computed per ingest shard and the shard frontiers min-merged — a
-    two-phase prefix max — while buckets and shares stay identical.
-    Shares are exact-integer ppm."""
+    over that arrival sequence, reproducible in both engines. The
+    frontier is computed with the TWO-PHASE prefix max
+    (operators/ranks.py:with_global_cummax): arrival keys bucket by
+    their first hex character (16 ordered buckets, lexicographically
+    aligned with the md5 ordering), earlier-bucket maxima merge through
+    the bounded bucket table, and the within-bucket running max is
+    hash-partitioned -- no single-partition pass over the event frame,
+    identical frontier values. Shares are exact-integer ppm."""
+    from ..operators.ranks import with_global_cummax
+
     ev = load(spark, sf_dir, "events")
-    arr = ev.select(
+    akey = F.md5(F.col("event_id").cast("string"))
+    arr = with_global_cummax(
+        ev.select("ts", "event_id"),
         "ts",
-        F.max("ts")
-        .over(
-            W.orderBy(F.md5(F.col("event_id").cast("string")), "event_id")
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
-        )
-        .alias("frontier"),
+        bucket=F.conv(F.substring(akey, 1, 1), 16, 10).cast("bigint"),
+        order_cols=[akey, F.col("event_id")],
+        out_col="frontier",
     )
     lat = arr.select(
         F.expr(

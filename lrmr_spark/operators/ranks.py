@@ -30,7 +30,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bit_width_bucket", "with_global_cumsum", "with_global_rank"]
+__all__ = [
+    "bit_width_bucket",
+    "with_global_cumsum",
+    "with_global_cummax",
+    "with_global_rank",
+]
 
 
 def bit_width_bucket(col: Column | str) -> Column:
@@ -77,6 +82,39 @@ def with_global_cumsum(
         b.join(F.broadcast(off), "_bkt")  # bounded by construction (≤64 buckets)
         .withColumn(out_col, F.col("_boff") + F.sum(value_col).over(w_in))
         .drop("_bkt", "_boff")
+    )
+
+
+def with_global_cummax(
+    df: DataFrame,
+    value_col: str,
+    bucket: Column,
+    order_cols: list[Column],
+    out_col: str = "cummax",
+    bucket_desc: bool = False,
+) -> DataFrame:
+    """Exact running MAXIMUM (prefix max) of ``value_col`` in the
+    global order given by ``order_cols`` — e.g. an event-time frontier
+    over a global arrival order — without a single-partition window
+    over the data. Each row's prefix max = greatest(max over all
+    strictly-earlier buckets, running max within its own bucket);
+    ``greatest`` ignores the NULL the first bucket sees."""
+    b = df.withColumn("_bkt", bucket)
+    per = b.groupBy("_bkt").agg(F.max(value_col).alias("_bmax"))
+    order = F.col("_bkt").desc() if bucket_desc else F.col("_bkt").asc()
+    w_off = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    off = per.select("_bkt", F.max("_bmax").over(w_off).alias("_bprev"))
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        b.join(F.broadcast(off), "_bkt")
+        .withColumn(
+            out_col, F.greatest(F.col("_bprev"), F.max(value_col).over(w_in))
+        )
+        .drop("_bkt", "_bprev")
     )
 
 

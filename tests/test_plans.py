@@ -398,7 +398,11 @@ def test_global_rank_cumsum_two_phase(spark):
     # the ≤64-row bucket-offset window(s) and the 1-row total
     # aggregate. Pin those counts — a reintroduced data-frame global
     # window shows up as an extra SinglePartition exchange.
-    expected = {"orders_abc_pareto": 2, "customer_rfm_segments": 4}
+    expected = {
+        "orders_abc_pareto": 2,
+        "customer_rfm_segments": 4,
+        "events_watermark_lateness_audit": 2,  # bucket window + total agg
+    }
     for name, n_bounded in expected.items():
         df = queries()[name](spark, SF)
         plan = physical_plan(df)
