@@ -1592,3 +1592,125 @@ def events_histogram_quantiles(spark, sf_dir):
         )
         .orderBy("event_type", "q")
     )
+
+
+@query(
+    "events_entry_paths",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    paths AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 3 GROUP BY user_id)
+    SELECT path, count(*) AS n_users FROM paths GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 20
+    """,
+)
+def events_entry_paths(spark, sf_dir):
+    """Entry-path mining: each user's FIRST THREE events joined into an
+    ordered path string, top-20 paths by user count — the onboarding
+    funnel-discovery query (which journeys actually happen, vs the
+    funnel you assumed).
+
+    Scale shape: rank-then-filter caps per-user state at 3 rows BEFORE
+    any aggregation — the path column never sees a user's full history,
+    so a 10-million-event bot costs the same as a 3-event user. One
+    user-keyed shuffle (window + groupBy co-partitioned), then a
+    bounded path-key aggregate (≤|event_types|³ paths) and top-20."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = (
+        ev.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20)
+    )
+
+
+@query(
+    "events_drift_report",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 'a' ELSE 'b' END AS period,
+             CAST(length(bin(greatest(CAST(round(value * 100) AS BIGINT), 1)))
+                  AS BIGINT) AS bucket
+      FROM events),
+    c AS (SELECT period, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+    t AS (SELECT period, sum(n) AS tot FROM c GROUP BY period),
+    s AS (SELECT bucket,
+                 coalesce(max(CASE WHEN c.period = 'a'
+                                   THEN n * 1000000 // tot END), 0) AS share_a_ppm,
+                 coalesce(max(CASE WHEN c.period = 'b'
+                                   THEN n * 1000000 // tot END), 0) AS share_b_ppm
+          FROM c JOIN t ON c.period = t.period GROUP BY bucket)
+    SELECT bucket, CAST(share_a_ppm AS BIGINT) AS share_a_ppm,
+           CAST(share_b_ppm AS BIGINT) AS share_b_ppm,
+           CAST(abs(share_a_ppm - share_b_ppm) AS BIGINT) AS drift_ppm
+    FROM s ORDER BY bucket
+    """,
+)
+def events_drift_report(spark, sf_dir):
+    """Distribution-drift report (the ML-ops data-drift check, PSI's
+    exact-integer cousin): the value distribution of period A
+    (first half-month) vs period B (second half) over the mergeable
+    log2 buckets, with per-bucket shares and absolute drift in ppm.
+    Integer shares sidestep PSI's ln() — the ranking of drifting
+    buckets is identical, and the report is engine-exact.
+
+    Scale shape: one scan → bounded (period × ≤64 bucket) aggregate
+    with map-side partials; totals join on the 2-row period table.
+    At 100 TB the same report runs per feature column from the same
+    histogram pass."""
+    ev = load(spark, sf_dir, "events")
+    period = F.when(
+        F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), "a"
+    ).otherwise("b")
+    bucket = (
+        F.length(
+            F.conv(
+                F.expr("greatest(cast(round(value * 100) as bigint), 1)"), 10, 2
+            )
+        ).cast("bigint")
+    )
+    c = (
+        ev.select(period.alias("period"), bucket.alias("bucket"))
+        .groupBy("period", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.groupBy("period").agg(F.sum("n").alias("tot"))
+    s = (
+        c.join(F.broadcast(t), "period")  # 2-row period totals
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("period") == "a", F.expr("n * 1000000 div tot"))),
+                F.lit(0),
+            ).alias("share_a_ppm"),
+            F.coalesce(
+                F.max(F.when(F.col("period") == "b", F.expr("n * 1000000 div tot"))),
+                F.lit(0),
+            ).alias("share_b_ppm"),
+        )
+    )
+    return s.select(
+        "bucket",
+        "share_a_ppm",
+        "share_b_ppm",
+        F.abs(F.col("share_a_ppm") - F.col("share_b_ppm")).alias("drift_ppm"),
+    ).orderBy("bucket")
