@@ -127,7 +127,16 @@ _registered: set[int] = set()
 
 
 def register(spark) -> None:
-    """Idempotently register the feeder format on this session."""
+    """Idempotently register the feeder format on this session.
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` at runtime:
+    Spark 4 hard-fails any Python reader that defines ``pushFilters``
+    when the conf is off, and sessions built outside :func:`get_spark`
+    (e.g. an external harness) won't have it set. The conf is
+    runtime-settable, so setting it here makes the source portable to
+    any session it is registered on.
+    """
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     key = id(spark)
     if key not in _registered:
         spark.dataSource.register(RangeFeederDataSource)
@@ -206,10 +215,17 @@ class _JsonlDirWriter(DataSourceWriter):
     def write(self, iterator):
         import json
         import os
+        import uuid
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
-        fname = f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.jsonl"
+        # taskAttemptId is unique only within one SparkContext; a second
+        # application appending to the same sink could reuse a filename
+        # and os.replace would clobber a file an older snapshot still
+        # references. A per-task uuid token keeps part names globally
+        # unique so published files are truly immutable.
+        token = uuid.uuid4().hex[:12]
+        fname = f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}-{token}.jsonl"
         os.makedirs(self.path, exist_ok=True)
         staged = os.path.join(self.path, "_staged-" + fname)
         n = 0
@@ -289,10 +305,13 @@ def list_versions(path: str) -> list[int]:
         entries = os.listdir(path)
     except FileNotFoundError:
         return []
+    # \d+ (not \d{5}): the zero-padding is for sort convenience only —
+    # at version 100000 the name grows to six digits and a fixed-width
+    # match would stop seeing it, making the next commit overwrite it.
     return sorted(
         int(m.group(1))
         for e in entries
-        if (m := re.fullmatch(r"_MANIFEST-v(\d{5})", e))
+        if (m := re.fullmatch(r"_MANIFEST-v(\d+)", e))
     )
 
 
