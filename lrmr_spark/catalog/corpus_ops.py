@@ -22,17 +22,17 @@ from pyspark.sql import functions as F
 from ..operators import text as TX
 from ..tables import load
 from . import query
+from .oracle_util import grams_expr
 
 # DuckDB order-preserving token list (mirrors operators.text.tokens)
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
 
 # DuckDB k-gram builder over a token list named ``toks`` (mirrors
-# operators.text.shingles: clamped inclusive slices, min one gram)
+# operators.text.shingles: clamped, min one gram). Bracket-slice-free —
+# explicit element concatenation is stable across DuckDB versions
+# (r2 gate hash mismatch traced to slice-semantics drift).
 def _grams_sql(k: int) -> str:
-    return (
-        f"list_transform(range(1, greatest(len(toks) - {k}, 0) + 2), "
-        f"i -> array_to_string(toks[i:i+{k - 1}], ' '))"
-    )
+    return grams_expr("toks", k)
 
 
 @query(
@@ -53,12 +53,12 @@ def _grams_sql(k: int) -> str:
             FROM counts GROUP BY doc_id)
     SELECT s.doc_id,
            CAST(s.n_tokens AS BIGINT) AS n_tokens,
-           CAST(s.n_tokens - s.n_distinct AS BIGINT) * 1000000
-             // greatest(s.n_tokens, 1) AS dup_token_ppm,
-           CAST(t.top_bigram_cnt AS BIGINT) * 1000000
-             // greatest(t.n_bigrams, 1) AS top_bigram_ppm,
-           CAST(s.n_g3 - s.n_g3_distinct AS BIGINT) * 1000000
-             // greatest(s.n_g3, 1) AS dup_trigram_ppm
+           CAST(CAST(s.n_tokens - s.n_distinct AS BIGINT) * 1000000
+             // greatest(s.n_tokens, 1) AS BIGINT) AS dup_token_ppm,
+           CAST(CAST(t.top_bigram_cnt AS BIGINT) * 1000000
+             // greatest(t.n_bigrams, 1) AS BIGINT) AS top_bigram_ppm,
+           CAST(CAST(s.n_g3 - s.n_g3_distinct AS BIGINT) * 1000000
+             // greatest(s.n_g3, 1) AS BIGINT) AS dup_trigram_ppm
     FROM stats s JOIN top t USING (doc_id)
     ORDER BY s.doc_id
     """,

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as DD
 from ..tables import load
 from . import query
+from .oracle_util import grams_expr
 
 _TOKS = "list_sort(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')))"
 
@@ -54,12 +55,12 @@ _MULTISET_ITEMS_SQL = """
 """
 
 # k=3 shingles over the raw token stream (order-sensitive), matching
-# operators.text.shingles: indices 1..max(n-3,0)+1, clamped slices
-_SHINGLE_ITEMS_SQL = """
+# operators.text.shingles: indices 1..max(n-3,0)+1, clamped. Built via
+# oracle_util.grams_expr (explicit element concat, no bracket slices —
+# slice semantics have drifted across DuckDB versions).
+_SHINGLE_ITEMS_SQL = f"""
       SELECT doc_id AS _id,
-             list_sort(list_distinct(list_transform(
-               range(1, greatest(len(toks) - 3, 0) + 2),
-               i -> array_to_string(toks[i:i+2], ' ')))) AS items
+             list_sort(list_distinct({grams_expr("toks", 3)})) AS items
       FROM (SELECT doc_id,
                    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
             FROM documents) raw

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ..operators import text as TX
 from ..tables import load
 from . import query
+from .oracle_util import grams_expr
 
 _STOP_SQL = "(" + ", ".join(f"'{s}'" for s in TX.STOPWORDS) + ")"
 
@@ -216,12 +217,12 @@ def docs_length_histogram(spark, sf_dir):
 _RAW_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
 
 # 4-gram strings over the raw token stream, mirroring
-# operators.text.shingles(k=4): indices 1..max(n-4,0)+1, clamped slices
+# operators.text.shingles(k=4): indices 1..max(n-4,0)+1, clamped.
+# Built via oracle_util.grams_expr (explicit element concat, no
+# bracket slices — slice semantics have drifted across DuckDB versions).
 _GRAMS4_SQL = f"""
   SELECT doc_id,
-         unnest(list_distinct(list_transform(
-           range(1, greatest(len(toks) - 4, 0) + 2),
-           i -> array_to_string(toks[i:i+3], ' ')))) AS g
+         unnest(list_distinct({grams_expr("toks", 4)})) AS g
   FROM (SELECT doc_id, {_RAW_TOKS} AS toks FROM documents) raw
 """
 
