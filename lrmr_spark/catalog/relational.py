@@ -1204,7 +1204,9 @@ def orders_abc_pareto(spark, sf_dir):
             "cents"
         )
     )
-    total = rev.agg(F.sum("cents").cast("bigint").alias("total_cents"))
+    # total_cents rides the cumsum's own bounded bucket table — a
+    # separate rev.agg() would re-evaluate the orders scan + per-
+    # customer aggregation a second time
     ranked = with_global_cumsum(
         rev,
         "cents",
@@ -1212,7 +1214,8 @@ def orders_abc_pareto(spark, sf_dir):
         order_cols=[F.col("cents").desc(), F.col("o_custkey")],
         out_col="cum_cents",
         bucket_desc=True,
-    ).crossJoin(F.broadcast(total))
+        total_col="total_cents",
+    )
     classed = ranked.select(
         "o_custkey",
         "cents",

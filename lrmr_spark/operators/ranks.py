@@ -39,11 +39,21 @@ __all__ = [
 
 
 def bit_width_bucket(col: Column | str) -> Column:
-    """Order-aligned coarse bucket for POSITIVE integers: the bit width
-    of the value (≤64 buckets for any bigint). Monotone: every value of
-    width w+1 exceeds every value of width w."""
+    """Order-aligned coarse bucket for integers: the bit width of the
+    value (≤64 buckets for any bigint). Monotone: every value of width
+    w+1 exceeds every value of width w.
+
+    Negatives collapse into bucket 0, below every non-negative bucket
+    (``conv`` would otherwise reinterpret them as unsigned 64-bit and
+    sort them ABOVE all positives — silently wrong ranks). Alignment
+    stays exact for any input; only parallelism degrades if one sign
+    dominates — refine the bucket in that case."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.length(F.conv(c, 10, 2)).cast("bigint")
+    return (
+        F.when(c < 0, F.lit(0))
+        .otherwise(F.length(F.conv(c, 10, 2)))
+        .cast("bigint")
+    )
 
 
 def _offsets(
@@ -65,14 +75,36 @@ def with_global_cumsum(
     order_cols: list[Column],
     out_col: str = "cum",
     bucket_desc: bool = False,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Exact running total of ``value_col`` in the global order given by
     ``order_cols`` — without a single-partition window over the data.
     ``bucket`` must be order-aligned with the leading sort key;
-    ``bucket_desc=True`` when that key is descending."""
+    ``bucket_desc=True`` when that key is descending.
+
+    ``total_col``: also attach the GRAND total of ``value_col`` as a
+    column of that name. It is summed over the same ≤64-row bucket
+    table and rides the same broadcast join — callers needing
+    cum/total shares avoid a second aggregation pass over the data."""
     b = df.withColumn("_bkt", bucket)
     per = b.groupBy("_bkt").agg(F.sum(value_col).alias("_bsum"))
     off = _offsets(per, "_bsum", bucket_desc)
+    if total_col is not None:
+        w_all = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        off = per.select(
+            "_bkt",
+            F.coalesce(
+                F.sum("_bsum").over(
+                    Window.orderBy(
+                        F.col("_bkt").desc() if bucket_desc else F.col("_bkt").asc()
+                    ).rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("_boff"),
+            F.sum("_bsum").over(w_all).alias(total_col),
+        )
     w_in = (
         Window.partitionBy("_bkt")
         .orderBy(*order_cols)

@@ -331,3 +331,54 @@ def test_two_phase_rank_and_cumsum_match_naive_window(spark):
         .count()
         == 0
     )
+
+
+def test_two_phase_rank_negative_values_and_total(spark):
+    # bit_width_bucket maps negatives into bucket 0 (conv() would
+    # reinterpret them as unsigned 64-bit and rank them above all
+    # positives); exactness must hold for mixed-sign inputs, and
+    # total_col must equal the grand sum without a second pass
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lrmr_spark.operators.ranks import (
+        bit_width_bucket,
+        with_global_cumsum,
+        with_global_rank,
+    )
+
+    df = spark.range(1, 501).select(
+        F.col("id"), ((F.col("id") * 2654435761) % 997 - 498).alias("v")
+    )
+    naive = df.withColumn(
+        "rnk", F.row_number().over(Window.orderBy("v", "id"))
+    )
+    got = with_global_rank(
+        df, bucket=bit_width_bucket("v"), order_cols=[F.col("v"), F.col("id")]
+    )
+    assert naive.join(got, "id").filter(naive.rnk != got.rnk).count() == 0
+
+    expected_total = df.agg(F.sum("v")).collect()[0][0]
+    got_cum = with_global_cumsum(
+        df,
+        "v",
+        bucket=bit_width_bucket("v"),
+        order_cols=[F.col("v"), F.col("id")],
+        total_col="total",
+    )
+    rows = got_cum.orderBy(F.col("cum").asc()).collect()
+    assert all(r["total"] == expected_total for r in rows)
+    naive_cum = df.withColumn(
+        "cum",
+        F.sum("v").over(
+            Window.orderBy("v", "id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    assert (
+        naive_cum.join(got_cum, "id")
+        .filter(naive_cum.cum != got_cum.cum)
+        .count()
+        == 0
+    )

@@ -399,7 +399,9 @@ def test_global_rank_cumsum_two_phase(spark):
     # aggregate. Pin those counts — a reintroduced data-frame global
     # window shows up as an extra SinglePartition exchange.
     expected = {
-        "orders_abc_pareto": 2,
+        # bucket-offset window only: the grand total rides the same
+        # bounded bucket table (total_col), no separate 1-row agg
+        "orders_abc_pareto": 1,
         "customer_rfm_segments": 4,
         "events_watermark_lateness_audit": 2,  # bucket window + total agg
     }
