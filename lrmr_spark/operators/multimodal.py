@@ -72,19 +72,27 @@ FEATURE_SCHEMA = (
 def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode/feature-extract via mapInPandas (Arrow batches).
 
-    Real codecs (PIL/ffmpeg/...) are not installed in this container:
-    with ``fake=False`` every batch raises NotImplementedError. With
-    ``fake=True`` a deterministic byte-statistics extractor exercises
-    the identical batch path: per-payload mean/min/max over raw bytes.
+    With ``fake=True`` a deterministic byte-statistics extractor
+    exercises the batch path: per-payload mean/min/max over raw bytes.
+    With ``fake=False`` the payloads are decoded as IMAGES via Pillow
+    when it is installed (probed at call time — optional_deps.has_pil);
+    the same statistics are computed over decoded grayscale pixel
+    values instead of raw bytes, through the identical Arrow plumbing.
+    Without Pillow the real path raises NotImplementedError.
     """
+    from ..optional_deps import has_pil
+
+    if not fake and not has_pil():
+        raise NotImplementedError(
+            "media decode requires Pillow (PIL), which is not installed; "
+            "pass fake=True for the deterministic byte-statistics stub"
+        )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "media decode requires image/audio codecs not present in "
-                    "this environment; pass fake=True for the deterministic stub"
-                )
+                yield _decode_images_pil(pdf)
+                continue
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload or b"")
@@ -105,6 +113,35 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+def _decode_images_pil(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Real image decode (runs only when Pillow is installed): payload
+    bytes → grayscale pixel statistics, same truncated-mean discipline
+    as the stub so both paths share FEATURE_SCHEMA."""
+    import io
+
+    from PIL import Image
+
+    rows = []
+    for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+        b = bytes(payload or b"")
+        px: list[int] = []
+        if b:
+            with Image.open(io.BytesIO(b)) as img:
+                px = list(img.convert("L").getdata())
+        rows.append(
+            {
+                "media_id": media_id,
+                "n_bytes": len(b),
+                "feat_mean": (sum(px) * 10000 // len(px)) / 10000 if px else 0.0,
+                "feat_min": min(px) if px else 0,
+                "feat_max": max(px) if px else 0,
+            }
+        )
+    return pd.DataFrame(
+        rows, columns=["media_id", "n_bytes", "feat_mean", "feat_min", "feat_max"]
+    )
+
+
 FRAME_SCHEMA = "media_id bigint, frame_no bigint, frame_bytes bigint, frame_md5 string"
 
 
@@ -115,11 +152,14 @@ def sample_frames(
     the video-pipeline primitive (sample k frames per clip for feature
     extraction) with the payload treated as a frame sequence.
 
-    Real frame extraction (ffmpeg keyframe seek) is not available in
-    this container: ``fake=False`` raises NotImplementedError per the
-    stub contract. ``fake=True`` treats the payload as fixed-size
-    ``frame_size``-byte frames and samples ``max_frames`` of them at
-    uniform stride — deterministic integer math, identical plumbing.
+    ``fake=True`` treats the payload as fixed-size ``frame_size``-byte
+    frames and samples ``max_frames`` of them at uniform stride —
+    deterministic integer math, identical plumbing. ``fake=False``
+    extracts REAL frames with the ffmpeg binary when it is installed
+    (probed at call time — optional_deps.has_ffmpeg): payload → temp
+    file → ffmpeg stride-sampled PNG frames → digest per frame, all
+    inside the task. Without ffmpeg the real path raises
+    NotImplementedError.
 
     At 100 TB: sampling happens INSIDE the UDF against the opaque
     payload, so only the sampled frames' digests/features leave the
@@ -128,13 +168,19 @@ def sample_frames(
     """
     import hashlib
 
+    from ..optional_deps import has_ffmpeg
+
+    if not fake and not has_ffmpeg():
+        raise NotImplementedError(
+            "frame sampling requires the ffmpeg binary, which is not "
+            "installed; pass fake=True for the deterministic stub"
+        )
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "frame sampling requires video codecs not present in "
-                    "this environment; pass fake=True for the stub"
-                )
+                yield _sample_frames_ffmpeg(pdf, max_frames)
+                continue
             rows = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload or b"")
@@ -158,3 +204,50 @@ def sample_frames(
             )
 
     return df.select("media_id", "payload").mapInPandas(extract, schema=FRAME_SCHEMA)
+
+
+def _sample_frames_ffmpeg(pdf: pd.DataFrame, max_frames: int) -> pd.DataFrame:
+    """Real frame extraction (runs only when ffmpeg is installed):
+    write each payload to a temp file, let ffmpeg decode and
+    stride-sample up to ``max_frames`` frames as PNGs, digest each.
+    Only digests/sizes leave the task — never decoded frames."""
+    import hashlib
+    import os
+    import subprocess
+    import tempfile
+
+    rows = []
+    for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+        b = bytes(payload or b"")
+        if not b:
+            continue
+        with tempfile.TemporaryDirectory() as td:
+            src = os.path.join(td, "clip")
+            with open(src, "wb") as f:
+                f.write(b)
+            subprocess.run(
+                [
+                    "ffmpeg", "-v", "error", "-i", src,
+                    "-vf", f"select='not(mod(n\\,{max(1, max_frames)}))'",
+                    "-vsync", "vfr", "-frames:v", str(max_frames),
+                    os.path.join(td, "f%03d.png"),
+                ],
+                check=True,
+                capture_output=True,
+            )
+            for no, name in enumerate(
+                sorted(n for n in os.listdir(td) if n.endswith(".png"))
+            ):
+                with open(os.path.join(td, name), "rb") as f:
+                    frame = f.read()
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "frame_no": no,
+                        "frame_bytes": len(frame),
+                        "frame_md5": hashlib.md5(frame).hexdigest(),
+                    }
+                )
+    return pd.DataFrame(
+        rows, columns=["media_id", "frame_no", "frame_bytes", "frame_md5"]
+    )

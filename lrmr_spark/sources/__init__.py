@@ -181,14 +181,26 @@ def write_bucketed(
 
 
 def read_delta(spark: SparkSession, path: str) -> DataFrame:
-    """Delta Lake reader — requires the delta-spark jars, not present in
-    this container; gated so imports of this module never fail."""
+    """Delta Lake reader — activates whenever the delta jars are on the
+    session classpath (e.g. a cluster launched with the delta-spark
+    package); gated so imports of this module never fail. The probe
+    (optional_deps.has_delta) sharpens the error: pip package present
+    but jars missing means the SESSION was built without them — they
+    must be on the classpath at JVM launch, not importable later."""
     try:
         return spark.read.format("delta").load(path)
     except Exception as exc:  # pragma: no cover - jar-dependent
-        raise NotImplementedError(
-            "Delta Lake requires the delta-spark package on the classpath"
-        ) from exc
+        from ..optional_deps import has_delta
+
+        hint = (
+            "delta-spark is pip-installed but the jars are not on this "
+            "session's classpath — build the session with "
+            "delta.configure_spark_with_delta_pip() (jars must be set "
+            "at JVM launch)"
+            if has_delta()
+            else "Delta Lake requires the delta-spark package on the classpath"
+        )
+        raise NotImplementedError(hint) from exc
 
 
 def read_jdbc(
