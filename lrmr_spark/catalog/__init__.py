@@ -39,34 +39,48 @@ def query(name: str, oracle: str | Callable[[], str] | None = None):
 # streaming, TPC-H and this round's new operators first; redundant
 # window/scalar variants after the cut (they remain fully covered by
 # tools/check_oracle.py, which runs all entries).
+# ROTATION (r3): the first ~30 slots are the load-bearing one-per-
+# family/algorithm set and stay put; the tail rotates each round so
+# queries that never had an official driver row accumulate them (142
+# catalog entries had none after r2 — this window gives 20 of them
+# their first official row). Rotated out (all with 2 rounds of green
+# official rows; still fully covered by tools/check_oracle.py):
+# map_multiply, flatmap_double, filter_highqty, sort_concat_fold,
+# group_by_known_keys, shuffle_repartition_stable,
+# do_transform_bucketize, reduce_fold_alternating, topk_orders,
+# set_except_all_custkeys, pivot_status_qty, sql_passthrough_*,
+# tpch_q18_large_orders, dedup_tokenset, dedup_simhash,
+# ann_lsh_pruned_topk, embedding_cosine_dedup, text_token_stats,
+# text_langid, text_bpe_tokens, multimodal_fake_decode.
 _PRIORITY = [
     "flagship_event_counts",
-    # dedup family (each entry is a distinct algorithm)
+    # dedup family (distinct algorithms)
     "dedup_exact",
-    "dedup_tokenset",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_fast",
     "dedup_components",
-    "dedup_simhash",
+    "dedup_minhash_shingles",
+    "dedup_incremental",
+    "snapshot_diff",
     # similarity / ANN
     "ann_cosine_topk",
     "ann_lsh_buckets",
     "ann_ivf_topk",
-    "ann_lsh_pruned_topk",
-    "embedding_cosine_dedup",
-    # text analysis
-    "text_token_stats",
+    "ann_ivf_pruned_topk",
+    "embedding_kmeans_iter",
+    # text analysis / curation
     "text_quality_features",
-    "text_langid",
-    "text_bpe_tokens",
     "decontaminate_ngram_overlap",
     "sample_split_hash",
-    # corpus statistics / mixture reweighting
+    "text_tfidf_top_terms",
+    "text_pii_redaction",
+    "stratified_sample_by_lang",
+    "pack_sequences",
+    # corpus statistics
     "text_repetition_signals",
     "corpus_curation_pipeline",
     # multimodal plumbing
     "multimodal_binary_meta",
-    "multimodal_fake_decode",
     # as-of / range joins, percentiles/sketches
     "asof_last_purchase",
     "range_join_error_context",
@@ -81,29 +95,26 @@ _PRIORITY = [
     "bucketed_join_orders",
     # TPC-H
     "tpch_q1",
-    "tpch_q18_large_orders",
-    # pipeline core (one per reference operator)
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    # pipeline core + custom source (arbitrary-user-code surface)
     "parallelize_kv_counts",
-    "map_multiply",
-    "flatmap_double",
-    "filter_highqty",
-    "sort_concat_fold",
-    "group_by_known_keys",
-    "shuffle_repartition_stable",
-    "do_transform_bucketize",
-    "reduce_fold_alternating",
-    "topk_orders",
-    # relational families
-    "join_multiway_region_revenue",
-    "set_except_all_custkeys",
-    "pivot_status_qty",
-    # custom Python DataSource feeder (Spark-4 source API parity)
     "python_datasource_feeder",
-    "sql_passthrough_nation_revenue",
-    # window + events (incl. this round's de-broadcast fix)
+    "feeder_route_do_pipeline",
+    # relational / SQL-surface
+    "join_multiway_region_revenue",
+    "orders_abc_pareto",
+    "customer_rfm_segments",
+    "recursive_cte_user_hierarchy",
+    "lateral_topk_orders",
+    "udtf_token_positions",
+    "graph_pagerank_parts",
+    # window + events
     "window_topk_per_customer",
     "events_sessionization",
-    "retention_cohorts",
+    "events_funnel_conversion",
+    "events_gapfill_daily",
+    "events_watermark_lateness_audit",
 ]
 
 

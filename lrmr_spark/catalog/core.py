@@ -282,3 +282,62 @@ def python_datasource_feeder(spark, sf_dir):
         )
         .orderBy("key")
     )
+
+
+@query(
+    "feeder_route_do_pipeline",
+    oracle="""
+    SELECT CAST((i * 2654435761) % 7 AS BIGINT) AS part_id,
+           count(*) AS cnt,
+           CAST(sum((i * 2654435761) % 1000) AS BIGINT) AS total_value,
+           CAST(sum(((i * 2654435761) % 1000) // 250) AS BIGINT) AS total_vbucket
+    FROM range(0, 10000) t(i)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def feeder_route_do_pipeline(spark, sf_dir):
+    """The reference's full "arbitrary user code" surface in ONE
+    pipeline: pluggable Feeder source (input/feeder.go:9-11) →
+    opaque Python partitioner (partitions/partitioner.go:16-19, the
+    DeterminePartition contract test/custom_partitioner.go:25-39) →
+    Transformer over Arrow batches (transformations.go:23-49) →
+    keyed reduce.
+
+    The do() stage stamps each row with its PHYSICAL partition id
+    (TaskContext), and the oracle recomputes the router formula
+    ((id·Knuth) MOD 7) in SQL — so the gate proves the opaque router
+    actually routed every row where it promised, not just that a
+    partitioning happened. The routed stage is the parity escape
+    hatch (one Python pass); everything around it stays JVM-side."""
+    from ..sources import pyds
+
+    knuth = 2654435761
+
+    def route(row):
+        return (row.id * knuth) % 7
+
+    def tag_batches(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for pdf in batches:
+            out = pdf.assign(part_id=pid, vbucket=pdf["value"] // 250)
+            yield out[["id", "value", "part_id", "vbucket"]]
+
+    return (
+        Pipeline(pyds.read_feeder(spark, n=10000, parts=8))
+        .partitioned_by_fn(7, route)
+        .do(
+            tag_batches,
+            schema="id bigint, value bigint, part_id bigint, vbucket bigint",
+        )
+        .group_by_key("part_id")
+        .reduce(
+            {
+                "cnt": F.count(F.lit(1)),
+                "total_value": F.sum("value"),
+                "total_vbucket": F.sum("vbucket"),
+            }
+        )
+        .df.orderBy("part_id")
+    )

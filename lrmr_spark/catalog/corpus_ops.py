@@ -481,16 +481,13 @@ def docs_chunk_windows(spark, sf_dir):
 
 @query(
     "docs_lm_familiarity",
-    oracle="""
+    oracle=f"""
     WITH raw AS (
       SELECT doc_id,
              list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
       FROM documents),
     bg AS (
-      SELECT doc_id,
-             unnest(list_transform(
-               range(1, greatest(len(toks) - 2, 0) + 2),
-               i -> array_to_string(toks[i:i+1], ' '))) AS b
+      SELECT doc_id, unnest({grams_expr("toks", 2)}) AS b
       FROM raw WHERE len(toks) >= 2),
     freq AS (
       SELECT b, count(*) AS n FROM bg GROUP BY b),

@@ -357,16 +357,14 @@ def snapshot_diff(spark, sf_dir):
 
 @query(
     "cross_doc_ngram_exposure",
-    oracle="""
+    oracle=f"""
     WITH raw AS (
       SELECT doc_id,
              list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
       FROM documents),
     dg AS (
       SELECT doc_id,
-             unnest(list_distinct(list_transform(
-               range(1, greatest(len(toks) - 5, 0) + 2),
-               i -> array_to_string(toks[i:i+4], ' ')))) AS g
+             unnest(list_distinct({grams_expr("toks", 5)})) AS g
       FROM raw),
     tot AS (SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY doc_id),
     sh AS (SELECT g FROM dg GROUP BY g HAVING count(DISTINCT doc_id) >= 2),

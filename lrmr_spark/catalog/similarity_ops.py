@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..operators import similarity as SIM
 from ..tables import load
 from . import query
+from .oracle_util import grams_expr
 
 _SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
@@ -414,7 +415,7 @@ def embedding_kmeans_iter(spark, sf_dir):
 
 @query(
     "text_sparse_dot_topk",
-    oracle="""
+    oracle=f"""
     WITH raw AS (
       SELECT doc_id,
              list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
@@ -422,10 +423,7 @@ def embedding_kmeans_iter(spark, sf_dir):
     tf AS (
       SELECT doc_id, g AS term, count(*) AS tf
       FROM (
-        SELECT doc_id,
-               unnest(list_transform(
-                 range(1, greatest(len(toks) - 3, 0) + 2),
-                 i -> array_to_string(toks[i:i+2], ' '))) AS g
+        SELECT doc_id, unnest({grams_expr("toks", 3)}) AS g
         FROM raw)
       GROUP BY doc_id, g),
     rare AS (
