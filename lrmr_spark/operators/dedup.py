@@ -185,31 +185,57 @@ def minhash_lsh_pairs(
     # 16 minima fold via map-side-combinable min() — no interpreted
     # higher-order-function lambdas in the hot path (HOF lambdas don't
     # codegen; the array-lambda formulation measured 25× slower).
-    hasher = _fast_hash if fast else _portable_hash
     if unit == "shingles":
         from .text import shingles
 
-        exploded = df.select(
+        items_df = df.select(
             F.col(id_col).alias("_id"),
             F.explode_outer(shingles(text_col, shingle_k)).alias("_item"),
         ).dropDuplicates(["_id", "_item"])
-        hashed = exploded.select(
-            "_id",
-            "_item",
-            *[hasher(s, F.col("_item")).alias(f"_h{s}") for s in range(num_hashes)],
-        )
     elif unit == "multiset":
         exploded = df.select(
             F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok")
         )
         item = F.concat(F.col("_tok"), F.lit(":"), F.col("_cnt"))
-        hashed = exploded.groupBy("_id", "_tok").agg(F.count(F.lit(1)).alias("_cnt")).select(
-            "_id",
-            item.alias("_item"),
-            *[hasher(s, item).alias(f"_h{s}") for s in range(num_hashes)],
+        items_df = (
+            exploded.groupBy("_id", "_tok")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .select("_id", item.alias("_item"))
         )
     else:
         raise ValueError(f"unknown unit {unit!r} (expected 'multiset' or 'shingles')")
+    if fast:
+        # Hash every item string to a 64-bit id ONCE; the 16 seeded
+        # hashes then fold over the 8-byte id, and the verify join
+        # intersects long arrays instead of ~70-byte strings — item
+        # strings never leave this projection. A 64-bit item-id
+        # collision inside one candidate pair's union could nudge its
+        # Jaccard (p ≈ n²·2⁻⁶⁴ per pair) — the fast path's accepted
+        # trade, same class as its collapsed band keys. NULL guard:
+        # explode_outer emits NULL for empty docs and xxhash64 would
+        # hash it to a real long, turning [] into a one-item doc.
+        hashed = items_df.select(
+            "_id",
+            F.when(
+                F.col("_item").isNull(), F.lit(None).cast("bigint")
+            ).otherwise(F.xxhash64("_item")).alias("_iid"),
+        ).select(
+            "_id",
+            F.col("_iid").alias("_item"),
+            *[
+                F.xxhash64(F.lit(s), "_iid").alias(f"_h{s}")
+                for s in range(num_hashes)
+            ],
+        )
+    else:
+        hashed = items_df.select(
+            "_id",
+            "_item",
+            *[
+                _portable_hash(s, F.col("_item")).alias(f"_h{s}")
+                for s in range(num_hashes)
+            ],
+        )
     per_doc = hashed.groupBy("_id").agg(
         F.array_sort(F.collect_list("_item")).alias("items"),
         *[F.min(f"_h{s}").alias(f"_h{s}") for s in range(num_hashes)],
@@ -219,8 +245,11 @@ def minhash_lsh_pairs(
     # the tokenize→count→collect pipeline per reference (measured 5×
     # slowdown at sf0.1). One row per unique multiset — small relative
     # to the corpus; the default storage level spills safely at scale.
+    # fast: xxhash64 hashes the sorted long array directly (hash
+    # functions support complex types); portable: md5 over the joined
+    # string items, reproducible in DuckDB
     fp = (
-        F.xxhash64(F.array_join("items", " "))
+        F.xxhash64(F.col("items"))
         if fast
         else F.md5(F.array_join("items", " "))
     )
@@ -297,7 +326,11 @@ def minhash_lsh_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b", max_iter: int = 25
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+    algorithm: str = "hashmin",
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → cluster
     assignment: every node labeled with the MIN id reachable from it
@@ -309,14 +342,24 @@ def connected_components(
     clusters are cliques or short chains from the LSH band structure),
     so 3-5 rounds in practice. Per round: one join + one groupBy-min,
     both shuffling only (id, label) longs; lineage is truncated with a
-    localCheckpoint per round so plans don't grow unboundedly. For
-    adversarial long-chain graphs use the large-star/small-star variant
-    (same primitive ops); dedup graphs don't need it.
+    localCheckpoint per round so plans don't grow unboundedly.
+
+    ``algorithm="star"`` switches to alternating large-star/small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): converges in O(log n) rounds on ANY graph shape
+    — the variant for adversarial long-chain/high-diameter graphs,
+    where HashMin needs O(diameter) rounds. Dedup graphs (shallow
+    cliques/short chains from LSH banding) don't need it; property
+    tests pin both variants label-equal.
 
     Output: (id, comp) for every id appearing in ``pairs``. Singleton
     documents (no near-dup edge) are their own component and are left
     out — callers union them back if needed.
     """
+    if algorithm == "star":
+        return _connected_components_star(pairs, a_col, b_col, max_iter)
+    if algorithm != "hashmin":
+        raise ValueError(f"unknown algorithm {algorithm!r} ('hashmin' or 'star')")
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     both = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -344,6 +387,84 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def _connected_components_star(
+    pairs: DataFrame, a_col: str, b_col: str, max_iter: int
+) -> DataFrame:
+    """Alternating large-star/small-star rounds (Kiveris et al.,
+    SoCC'14). Invariant: the edge set is kept directed large→small and
+    distinct. Per round:
+
+    - large-star: over BOTH directions of every edge, each node u
+      computes m = min(N(u) ∪ {u}) and links every strictly LARGER
+      neighbor to m (plus its own u→m link — redundant but safe, both
+      endpoints stay inside u's component, and it speeds propagation).
+    - small-star: over the large→small edges, each node u links every
+      smaller neighbor (and itself) to m = min of that set.
+
+    Both steps are one groupBy-min + one broadcast-free join shuffling
+    (id, id) longs; lineage truncates per round via localCheckpoint.
+    Converges in O(log n) rounds on any shape — including paths, where
+    HashMin needs O(n). Fixed point = forest of stars centered at the
+    component minima; convergence is detected by symmetric edge-set
+    difference (two anti-join counts on checkpointed frames)."""
+    edges = (
+        pairs.select(
+            F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbrs = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("_mn", F.col("u")).alias("m"))
+        )
+        ls = (
+            nbrs.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(
+                m.filter(F.col("u") != F.col("m")).select(
+                    "u", F.col("m").alias("v")
+                )
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        m2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        new_edges = (
+            ls.join(m2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(
+                m2.filter(F.col("u") != F.col("m")).select(
+                    "u", F.col("m").alias("v")
+                )
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        stable = (
+            new_edges.exceptAll(edges).count() == 0
+            and edges.exceptAll(new_edges).count() == 0
+        )
+        edges = new_edges
+        if stable:
+            break
+    comp = edges.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+    roots = (
+        edges.select(F.col("v").alias("id")).distinct().withColumn("comp", F.col("id"))
+    )
+    return comp.union(roots).groupBy("id").agg(F.min("comp").alias("comp"))
 
 
 def jaccard_pairs(

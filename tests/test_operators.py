@@ -382,3 +382,41 @@ def test_two_phase_rank_negative_values_and_total(spark):
         .count()
         == 0
     )
+
+
+def test_connected_components_star_long_chain(spark):
+    # a 200-node path is the adversarial case for HashMin (O(n) rounds);
+    # the large-star/small-star variant must label it in O(log n) rounds
+    from pyspark.sql import functions as F
+
+    from lrmr_spark.operators.dedup import connected_components
+
+    pairs = spark.range(199).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    got = connected_components(pairs, algorithm="star", max_iter=15).collect()
+    assert len(got) == 200
+    assert all(r["comp"] == 0 for r in got)
+
+
+def test_connected_components_star_matches_hashmin(spark):
+    # random multi-component graph: both algorithms must produce the
+    # identical (id -> min reachable id) labeling
+    from pyspark.sql import functions as F
+
+    from lrmr_spark.operators.dedup import connected_components
+
+    edges = [
+        (i, (i * 2654435761) % 40)
+        for i in range(40, 120)
+    ]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    star = {
+        r["id"]: r["comp"]
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    hashmin = {
+        r["id"]: r["comp"]
+        for r in connected_components(pairs, algorithm="hashmin").collect()
+    }
+    assert star == hashmin
