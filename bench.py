@@ -23,6 +23,7 @@ from lrmr_spark.session import get_spark
 
 # headline set: one per architectural family (scan+agg, multiway join,
 # window, sessionization, near-dedup, similarity, text, pipeline core)
+# FIXED across rounds — totals are compared round-over-round.
 HEADLINE = [
     "flagship_event_counts",
     "tpch_q1",
@@ -37,6 +38,14 @@ HEADLINE = [
     "dedup_minhash_lsh_fast",
     "ann_cosine_topk",
     "text_quality_features",
+]
+
+# reported but NOT in the headline total: the md5 MinHash keeps a
+# visible number so cross-round comparisons stay honest after r2
+# swapped the headline slot to the xxhash64 fast path (r1's headline
+# timed the md5 variant)
+EXTRAS = [
+    "dedup_minhash_lsh",
 ]
 
 
@@ -56,12 +65,15 @@ def main() -> None:
     qs["flagship_event_counts"](spark, sf_dir).count()
     qs["dedup_minhash_lsh_fast"](spark, "/root/testdata/sf0.001").count()
 
-    results: dict[str, float] = {}
-    for name in HEADLINE:
+    def timed(name: str) -> float:
         t0 = time.time()
         qs[name](spark, sf_dir).count()
-        results[name] = round(time.time() - t0, 3)
-        print(f"bench {name}: {results[name]}s", file=sys.stderr, flush=True)
+        sec = round(time.time() - t0, 3)
+        print(f"bench {name}: {sec}s", file=sys.stderr, flush=True)
+        return sec
+
+    results = {name: timed(name) for name in HEADLINE}
+    extras = {name: timed(name) for name in EXTRAS}
 
     total = round(sum(results.values()), 3)
     print(
@@ -71,6 +83,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": results,
+                "extras": extras,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
