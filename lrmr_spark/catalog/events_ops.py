@@ -710,39 +710,56 @@ def events_funnel_conversion(spark, sf_dir):
     analytics sequence-match primitive, grouped into daily signup
     cohorts with an exact-integer conversion ppm.
 
-    Scale shape: each step is one groupBy(user_id) aggregate joined to
-    the previous step's (user_id, ts) table — every join and every agg
-    shuffles on the SAME key, so the exchange is planned once and
-    reused (co-partitioned chain); per-step state is one timestamp per
-    user, never the event list. No window over the whole history, no
-    per-user event materialization — at 100 TB the funnel cost is
-    three scans + one user-keyed shuffle chain. Strictly-after + min()
-    semantics make the result order-insensitive and tie-proof."""
+    Scale shape: ONE scan of the 3 relevant event types and ONE
+    user_id exchange. The step chain (click window depends on
+    t_signup, purchase window on t_click) is expressed as three
+    sequential partition-wide conditional minima over the SAME
+    Window.partitionBy(user_id) — Catalyst plans one hash exchange and
+    chains the window operators on it. The naive formulation (each
+    step a groupBy joined to the previous step's table, the previous
+    step referenced twice) re-evaluated the events scan 12× because
+    every re-reference duplicates the whole subtree; per-user state
+    here is three timestamps, never the event list. Strictly-after +
+    min() semantics make the result order-insensitive and tie-proof."""
     ev = load(spark, sf_dir, "events")
     week = F.expr("INTERVAL 7 DAYS")
-    s = (
-        ev.filter(F.col("event_type") == "signup")
+    w = W.partitionBy("user_id")
+    base = ev.filter(
+        F.col("event_type").isin("signup", "click", "purchase")
+    ).select("user_id", "event_type", "ts")
+    t_signup = F.min(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    staged = base.withColumn("t_signup", t_signup)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t_signup"))
+            & (F.col("ts") <= F.col("t_signup") + week),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_click", t_click)
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + week),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        staged.withColumn("t_purchase", t_purchase)
+        .filter(F.col("t_signup").isNotNull())
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t_signup"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s, "user_id")
-        .filter((F.col("ts") > F.col("t_signup")) & (F.col("ts") <= F.col("t_signup") + week))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter((F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_click") + week))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
+        .agg(
+            F.max("t_signup").alias("t_signup"),
+            F.max("t_click").alias("t_click"),
+            F.max("t_purchase").alias("t_purchase"),
+        )
     )
     return (
-        s.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .groupBy(F.col("t_signup").cast("date").alias("cohort_day"))
+        per_user.groupBy(F.col("t_signup").cast("date").alias("cohort_day"))
         .agg(
             F.count(F.lit(1)).alias("n_signup"),
             F.count("t_click").alias("n_click"),
