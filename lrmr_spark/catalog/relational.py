@@ -1282,12 +1282,21 @@ def customer_rfm_segments(spark, sf_dir):
     from ..operators.ranks import bit_width_bucket, with_global_rank
 
     o = load(spark, sf_dir, "orders")
-    per_cust = o.groupBy("o_custkey").agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.expr(
-            "cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)"
-        ).alias("monetary_cents"),
+    # materialize the per-customer aggregate once: each chained
+    # with_global_rank references its input twice (bucket agg + join),
+    # so three chained ranks re-evaluated the orders scan 2³+1 = 9
+    # times (18 planned scans). Checkpoints linearize the chain — one
+    # orders scan, each rank's work done once.
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.expr(
+                "cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)"
+            ).alias("monetary_cents"),
+        )
+        .localCheckpoint(eager=True)
     )
     n = per_cust.agg(F.count(F.lit(1)).alias("n"))
     ranked = with_global_rank(
@@ -1295,13 +1304,13 @@ def customer_rfm_segments(spark, sf_dir):
         bucket=F.expr("datediff(last_order, date'1990-01-01') div 64").cast("bigint"),
         order_cols=[F.col("last_order"), F.col("o_custkey")],
         out_col="r_rnk",
-    )
+    ).localCheckpoint(eager=True)
     ranked = with_global_rank(
         ranked,
         bucket=bit_width_bucket("frequency"),
         order_cols=[F.col("frequency"), F.col("o_custkey")],
         out_col="f_rnk",
-    )
+    ).localCheckpoint(eager=True)
     ranked = with_global_rank(
         ranked,
         bucket=bit_width_bucket("monetary_cents"),

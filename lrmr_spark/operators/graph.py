@@ -42,7 +42,21 @@ def pagerank_ppm(
     plans stay flat (same pattern as connected_components). The node
     count is a driver scalar (one count() over the bounded node set) —
     the same driver-loop posture as the k-means operator."""
+    # materialize the edge list once: it is referenced every iteration
+    # (plus deg/nodes), and each lazy reference would re-evaluate the
+    # caller's whole edge-building subtree (e.g. a lineitem self-join)
+    # per iteration — measured 2× per round at sf1. The edge list is
+    # the algorithm's working set, small relative to its source tables.
+    edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # pre-join outdeg into the edge list ONCE: the loop then does one
+    # join + one aggregation per iteration instead of two joins (deg
+    # would otherwise be recomputed and re-joined every round)
+    edges = (
+        edges.join(deg, "src")
+        .select("src", "dst", "outdeg")
+        .localCheckpoint(eager=True)
+    )
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()
     teleport = 1_000_000 // max(n_nodes, 1)
@@ -53,7 +67,6 @@ def pagerank_ppm(
     for _ in range(iterations):
         contribs = (
             edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank_ppm DIV outdeg").alias("c"),
@@ -91,7 +104,14 @@ def triangle_count(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> Data
     all shuffling (int, int) pairs only. Returns one row:
     (n_nodes, n_edges, n_triangles).
     """
-    e = edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+    # materialize the edge list once: the degree/orientation/wedge/
+    # closure chain references it 18 times transitively, and every lazy
+    # reference re-evaluates the caller's edge-building subtree — for
+    # the co-purchase graph that planned 36 lineitem scans. Checkpoint
+    # collapses the plan to one edge build + (int,int) joins.
+    e = edges.select(
+        F.col(u_col).alias("u"), F.col(v_col).alias("v")
+    ).localCheckpoint(eager=True)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -110,6 +130,9 @@ def triangle_count(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> Data
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
+        # referenced 3× (both wedge sides + closure); materialize the
+        # orientation once instead of re-running the degree joins
+        .localCheckpoint(eager=True)
     )
     e1 = directed.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = directed.select(F.col("src").alias("b"), F.col("dst").alias("c"))
