@@ -1435,9 +1435,12 @@ def events_watermark_lateness_audit(spark, sf_dir):
         .alias("lateness")
     )
     counts = b.groupBy("lateness").agg(F.count(F.lit(1)).alias("n"))
-    total = b.select(F.count(F.lit(1)).alias("tot"))
+    # total = sum over the ≤5-row bucketed counts — a separate count()
+    # over b would re-evaluate the whole frontier pipeline (and its
+    # events scans) a second time
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return (
-        counts.crossJoin(F.broadcast(total))
+        counts.withColumn("tot", F.sum("n").over(w_all))
         .select(
             "lateness",
             "n",
