@@ -202,6 +202,21 @@ def dedup_components(spark, sf_dir):
     return DD.connected_components(pairs)
 
 
+@query("dedup_components_star", oracle=_components_oracle)
+def dedup_components_star(spark, sf_dir):
+    """The same cluster assignment computed by the alternating
+    large-star/small-star algorithm (Kiveris et al., SoCC'14) — the
+    O(log n)-round variant for adversarial high-diameter graphs, where
+    HashMin needs O(diameter) rounds. Shares dedup_components'
+    recursive-CTE oracle: two distributed algorithms and a SQL
+    transitive closure must all agree on every label."""
+    pairs = DD.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=16, bands=2, threshold=0.9,
+    )
+    return DD.connected_components(pairs, algorithm="star")
+
+
 @query("dedup_minhash_lsh_fast")  # rows-only: xxhash64 not reproducible in SQL
 def dedup_minhash_lsh_fast(spark, sf_dir):
     """Production MinHash+LSH: identical collapse→band→verify plan to
