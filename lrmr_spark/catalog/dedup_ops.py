@@ -217,6 +217,76 @@ def dedup_components_star(spark, sf_dir):
     return DD.connected_components(pairs, algorithm="star")
 
 
+def _minhash_match_oracle(
+    num_hashes: int = 16, bands: int = 2, threshold: float = 0.9
+) -> str:
+    rows = num_hashes // bands
+    sig_elems = ", ".join(
+        f"list_min(list_transform(items, t -> md5('{s}:' || t)))" for s in range(num_hashes)
+    )
+    band_elems = ", ".join(
+        "concat_ws('|', '%d', %s)" % (b, ", ".join(f"sig[{b * rows + r + 1}]" for r in range(rows)))
+        for b in range(bands)
+    )
+    return f"""
+    WITH items0 AS (
+      {_MULTISET_ITEMS_SQL}
+    ),
+    nreps AS (
+      SELECT min(_id) AS _id, any_value(items) AS items
+      FROM (SELECT _id, items, md5(array_to_string(items, ' ')) AS fp
+            FROM items0 WHERE _id % 5 = 0) f
+      GROUP BY fp
+    ), breps AS (
+      SELECT min(_id) AS _id, any_value(items) AS items
+      FROM (SELECT _id, items, md5(array_to_string(items, ' ')) AS fp
+            FROM items0 WHERE _id % 5 <> 0) f
+      GROUP BY fp
+    ), nsigs AS (
+      SELECT _id, items, [{sig_elems}] AS sig FROM nreps
+    ), bsigs AS (
+      SELECT _id, items, [{sig_elems}] AS sig FROM breps
+    ), nb AS (
+      SELECT _id, unnest([{band_elems}]) AS band FROM nsigs
+    ), bb AS (
+      SELECT _id, unnest([{band_elems}]) AS band FROM bsigs
+    ), cand AS (
+      SELECT DISTINCT l._id AS new_id, r._id AS base_id
+      FROM nb l JOIN bb r ON l.band = r.band
+    ), verified AS (
+      SELECT new_id, base_id,
+             round(len(list_intersect(a.items, b.items))
+                   / CAST(len(list_distinct(list_concat(a.items, b.items))) AS DOUBLE), 4)
+               AS jaccard
+      FROM cand JOIN nreps a ON cand.new_id = a._id
+                JOIN breps b ON cand.base_id = b._id
+    )
+    SELECT new_id, base_id, jaccard FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+@query("dedup_minhash_incremental", oracle=_minhash_match_oracle)
+def dedup_minhash_incremental(spark, sf_dir):
+    """Incremental NEAR-dedup: the day's new batch (doc_id MOD 5 = 0)
+    matched against the accumulated corpus (the rest) — band keys of
+    the new side join band keys of the base side only, never base
+    against itself. The near-dup upgrade of dedup_incremental's
+    exact-fingerprint anti-join: adding a crawl batch to a 100 TB
+    corpus costs O(new·B) band rows, not corpus². Oracle runs the
+    identical two-sided algorithm (same md5 seeds/banding/collapse)
+    in DuckDB."""
+    docs = load(spark, sf_dir, "documents")
+    return DD.minhash_lsh_match(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=2,
+        threshold=0.9,
+    )
+
+
 @query("dedup_minhash_lsh_fast")  # rows-only: xxhash64 not reproducible in SQL
 def dedup_minhash_lsh_fast(spark, sf_dir):
     """Production MinHash+LSH: identical collapse→band→verify plan to

@@ -31,6 +31,7 @@ __all__ = [
     "minhash_signature",
     "minhash_band_keys",
     "minhash_lsh_pairs",
+    "minhash_lsh_match",
     "connected_components",
     "jaccard_pairs",
     "simhash16",
@@ -137,49 +138,18 @@ def minhash_band_keys(sig: Column, num_hashes: int = 16, bands: int = 4) -> Colu
     )
 
 
-def minhash_lsh_pairs(
+def _minhash_reps(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_hashes: int = 16,
-    bands: int = 2,
-    threshold: float = 0.9,
-    unit: str = "multiset",
-    shingle_k: int = 3,
-    fast: bool = False,
-    eager: bool = True,
+    num_hashes: int,
+    unit: str,
+    shingle_k: int,
+    fast: bool,
 ) -> DataFrame:
-    """Near-dup *representative* pairs via MinHash+LSH with
-    exact-Jaccard verification over token-multiset items.
-
-    Plan shape (each step keeps shuffle rows narrow — the three design
-    rules that make this survive 100 TB):
-    1. items per doc (token:count multiset) → md5 fingerprint;
-       **collapse identical multisets** to one representative (min id)
-       first — exact-dup clusters would otherwise re-meet in every LSH
-       bucket and recreate the quadratic pair list LSH exists to avoid.
-    2. signature (narrow) → explode only B band keys per rep.
-    3. band self-join produces candidate **(id, id) pairs only** — item
-       arrays are re-attached by id afterwards, so the band shuffle
-       never carries document content.
-    4. exact multiset-Jaccard ≥ threshold on candidates only.
-    Output: (id_a, id_b, jaccard) over representatives, id_a < id_b.
-
-    ``unit`` selects the item representation:
-    - "multiset": token:count items — order-insensitive, catches word
-      shuffles; right for bag-of-words similarity and small vocabularies.
-    - "shingles": k-token shingles — order-sensitive, the standard
-      web-crawl/LLM-corpus near-dedup configuration (boilerplate edits
-      and truncations score high; reorderings don't).
-
-    ``fast=True`` swaps the oracle-portable md5 item hash for JVM
-    xxhash64 (no hex strings — the production path; measured large cut
-    on the signature stage). ``eager=True`` (default) materializes the
-    pair list via localCheckpoint and releases the persisted
-    representative table immediately — repeated calls in a long-lived
-    session no longer accumulate cached partitions. Pass eager=False
-    to keep the plan fully lazy (caller owns the persist lifetime).
-    """
+    """Representative table for MinHash: per unique item-multiset one
+    row (_id = min doc id, items, _h0.._hN signature minima). Shared by
+    the self-join pair finder and the incremental matcher."""
     # Signature computed inside the item aggregation: the per-item
     # md5s are plain (whole-stage-codegen'd) column expressions and the
     # 16 minima fold via map-side-combinable min() — no interpreted
@@ -240,11 +210,6 @@ def minhash_lsh_pairs(
         F.array_sort(F.collect_list("_item")).alias("items"),
         *[F.min(f"_h{s}").alias(f"_h{s}") for s in range(num_hashes)],
     )
-    # persist: the representative table is referenced four times (both
-    # band-join sides + both verify sides); without it Spark recomputes
-    # the tokenize→count→collect pipeline per reference (measured 5×
-    # slowdown at sf0.1). One row per unique multiset — small relative
-    # to the corpus; the default storage level spills safely at scale.
     # fast: xxhash64 hashes the sorted long array directly (hash
     # functions support complex types); portable: md5 over the joined
     # string items, reproducible in DuckDB
@@ -253,7 +218,7 @@ def minhash_lsh_pairs(
         if fast
         else F.md5(F.array_join("items", " "))
     )
-    reps = (
+    return (
         per_doc.withColumn("_fp", fp)
         .groupBy("_fp")
         .agg(
@@ -262,8 +227,11 @@ def minhash_lsh_pairs(
             *[F.first(f"_h{s}").alias(f"_h{s}") for s in range(num_hashes)],
         )
         .drop("_fp")
-        .persist()
     )
+
+
+def _band_keys(num_hashes: int, bands: int, fast: bool):
+    """Array column of LSH band keys over a rep row's _h columns."""
     rows_per_band = num_hashes // bands
     if fast:
         # fast path: collapse each band's hashes into ONE xxhash64 long
@@ -271,7 +239,7 @@ def minhash_lsh_pairs(
         # concat strings. A 64-bit band-key collision only ADDS a
         # candidate pair, and every candidate is exact-Jaccard
         # verified, so correctness is unaffected.
-        band_keys = F.array(
+        return F.array(
             *[
                 F.xxhash64(
                     F.lit(b),
@@ -283,21 +251,75 @@ def minhash_lsh_pairs(
                 for b in range(bands)
             ]
         )
-    else:
-        band_keys = F.array(
-            *[
-                F.concat_ws(
-                    "|",
-                    F.lit(str(b)),
-                    *[
-                        F.col(f"_h{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ],
-                )
-                for b in range(bands)
-            ]
-        )
-    banded = reps.select("_id", F.explode(band_keys).alias("_band"))
+    return F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[
+                    F.col(f"_h{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 2,
+    threshold: float = 0.9,
+    unit: str = "multiset",
+    shingle_k: int = 3,
+    fast: bool = False,
+    eager: bool = True,
+) -> DataFrame:
+    """Near-dup *representative* pairs via MinHash+LSH with
+    exact-Jaccard verification over token-multiset items.
+
+    Plan shape (each step keeps shuffle rows narrow — the three design
+    rules that make this survive 100 TB):
+    1. items per doc (token:count multiset) → md5 fingerprint;
+       **collapse identical multisets** to one representative (min id)
+       first — exact-dup clusters would otherwise re-meet in every LSH
+       bucket and recreate the quadratic pair list LSH exists to avoid.
+    2. signature (narrow) → explode only B band keys per rep.
+    3. band self-join produces candidate **(id, id) pairs only** — item
+       arrays are re-attached by id afterwards, so the band shuffle
+       never carries document content.
+    4. exact multiset-Jaccard ≥ threshold on candidates only.
+    Output: (id_a, id_b, jaccard) over representatives, id_a < id_b.
+
+    ``unit`` selects the item representation:
+    - "multiset": token:count items — order-insensitive, catches word
+      shuffles; right for bag-of-words similarity and small vocabularies.
+    - "shingles": k-token shingles — order-sensitive, the standard
+      web-crawl/LLM-corpus near-dedup configuration (boilerplate edits
+      and truncations score high; reorderings don't).
+
+    ``fast=True`` swaps the oracle-portable md5 item hash for JVM
+    xxhash64 (no hex strings — the production path; measured large cut
+    on the signature stage). ``eager=True`` (default) materializes the
+    pair list via localCheckpoint and releases the persisted
+    representative table immediately — repeated calls in a long-lived
+    session no longer accumulate cached partitions. Pass eager=False
+    to keep the plan fully lazy (caller owns the persist lifetime).
+    """
+    # persist: the representative table is referenced four times (both
+    # band-join sides + both verify sides); without it Spark recomputes
+    # the tokenize→count→collect pipeline per reference (measured 5×
+    # slowdown at sf0.1). One row per unique multiset — small relative
+    # to the corpus; the default storage level spills safely at scale.
+    reps = _minhash_reps(
+        df, id_col, text_col, num_hashes, unit, shingle_k, fast
+    ).persist()
+    banded = reps.select(
+        "_id", F.explode(_band_keys(num_hashes, bands, fast)).alias("_band")
+    )
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), on="_band")
@@ -322,6 +344,65 @@ def minhash_lsh_pairs(
         # long-lived session accumulate cached partitions forever
         out = out.localCheckpoint(eager=True)
         reps.unpersist()
+    return out
+
+
+def minhash_lsh_match(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 2,
+    threshold: float = 0.9,
+    unit: str = "multiset",
+    shingle_k: int = 3,
+    fast: bool = False,
+    eager: bool = True,
+) -> DataFrame:
+    """INCREMENTAL near-dedup: match a new batch against an existing
+    corpus, never the corpus against itself — the daily-crawl shape
+    (dedup_incremental's exact-fingerprint anti-join, upgraded to
+    near-dup). Band keys of the new batch join band keys of the base;
+    candidates are verified by exact Jaccard. Cost is O(new·B) band
+    rows plus the matched candidates — adding a day's crawl to a
+    100 TB corpus never pays the corpus×corpus bill, and in production
+    the base band index is a stored table written once
+    (sources.write_bucketed on _band), so only the NEW side is hashed
+    per batch.
+
+    Output: (new_id, base_id, jaccard) for every new representative
+    whose similarity to a base representative ≥ threshold."""
+    new_reps = _minhash_reps(
+        new_df, id_col, text_col, num_hashes, unit, shingle_k, fast
+    ).persist()
+    base_reps = _minhash_reps(
+        base_df, id_col, text_col, num_hashes, unit, shingle_k, fast
+    ).persist()
+    keys = _band_keys(num_hashes, bands, fast)
+    new_banded = new_reps.select("_id", F.explode(keys).alias("_band"))
+    base_banded = base_reps.select("_id", F.explode(keys).alias("_band"))
+    cand = (
+        new_banded.alias("l")
+        .join(base_banded.alias("r"), on="_band")
+        .select(F.col("l._id").alias("new_id"), F.col("r._id").alias("base_id"))
+        .distinct()
+    )
+    ia = new_reps.select(F.col("_id").alias("new_id"), F.col("items").alias("items_a"))
+    ib = base_reps.select(F.col("_id").alias("base_id"), F.col("items").alias("items_b"))
+    inter = F.size(F.array_intersect("items_a", "items_b"))
+    union = F.size(F.array_union("items_a", "items_b"))
+    out = (
+        cand.join(ia, "new_id")
+        .join(ib, "base_id")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "base_id", "jaccard")
+    )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        new_reps.unpersist()
+        base_reps.unpersist()
     return out
 
 

@@ -420,3 +420,25 @@ def test_connected_components_star_matches_hashmin(spark):
         for r in connected_components(pairs, algorithm="hashmin").collect()
     }
     assert star == hashmin
+
+
+def test_minhash_lsh_match_cross_set_only(spark):
+    # the incremental matcher must pair new docs against the base only:
+    # two near-identical BASE docs produce no pair, a new doc matching
+    # a base doc does
+    from pyspark.sql import functions as F
+
+    base_a = " ".join(f"tok{i}" for i in range(200))
+    base_b = " ".join(f"tok{i}" for i in range(199)) + " changedbase"
+    new_match = " ".join(f"tok{i}" for i in range(199)) + " changednew"
+    base = spark.createDataFrame(
+        [(1, base_a), (2, base_b)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, new_match), (11, "tiny unrelated doc")], "doc_id long, text string"
+    )
+    got = DD.minhash_lsh_match(new, base, "doc_id", "text", threshold=0.9).collect()
+    pairs = {(r["new_id"], r["base_id"]) for r in got}
+    assert all(n in (10, 11) and b in (1, 2) for n, b in pairs)
+    assert (10, 1) in pairs and (10, 2) in pairs
+    assert all(n != 11 for n, _ in pairs)
