@@ -32,6 +32,8 @@ __all__ = [
     "minhash_band_keys",
     "minhash_lsh_pairs",
     "minhash_lsh_match",
+    "write_minhash_index",
+    "match_minhash_index",
     "connected_components",
     "jaccard_pairs",
     "simhash16",
@@ -403,6 +405,80 @@ def minhash_lsh_match(
         out = out.localCheckpoint(eager=True)
         new_reps.unpersist()
         base_reps.unpersist()
+    return out
+
+
+def write_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    unit: str = "multiset",
+    shingle_k: int = 3,
+    fast: bool = True,
+) -> None:
+    """Materialize the corpus MinHash index ONCE: ``path/reps`` holds
+    (_id, items, signature) per representative, ``path/bands`` the
+    (band, _id) posting list. Every subsequent batch matches against
+    the stored index (match_minhash_index) without re-hashing the
+    corpus — the write-once/read-per-batch shape a daily-crawl dedup
+    runs in production. Defaults to the fast (xxhash64) path."""
+    reps = _minhash_reps(df, id_col, text_col, num_hashes, unit, shingle_k, fast)
+    reps.write.mode("overwrite").parquet(f"{path}/reps")
+    # read back so the band explode consumes the materialized table
+    # instead of re-running the rep pipeline
+    stored = reps.sparkSession.read.parquet(f"{path}/reps")
+    stored.select(
+        "_id", F.explode(_band_keys(num_hashes, bands, fast)).alias("_band")
+    ).write.mode("overwrite").parquet(f"{path}/bands")
+
+
+def match_minhash_index(
+    new_df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.9,
+    unit: str = "multiset",
+    shingle_k: int = 3,
+    fast: bool = True,
+) -> DataFrame:
+    """Match a new batch against a stored MinHash index
+    (write_minhash_index): only the NEW side is tokenized and hashed;
+    the corpus side is two parquet scans (bands posting list + reps
+    for verify). Output: (new_id, base_id, jaccard ≥ threshold)."""
+    spark = new_df.sparkSession
+    new_reps = _minhash_reps(
+        new_df, id_col, text_col, num_hashes, unit, shingle_k, fast
+    ).persist()
+    new_banded = new_reps.select(
+        "_id", F.explode(_band_keys(num_hashes, bands, fast)).alias("_band")
+    )
+    base_banded = spark.read.parquet(f"{path}/bands")
+    base_reps = spark.read.parquet(f"{path}/reps")
+    cand = (
+        new_banded.alias("l")
+        .join(base_banded.alias("r"), on="_band")
+        .select(F.col("l._id").alias("new_id"), F.col("r._id").alias("base_id"))
+        .distinct()
+    )
+    ia = new_reps.select(F.col("_id").alias("new_id"), F.col("items").alias("items_a"))
+    ib = base_reps.select(F.col("_id").alias("base_id"), F.col("items").alias("items_b"))
+    inter = F.size(F.array_intersect("items_a", "items_b"))
+    union = F.size(F.array_union("items_a", "items_b"))
+    out = (
+        cand.join(ia, "new_id")
+        .join(ib, "base_id")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "base_id", "jaccard")
+        .localCheckpoint(eager=True)
+    )
+    new_reps.unpersist()
     return out
 
 

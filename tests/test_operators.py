@@ -442,3 +442,23 @@ def test_minhash_lsh_match_cross_set_only(spark):
     assert all(n in (10, 11) and b in (1, 2) for n, b in pairs)
     assert (10, 1) in pairs and (10, 2) in pairs
     assert all(n != 11 for n, _ in pairs)
+
+
+def test_minhash_stored_index_matches_direct(spark, tmp_path):
+    # write-once index + per-batch match must emit the same pairs as
+    # the direct two-sided matcher
+    base_a = " ".join(f"tok{i}" for i in range(200))
+    base_b = " ".join(f"zzz{i}" for i in range(50))
+    new_match = " ".join(f"tok{i}" for i in range(199)) + " changednew"
+    base = spark.createDataFrame(
+        [(1, base_a), (2, base_b)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(10, new_match)], "doc_id long, text string")
+    path = str(tmp_path / "mh_index")
+    DD.write_minhash_index(base, "doc_id", "text", path)
+    got = DD.match_minhash_index(new, path, "doc_id", "text", threshold=0.9).collect()
+    direct = DD.minhash_lsh_match(
+        new, base, "doc_id", "text", bands=4, fast=True, threshold=0.9
+    ).collect()
+    key = lambda rows: sorted((r["new_id"], r["base_id"], r["jaccard"]) for r in rows)
+    assert key(got) == key(direct) and key(got) == [(10, 1, 0.99)]
