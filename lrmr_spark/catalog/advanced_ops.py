@@ -624,37 +624,36 @@ def events_outliers_mad(spark, sf_dir):
     rank assignment is arbitrary but the VALUE at a rank is not, so
     both engines agree exactly; the 1.4826 constant is cross-
     multiplied into the integer predicate dev·10000 > 14826·mad (no
-    float decision boundary). Scale shape: two window passes and the
-    joins all key on event_type — one shuffle key end to end; at 100
-    TB swap the exact rank for the approx_percentile sketch and keep
-    the identical predicate."""
+    float decision boundary). Scale shape: ONE events scan and ONE
+    event_type exchange — both medians are computed as chained window
+    passes over the same partitioning (rank → pick the (n+1) DIV 2
+    value with a partition-wide conditional max → deviations → second
+    rank), instead of median tables joined back (which re-evaluated
+    the scan 4×); at 100 TB swap the exact rank for the
+    approx_percentile sketch and keep the identical predicate."""
     ev = load(spark, sf_dir, "events")
     c = ev.select(
         "event_type", F.expr("cast(round(value * 100) as bigint)").alias("cents")
     )
     wp = W.partitionBy("event_type")
-
-    def lower_median(df, valcol, outname):
-        r = df.select(
-            "event_type",
-            F.col(valcol),
-            F.row_number().over(wp.orderBy(valcol)).alias("rn"),
-            F.count(F.lit(1)).over(wp).alias("n"),
-        )
-        return r.filter(F.expr("rn = (n + 1) DIV 2")).select(
-            "event_type", F.col(valcol).alias(outname)
-        )
-
-    med = lower_median(c, "cents", "med_cents")
-    d = c.join(med, "event_type").select(
+    r = c.select(
         "event_type",
-        "med_cents",
-        F.abs(F.col("cents") - F.col("med_cents")).alias("dev"),
+        "cents",
+        F.row_number().over(wp.orderBy("cents")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
     )
-    mad = lower_median(d.select("event_type", "dev"), "dev", "mad_cents")
+    r = r.withColumn(
+        "med_cents",
+        F.max(F.when(F.expr("rn = (n + 1) DIV 2"), F.col("cents"))).over(wp),
+    )
+    r = r.withColumn("dev", F.abs(F.col("cents") - F.col("med_cents")))
+    r = r.withColumn("rn2", F.row_number().over(wp.orderBy("dev")))
+    d = r.withColumn(
+        "mad_cents",
+        F.max(F.when(F.expr("rn2 = (n + 1) DIV 2"), F.col("dev"))).over(wp),
+    )
     return (
-        d.join(mad, "event_type")
-        .groupBy("event_type", "med_cents", "mad_cents")
+        d.groupBy("event_type", "med_cents", "mad_cents")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(

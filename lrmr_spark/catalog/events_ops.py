@@ -1203,49 +1203,55 @@ def events_lttb_downsample(spark, sf_dir):
         F.expr("(x_us - x0) DIV 1000000").alias("x_sec"),
         F.expr("(rn - 1) * 20 DIV n").alias("bucket"),
     )
-    bs = pts.groupBy("event_type", "bucket").agg(
-        F.expr("sum(x_sec) DIV count(1)").alias("ax"),
-        F.expr("sum(cents) DIV count(1)").alias("ay"),
+    # bucket-anchor table: ≤20 rows per series — checkpoint so its two
+    # broadcast references don't re-evaluate the pts pipeline, then run
+    # everything (area scoring, per-bucket argmax, endpoint keep) in
+    # ONE pts pass: the old scored/ends formulation referenced pts 4×,
+    # planning 8 events scans.
+    bs = (
+        pts.groupBy("event_type", "bucket")
+        .agg(
+            F.expr("sum(x_sec) DIV count(1)").alias("ax"),
+            F.expr("sum(cents) DIV count(1)").alias("ay"),
+        )
+        .localCheckpoint(eager=True)
     )
-    p, prev, nxt = pts.alias("p"), bs.alias("prev"), bs.alias("nxt")
-    scored = (
-        p.filter(F.col("bucket").between(1, 18))
-        .join(
-            prev,
-            (F.col("prev.event_type") == F.col("p.event_type"))
-            & (F.col("prev.bucket") == F.col("p.bucket") - 1),
-        )
-        .join(
-            nxt,
-            (F.col("nxt.event_type") == F.col("p.event_type"))
-            & (F.col("nxt.bucket") == F.col("p.bucket") + 1),
-        )
-        .select(
-            F.col("p.event_type").alias("event_type"),
-            F.col("p.bucket").alias("bucket"),
-            F.col("p.event_id").alias("event_id"),
-            F.col("p.x_sec").alias("x_sec"),
-            F.col("p.cents").alias("cents"),
-            F.abs(
-                (F.col("prev.ax") - F.col("nxt.ax"))
-                * (F.col("p.cents") - F.col("prev.ay"))
-                - (F.col("prev.ax") - F.col("p.x_sec"))
-                * (F.col("nxt.ay") - F.col("prev.ay"))
-            ).alias("area2"),
-        )
+    prev = bs.select(
+        "event_type",
+        (F.col("bucket") + 1).alias("bucket"),
+        F.col("ax").alias("pax"),
+        F.col("ay").alias("pay"),
+    )
+    nxt = bs.select(
+        "event_type",
+        (F.col("bucket") - 1).alias("bucket"),
+        F.col("ax").alias("nax"),
+        F.col("ay").alias("nay"),
     )
     wpick = W.partitionBy("event_type", "bucket").orderBy(
         F.col("area2").desc(), "event_id"
     )
-    picked = scored.withColumn("pick", F.row_number().over(wpick)).filter(
-        F.col("pick") == 1
-    ).select("event_type", "bucket", "event_id", "x_sec", "cents")
-    ends = pts.filter((F.col("rn") == 1) | (F.col("rn") == F.col("n"))).select(
-        "event_type", "bucket", "event_id", "x_sec", "cents"
+    out = (
+        pts.join(F.broadcast(prev), ["event_type", "bucket"], "left")
+        .join(F.broadcast(nxt), ["event_type", "bucket"], "left")
+        .withColumn(
+            "area2",
+            F.abs(
+                (F.col("pax") - F.col("nax")) * (F.col("cents") - F.col("pay"))
+                - (F.col("pax") - F.col("x_sec")) * (F.col("nay") - F.col("pay"))
+            ),
+        )
+        .withColumn("pick", F.row_number().over(wpick))
+        .filter(
+            (
+                F.col("bucket").between(1, 18) & (F.col("pick") == 1)
+            )
+            | (F.col("rn") == 1)
+            | (F.col("rn") == F.col("n"))
+        )
     )
     return (
-        picked.unionByName(ends)
-        .select(
+        out.select(
             "event_type",
             F.col("bucket").cast("bigint").alias("bucket"),
             "event_id",
