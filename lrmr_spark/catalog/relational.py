@@ -1119,7 +1119,14 @@ def market_basket_pairs(spark, sf_dir):
     with a co-occurrence count) would be catalog², never run. Lift is
     cross-multiplied into integer ppm."""
     li = load(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # materialize the deduped (order, part) working set once: it is
+    # referenced 5× (both self-join sides, support ×2 via sa/sb, the
+    # order count) and each lazy reference re-evaluated the scan +
+    # distinct — the checkpoint costs what the self-join shuffle
+    # materializes anyway
+    items = (
+        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=True)
+    )
     n_orders = items.select(
         F.count_distinct("l_orderkey").alias("n")
     )  # 1-row aggregate, cross-joined lazily (broadcast) — no driver action
