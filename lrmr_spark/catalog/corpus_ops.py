@@ -304,9 +304,9 @@ def source_mixture_weights(spark, sf_dir):
                   ELSE lpad(lower(hex(cut)), 4, '0') END AS cut_hex
       FROM w)
     SELECT d.source, count(*) AS n_total,
-           sum(CASE WHEN substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+           CAST(sum(CASE WHEN substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 4)
                          < wh.cut_hex
-                    THEN 1 ELSE 0 END) AS n_kept
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM documents d JOIN wh ON d.source = wh.source
     GROUP BY d.source ORDER BY d.source
     """,

@@ -297,10 +297,10 @@ def events_json_props(spark, sf_dir):
       FROM c)
     SELECT user_id, event_id,
            CAST(len(arr) AS BIGINT) AS n_window,
-           list_aggregate(
+           CAST(list_aggregate(
              list_transform(arr, (x, i) -> x * CAST(pow(2, i - 1) AS BIGINT)),
              'sum')
-             // (CAST(pow(2, len(arr)) AS BIGINT) - 1) AS ewma_cents
+             // (CAST(pow(2, len(arr)) AS BIGINT) - 1) AS BIGINT) AS ewma_cents
     FROM framed ORDER BY user_id, event_id
     """,
 )
@@ -782,10 +782,10 @@ def events_funnel_conversion(spark, sf_dir):
              bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS bitset
       FROM events GROUP BY 1, 2, 3),
     daily AS (
-      SELECT week, day, sum(bit_count(bitset)) AS daily_users
+      SELECT week, day, CAST(sum(bit_count(bitset)) AS BIGINT) AS daily_users
       FROM bm GROUP BY week, day),
     weekly AS (
-      SELECT week, sum(bit_count(merged)) AS weekly_users FROM (
+      SELECT week, CAST(sum(bit_count(merged)) AS BIGINT) AS weekly_users FROM (
         SELECT week, bucket, bit_or(bitset) AS merged
         FROM bm GROUP BY week, bucket)
       GROUP BY week)
@@ -860,7 +860,7 @@ def events_bitmap_distinct_rollup(spark, sf_dir):
       SELECT user_id, island, min(s) AS st, max(e) AS en
       FROM isl GROUP BY user_id, island)
     SELECT user_id, count(*) AS n_intervals,
-           sum(epoch_us(en) - epoch_us(st)) // 1000000 AS active_seconds
+           CAST(sum(epoch_us(en) - epoch_us(st)) // 1000000 AS BIGINT) AS active_seconds
     FROM m GROUP BY user_id ORDER BY user_id
     """,
 )
@@ -919,8 +919,8 @@ def events_active_time_union(spark, sf_dir):
       SELECT src, dst, count(*) AS n_transitions
       FROM seq WHERE dst IS NOT NULL GROUP BY src, dst)
     SELECT src, dst, n_transitions,
-           n_transitions * 1000000
-             // sum(n_transitions) OVER (PARTITION BY src) AS p_ppm
+           CAST(n_transitions * 1000000
+             // sum(n_transitions) OVER (PARTITION BY src) AS BIGINT) AS p_ppm
     FROM t ORDER BY src, dst
     """,
 )

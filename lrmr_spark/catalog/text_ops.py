@@ -281,9 +281,9 @@ def decontaminate_ngram_overlap(spark, sf_dir):
     "stratified_sample_by_lang",
     oracle="""
     SELECT lang, count(*) AS n_total,
-           sum(CASE WHEN substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 2)
+           CAST(sum(CASE WHEN substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 2)
                          < (CASE WHEN lang = 'en' THEN '33' ELSE 'cc' END)
-                    THEN 1 ELSE 0 END) AS n_kept
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )
@@ -314,14 +314,14 @@ def stratified_sample_by_lang(spark, sf_dir):
     "quality_filter_funnel",
     oracle=f"""
     SELECT lang, source, count(*) AS n_total,
-           sum(CASE WHEN length(text) >= 100
+           CAST(sum(CASE WHEN length(text) >= 100
                      AND len({_TOKS}) >= 20
                      AND round(len(list_filter({_TOKS}, t -> t IN {_STOP_SQL}))
                           / CAST(greatest(len({_TOKS}), 1) AS DOUBLE), 4) >= 0.01
                      AND round((length(text)
                           - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
                           / CAST(greatest(length(text), 1) AS DOUBLE), 4) <= 0.30
-                    THEN 1 ELSE 0 END) AS n_kept
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM documents GROUP BY lang, source ORDER BY lang, source
     """,
 )

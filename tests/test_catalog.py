@@ -26,6 +26,37 @@ def test_gate_window_covers_every_family():
     assert not uncovered, f"families with no entry in the first-50 gate: {uncovered}"
 
 
+def test_oracle_duckdb_types_are_portable():
+    """The driver's value hash is type-sensitive: a DuckDB column that
+    widens to HUGEINT (e.g. a bare sum(CASE...) or an integer division
+    whose numerator is a sum-window) red-hashes against Spark's BIGINT
+    even when every value matches (r3's only red gate row,
+    stratified_sample_by_lang). Pin the whole class: every oracle's
+    DuckDB result schema must stay inside the portable scalar set that
+    Spark produces natively. Fix sites by wrapping the aggregate in
+    CAST(... AS BIGINT) — never by weakening this list."""
+    import duckdb
+
+    oracles = catalog.oracle_sql()
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.01"
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    allowed = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN"}
+    bad = []
+    for name, sql in oracles.items():
+        rel = con.sql(sql)
+        for c, ty in zip(rel.columns, rel.types):
+            if str(ty) not in allowed:
+                bad.append((name, c, str(ty)))
+    assert not bad, f"non-portable oracle output types (CAST them): {bad}"
+
+
 def test_every_query_has_oracle_or_is_documented_rows_only():
     qs = catalog.queries()
     oracles = catalog.oracle_sql()
