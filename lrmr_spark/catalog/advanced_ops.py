@@ -298,11 +298,13 @@ def graph_pagerank_parts(spark, sf_dir):
     from ..operators.graph import pagerank_ppm
 
     ranks = pagerank_ppm(fwd.unionAll(rev), iterations=3, damping_pct=85)
+    # integer DIV, not float division: float round-trip is only exact
+    # below 2^53 — the id path stays integer-exact for any bigint key
     label = F.when(
         F.col("node") % 2 == 0,
-        F.concat(F.lit("o:"), (F.col("node") / 2).cast("long").cast("string")),
+        F.concat(F.lit("o:"), F.expr("node DIV 2").cast("string")),
     ).otherwise(
-        F.concat(F.lit("p:"), ((F.col("node") - 1) / 2).cast("long").cast("string"))
+        F.concat(F.lit("p:"), F.expr("(node - 1) DIV 2").cast("string"))
     )
     return (
         ranks.select(

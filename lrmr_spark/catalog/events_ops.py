@@ -1242,9 +1242,16 @@ def events_lttb_downsample(spark, sf_dir):
             ),
         )
         .withColumn("pick", F.row_number().over(wpick))
+        # both anchors must exist: on a sparse series (< ~21 points) a
+        # neighbor bucket can be empty, leaving area2 NULL for the whole
+        # bucket — emitting an arbitrary row there would silently diverge
+        # from the inner-join semantics the oracle encodes
         .filter(
             (
-                F.col("bucket").between(1, 18) & (F.col("pick") == 1)
+                F.col("bucket").between(1, 18)
+                & (F.col("pick") == 1)
+                & F.col("pax").isNotNull()
+                & F.col("nax").isNotNull()
             )
             | (F.col("rn") == 1)
             | (F.col("rn") == F.col("n"))

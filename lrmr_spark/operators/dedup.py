@@ -34,6 +34,7 @@ __all__ = [
     "minhash_lsh_match",
     "write_minhash_index",
     "match_minhash_index",
+    "read_minhash_index_meta",
     "connected_components",
     "jaccard_pairs",
     "simhash16",
@@ -424,15 +425,38 @@ def write_minhash_index(
     (band, _id) posting list. Every subsequent batch matches against
     the stored index (match_minhash_index) without re-hashing the
     corpus — the write-once/read-per-batch shape a daily-crawl dedup
-    runs in production. Defaults to the fast (xxhash64) path."""
+    runs in production. Defaults to the fast (xxhash64) path.
+
+    Hashing parameters are persisted to ``path/_meta`` (single-row
+    JSON via Spark, so the index stays self-describing on any
+    filesystem Spark writes to); match_minhash_index reads them back,
+    making a parameter drift between write and match impossible."""
     reps = _minhash_reps(df, id_col, text_col, num_hashes, unit, shingle_k, fast)
     reps.write.mode("overwrite").parquet(f"{path}/reps")
     # read back so the band explode consumes the materialized table
     # instead of re-running the rep pipeline
-    stored = reps.sparkSession.read.parquet(f"{path}/reps")
+    spark = df.sparkSession
+    stored = spark.read.parquet(f"{path}/reps")
     stored.select(
         "_id", F.explode(_band_keys(num_hashes, bands, fast)).alias("_band")
     ).write.mode("overwrite").parquet(f"{path}/bands")
+    spark.createDataFrame(
+        [(int(num_hashes), int(bands), unit, int(shingle_k), bool(fast))],
+        "num_hashes int, bands int, unit string, shingle_k int, fast boolean",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+
+
+def read_minhash_index_meta(spark, path: str) -> dict:
+    """The hashing parameters a stored index was built with
+    (write_minhash_index's ``path/_meta``)."""
+    row = spark.read.json(f"{path}/_meta").collect()[0]
+    return {
+        "num_hashes": int(row["num_hashes"]),
+        "bands": int(row["bands"]),
+        "unit": row["unit"],
+        "shingle_k": int(row["shingle_k"]),
+        "fast": bool(row["fast"]),
+    }
 
 
 def match_minhash_index(
@@ -440,18 +464,38 @@ def match_minhash_index(
     path: str,
     id_col: str,
     text_col: str,
-    num_hashes: int = 16,
-    bands: int = 4,
     threshold: float = 0.9,
-    unit: str = "multiset",
-    shingle_k: int = 3,
-    fast: bool = True,
+    **overrides,
 ) -> DataFrame:
     """Match a new batch against a stored MinHash index
     (write_minhash_index): only the NEW side is tokenized and hashed;
     the corpus side is two parquet scans (bands posting list + reps
-    for verify). Output: (new_id, base_id, jaccard ≥ threshold)."""
+    for verify). Output: (new_id, base_id, jaccard ≥ threshold).
+
+    Hashing parameters (num_hashes/bands/unit/shingle_k/fast) come
+    from the index's stored ``_meta`` — a batch hashed differently
+    than the corpus would silently produce zero candidates (e.g.
+    fast bigint band keys joined against md5 strings), so they are
+    not free parameters here. Passing one as a keyword is allowed
+    only as an assertion: a value that disagrees with the stored
+    meta raises instead of mis-matching."""
     spark = new_df.sparkSession
+    meta = read_minhash_index_meta(spark, path)
+    drift = {
+        k: (v, meta[k])
+        for k, v in overrides.items()
+        if k in meta and v != meta[k]
+    }
+    unknown = set(overrides) - set(meta)
+    if unknown:
+        raise TypeError(f"unknown match_minhash_index overrides: {sorted(unknown)}")
+    if drift:
+        raise ValueError(
+            f"index at {path} was written with different parameters: "
+            + ", ".join(f"{k}={got!r} vs stored {want!r}" for k, (got, want) in drift.items())
+        )
+    num_hashes, bands = meta["num_hashes"], meta["bands"]
+    unit, shingle_k, fast = meta["unit"], meta["shingle_k"], meta["fast"]
     new_reps = _minhash_reps(
         new_df, id_col, text_col, num_hashes, unit, shingle_k, fast
     ).persist()
@@ -565,11 +609,23 @@ def _connected_components_star(
     Converges in O(log n) rounds on any shape — including paths, where
     HashMin needs O(n). Fixed point = forest of stars centered at the
     component minima; convergence is detected by symmetric edge-set
-    difference (two anti-join counts on checkpointed frames)."""
+    difference (two anti-join counts on checkpointed frames).
+
+    Id typing: integer ids are normalized to long (8-byte shuffle keys,
+    the fast path); any other id type (string fingerprints, ...) is kept
+    as-is — min/greatest/least only need a total order, matching the
+    hashmin variant's accept-any-id contract. (Casting strings to long
+    would silently NULL them out.)"""
+    from pyspark.sql.types import IntegralType
+
+    fields = dict((f.name, f.dataType) for f in pairs.schema.fields)
+    integral = all(
+        isinstance(fields[c], IntegralType) for c in (a_col, b_col)
+    )
+    ua = F.col(a_col).cast("long") if integral else F.col(a_col)
+    vb = F.col(b_col).cast("long") if integral else F.col(b_col)
     edges = (
-        pairs.select(
-            F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
-        )
+        pairs.select(ua.alias("u"), vb.alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()

@@ -422,6 +422,26 @@ def test_connected_components_star_matches_hashmin(spark):
     assert star == hashmin
 
 
+def test_connected_components_star_string_ids(spark):
+    # non-numeric ids (e.g. md5 fingerprints) must survive: the long
+    # fast path only applies to integral ids, never a silent NULL-cast
+    from lrmr_spark.operators.dedup import connected_components
+
+    edges = [("doc_c", "doc_a"), ("doc_b", "doc_c"), ("doc_x", "doc_y")]
+    pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+    star = {
+        r["id"]: r["comp"]
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert star == {
+        "doc_a": "doc_a",
+        "doc_b": "doc_a",
+        "doc_c": "doc_a",
+        "doc_x": "doc_x",
+        "doc_y": "doc_x",
+    }
+
+
 def test_minhash_lsh_match_cross_set_only(spark):
     # the incremental matcher must pair new docs against the base only:
     # two near-identical BASE docs produce no pair, a new doc matching
@@ -462,3 +482,16 @@ def test_minhash_stored_index_matches_direct(spark, tmp_path):
     ).collect()
     key = lambda rows: sorted((r["new_id"], r["base_id"], r["jaccard"]) for r in rows)
     assert key(got) == key(direct) and key(got) == [(10, 1, 0.99)]
+    # stored _meta is authoritative: a conflicting override must raise,
+    # never silently join mismatched band-key types into zero candidates
+    meta = DD.read_minhash_index_meta(spark, path)
+    assert meta == {
+        "num_hashes": 16, "bands": 4, "unit": "multiset",
+        "shingle_k": 3, "fast": True,
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different parameters"):
+        DD.match_minhash_index(new, path, "doc_id", "text", fast=False)
+    with _pytest.raises(TypeError, match="unknown"):
+        DD.match_minhash_index(new, path, "doc_id", "text", nonsense=1)
