@@ -287,6 +287,46 @@ def dedup_minhash_incremental(spark, sf_dir):
     )
 
 
+@query("dedup_minhash_stored_index", oracle=_minhash_match_oracle)
+def dedup_minhash_stored_index(spark, sf_dir):
+    """The production daily-crawl layout end-to-end: the accumulated
+    corpus (doc_id MOD 5 <> 0) is materialized ONCE as an on-disk
+    MinHash index (reps + band posting list + _meta parquet/JSON,
+    operators.dedup.write_minhash_index), then the day's batch
+    (doc_id MOD 5 = 0) is matched against the STORED index — only the
+    new side is tokenized and hashed; the corpus side is two parquet
+    scans. Same two-sided algorithm as dedup_minhash_incremental
+    (shared oracle): the write→read round trip must not change a
+    single emitted pair. At 100 TB the index is written by yesterday's
+    job; here the query performs the write too, so the gate covers
+    both halves. md5 path (fast=False) for oracle portability; the
+    index defaults to xxhash64 in production."""
+    import os
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(
+        tempfile.gettempdir(), f"lrmr_minhash_index_{tag}"
+    )
+    DD.write_minhash_index(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        "doc_id",
+        "text",
+        path,
+        num_hashes=16,
+        bands=2,
+        fast=False,
+    )
+    return DD.match_minhash_index(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        path,
+        "doc_id",
+        "text",
+        threshold=0.9,
+    )
+
+
 @query("dedup_minhash_lsh_fast")  # rows-only: xxhash64 not reproducible in SQL
 def dedup_minhash_lsh_fast(spark, sf_dir):
     """Production MinHash+LSH: identical collapse→band→verify plan to

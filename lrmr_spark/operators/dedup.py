@@ -440,9 +440,14 @@ def write_minhash_index(
     stored.select(
         "_id", F.explode(_band_keys(num_hashes, bands, fast)).alias("_band")
     ).write.mode("overwrite").parquet(f"{path}/bands")
-    spark.createDataFrame(
-        [(int(num_hashes), int(bands), unit, int(shingle_k), bool(fast))],
-        "num_hashes int, bands int, unit string, shingle_k int, fast boolean",
+    # pure-JVM single row (createDataFrame from a Python list would
+    # boot Python RDD workers — measured 5.5 s of pure startup cost)
+    spark.range(1).select(
+        F.lit(int(num_hashes)).cast("int").alias("num_hashes"),
+        F.lit(int(bands)).cast("int").alias("bands"),
+        F.lit(unit).alias("unit"),
+        F.lit(int(shingle_k)).cast("int").alias("shingle_k"),
+        F.lit(bool(fast)).alias("fast"),
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
 
 
