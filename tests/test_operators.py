@@ -422,6 +422,46 @@ def test_connected_components_star_matches_hashmin(spark):
     assert star == hashmin
 
 
+def test_minhash_fast_sig_prefilter_pairs_unchanged(spark, sf_dir):
+    # the signature-agreement prune (est >= ceil(n*t/2)) must only cut
+    # verify work, never change the emitted pair set — compare the fast
+    # path with the prefilter on vs off over the real documents table
+    from lrmr_spark.operators import dedup as DD
+    from lrmr_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    key = lambda rows: sorted(
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in rows
+    )
+    on = DD.minhash_lsh_pairs(
+        docs, "doc_id", "text", bands=4, fast=True, threshold=0.9,
+        sig_prefilter=True,
+    ).collect()
+    off = DD.minhash_lsh_pairs(
+        docs, "doc_id", "text", bands=4, fast=True, threshold=0.9,
+        sig_prefilter=False,
+    ).collect()
+    assert key(on) == key(off) and len(on) > 0
+    # incremental matcher: same invariant across the two-sided split
+    from pyspark.sql import functions as F
+
+    new, base = docs.filter(F.col("doc_id") % 5 == 0), docs.filter(
+        F.col("doc_id") % 5 != 0
+    )
+    mkey = lambda rows: sorted(
+        (r["new_id"], r["base_id"], r["jaccard"]) for r in rows
+    )
+    m_on = DD.minhash_lsh_match(
+        new, base, "doc_id", "text", bands=4, fast=True, threshold=0.9,
+        sig_prefilter=True,
+    ).collect()
+    m_off = DD.minhash_lsh_match(
+        new, base, "doc_id", "text", bands=4, fast=True, threshold=0.9,
+        sig_prefilter=False,
+    ).collect()
+    assert mkey(m_on) == mkey(m_off)
+
+
 def test_connected_components_star_string_ids(spark):
     # non-numeric ids (e.g. md5 fingerprints) must survive: the long
     # fast path only applies to integral ids, never a silent NULL-cast

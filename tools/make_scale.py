@@ -72,11 +72,27 @@ def scale_table(dfs: dict[str, DataFrame], name: str, k: int) -> DataFrame:
         for col in cols:
             c = c.withColumn(col, F.col(col) + F.lit(i * strides[col]))
         if name == "documents" and i > 0:
-            # distinct per-copy token: intra-copy dup structure survives,
-            # cross-copy pairs don't (near-dup count scales linearly)
-            c = c.withColumn(
-                "text", F.concat(F.col("text"), F.lit(f" copysalt{i}"))
+            # Per-copy salt must push cross-copy Jaccard BELOW the 0.9
+            # dedup threshold or near-dup pairs grow quadratically in K
+            # (the r3 generator appended ONE token: J ≈ n/(n+2) ≈ 0.98
+            # for 100-token docs, so all K copies of a doc paired with
+            # each other — 201k pairs at K=10 instead of ~2.4k). Append
+            # ceil(n_tokens/6) distinct salt tokens: J = n/(n + 2n/6)
+            # ≈ 0.75 < 0.9, so intra-copy dup structure survives
+            # verbatim and cross-copy pairs vanish — near-dup count
+            # scales linearly, the realistic crawl-growth shape.
+            n_salt = F.greatest(
+                F.lit(1),
+                F.ceil(F.size(F.split(F.col("text"), "\\s+")) / F.lit(6)),
             )
+            salt = F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), n_salt),
+                    lambda j: F.concat(F.lit(f"cs{i}x"), j.cast("string")),
+                ),
+            )
+            c = c.withColumn("text", F.concat_ws(" ", F.col("text"), salt))
         copies.append(c)
     out = copies[0]
     for c in copies[1:]:
