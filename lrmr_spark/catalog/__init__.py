@@ -39,82 +39,87 @@ def query(name: str, oracle: str | Callable[[], str] | None = None):
 # streaming, TPC-H and this round's new operators first; redundant
 # window/scalar variants after the cut (they remain fully covered by
 # tools/check_oracle.py, which runs all entries).
-# ROTATION (r3): the first ~30 slots are the load-bearing one-per-
-# family/algorithm set and stay put; the tail rotates each round so
-# queries that never had an official driver row accumulate them (142
-# catalog entries had none after r2 — this window gives 20 of them
-# their first official row). Rotated out (all with 2 rounds of green
-# official rows; still fully covered by tools/check_oracle.py):
-# map_multiply, flatmap_double, filter_highqty, sort_concat_fold,
-# group_by_known_keys, shuffle_repartition_stable,
-# do_transform_bucketize, reduce_fold_alternating, topk_orders,
-# set_except_all_custkeys, pivot_status_qty, sql_passthrough_*,
-# tpch_q18_large_orders, dedup_tokenset, dedup_simhash,
-# ann_lsh_pruned_topk, embedding_cosine_dedup, text_token_stats,
-# text_langid, text_bpe_tokens, multimodal_fake_decode.
+# ROTATION (r4): 15 load-bearing keeps (flagship, bench headline
+# queries, one per dedup algorithm, stratified_sample_by_lang until
+# its post-HUGEINT-fix green row lands, one pin per operator family)
+# + 35 first-time entries from the 91-query never-gated backlog, led
+# by the 7 HUGEINT-cast-fixed oracles and the new stored-index dedup
+# query. Rotated out this round (green official rows in r1-r3; still
+# fully covered by tools/check_oracle.py): dedup_minhash_shingles,
+# dedup_incremental, snapshot_diff, ann_lsh_buckets, ann_ivf_topk,
+# ann_ivf_pruned_topk, embedding_kmeans_iter,
+# decontaminate_ngram_overlap, sample_split_hash, text_tfidf_top_terms,
+# text_pii_redaction, pack_sequences, text_repetition_signals,
+# corpus_curation_pipeline, multimodal_binary_meta,
+# range_join_error_context, percentiles_by_priority, approx_stats,
+# streaming_tumbling_counts, streaming_stateful_dedup,
+# skew_replicated_join, bucketed_join_orders, tpch_q3/q6,
+# parallelize_kv_counts, python_datasource_feeder,
+# feeder_route_do_pipeline, orders_abc_pareto, customer_rfm_segments,
+# recursive_cte_user_hierarchy, lateral_topk_orders,
+# udtf_token_positions, graph_pagerank_parts, events_gapfill_daily,
+# events_watermark_lateness_audit.
 _PRIORITY = [
     "flagship_event_counts",
-    # dedup family (distinct algorithms)
+    # dedup family: algorithm keeps + never-gated variants
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_fast",
     "dedup_components",
-    "dedup_minhash_shingles",
-    "dedup_incremental",
-    "snapshot_diff",
+    "dedup_components_star",
+    "dedup_minhash_incremental",
+    "dedup_minhash_stored_index",
+    "dedup_ngram_jaccard",
+    "cross_doc_ngram_exposure",
+    "golden_record_merge",
     # similarity / ANN
     "ann_cosine_topk",
-    "ann_lsh_buckets",
-    "ann_ivf_topk",
-    "ann_ivf_pruned_topk",
-    "embedding_kmeans_iter",
-    # text analysis / curation
+    "embedding_norm_stats",
+    "text_sparse_dot_topk",
+    # text analysis / curation (incl. the HUGEINT-fixed oracles)
     "text_quality_features",
-    "decontaminate_ngram_overlap",
-    "sample_split_hash",
-    "text_tfidf_top_terms",
-    "text_pii_redaction",
     "stratified_sample_by_lang",
-    "pack_sequences",
-    # corpus statistics
-    "text_repetition_signals",
-    "corpus_curation_pipeline",
-    # multimodal plumbing
-    "multimodal_binary_meta",
-    # as-of / range joins, percentiles/sketches
-    "asof_last_purchase",
-    "range_join_error_context",
-    "percentiles_by_priority",
-    "approx_stats",
-    # streaming
-    "streaming_tumbling_counts",
-    "streaming_stateful_dedup",
-    # skew + bucketed-storage operators
-    "skew_salted_agg",
-    "skew_replicated_join",
-    "bucketed_join_orders",
-    # TPC-H
-    "tpch_q1",
-    "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    # pipeline core + custom source (arbitrary-user-code surface)
-    "parallelize_kv_counts",
-    "python_datasource_feeder",
-    "feeder_route_do_pipeline",
-    # relational / SQL-surface
-    "join_multiway_region_revenue",
-    "orders_abc_pareto",
-    "customer_rfm_segments",
-    "recursive_cte_user_hierarchy",
-    "lateral_topk_orders",
-    "udtf_token_positions",
-    "graph_pagerank_parts",
-    # window + events
-    "window_topk_per_customer",
+    "quality_filter_funnel",
+    "text_fingerprint",
+    "text_top_terms",
+    "docs_length_histogram",
+    "stratum_topk_sample",
+    "text_bpe_pair_counts",
+    # corpus statistics (incl. HUGEINT-fixed mixture sample)
+    "mixture_weighted_sample",
+    "corpus_vocab_coverage",
+    "corpus_shuffle_shards",
+    # events (keeps + the 4 HUGEINT-fixed + never-gated)
     "events_sessionization",
     "events_funnel_conversion",
-    "events_gapfill_daily",
-    "events_watermark_lateness_audit",
+    "events_ewma_value",
+    "events_bitmap_distinct_rollup",
+    "events_active_time_union",
+    "events_transition_matrix",
+    "events_lttb_downsample",
+    "events_attribution_last_touch",
+    # as-of both directions, robust stats, sketches, graph
+    "asof_last_purchase",
+    "asof_next_click",
+    "robust_trimmed_mean",
+    "sketch_distinct_mincount",
+    "graph_triangle_count",
+    # multimodal plumbing
+    "multimodal_frame_sample",
+    # TPC-H
+    "tpch_q1",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    # relational / SQL-surface
+    "join_multiway_region_revenue",
+    "merge_upsert_orders",
+    "market_basket_pairs",
+    # window + storage + skew + streaming family pins
+    "window_topk_per_customer",
+    "shard_minmax_skipping",
+    "skew_salted_agg",
+    "streaming_sessionization",
 ]
 
 

@@ -206,7 +206,9 @@ def events_time_pruned_df(spark, sf_dir):
             "overwrite"
         ).partitionBy("event_date").parquet(path)
     back = spark.read.parquet(path)
-    lo, hi = "1995-01-08", "1995-01-10"
+    # events span 2024-01-01..2024-01-30 at every SF; a window outside
+    # that range would prove only schema (0-row green), not values
+    lo, hi = "2024-01-08", "2024-01-10"
     return (
         back.filter(
             (F.col("event_date") >= F.lit(lo).cast("date"))
@@ -228,7 +230,7 @@ def events_time_pruned_df(spark, sf_dir):
            count(*) AS cnt,
            round(CAST(sum(value) AS DOUBLE), 2) AS total_value
     FROM events
-    WHERE CAST(ts AS DATE) BETWEEN DATE '1995-01-08' AND DATE '1995-01-10'
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-10'
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
