@@ -65,15 +65,27 @@ def main() -> None:
     qs["flagship_event_counts"](spark, sf_dir).count()
     qs["dedup_minhash_lsh_fast"](spark, "/root/testdata/sf0.001").count()
 
-    def timed(name: str) -> float:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        sec = round(time.time() - t0, 3)
-        print(f"bench {name}: {sec}s", file=sys.stderr, flush=True)
-        return sec
+    def timed(name: str) -> tuple[float, float]:
+        """(first_run_sec, min_of_2_sec). The FIRST run is the
+        round-over-round comparable number (r1-r3 were single-shot);
+        the min of two runs is the supplementary steady-state signal —
+        single-shot samples on this shared host vary ±25% (measured
+        10.0-14.6 s for the same build), so the min separates engine
+        cost from host noise without breaking cross-round totals."""
+        secs = []
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            secs.append(round(time.time() - t0, 3))
+        print(f"bench {name}: {secs}", file=sys.stderr, flush=True)
+        return secs[0], min(secs)
 
-    results = {name: timed(name) for name in HEADLINE}
-    extras = {name: timed(name) for name in EXTRAS}
+    results, results_min = {}, {}
+    for name in HEADLINE:
+        results[name], results_min[name] = timed(name)
+    extras, extras_min = {}, {}
+    for name in EXTRAS:
+        extras[name], extras_min[name] = timed(name)
 
     total = round(sum(results.values()), 3)
     print(
@@ -84,6 +96,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "extras": extras,
+                "value_min_of_2": round(sum(results_min.values()), 3),
+                "queries_min_of_2": results_min,
+                "extras_min_of_2": extras_min,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
