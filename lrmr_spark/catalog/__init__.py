@@ -39,12 +39,17 @@ def query(name: str, oracle: str | Callable[[], str] | None = None):
 # streaming, TPC-H and this round's new operators first; redundant
 # window/scalar variants after the cut (they remain fully covered by
 # tools/check_oracle.py, which runs all entries).
-# ROTATION (r4): 15 load-bearing keeps (flagship, bench headline
+# ROTATION (r4): 13 load-bearing keeps (flagship, bench headline
 # queries, one per dedup algorithm, stratified_sample_by_lang until
 # its post-HUGEINT-fix green row lands, one pin per operator family)
-# + 35 first-time entries from the 91-query never-gated backlog, led
-# by the 7 HUGEINT-cast-fixed oracles and the new stored-index dedup
-# query. Rotated out this round (green official rows in r1-r3; still
+# + 37 first-time entries from the never-gated backlog, led by the 7
+# HUGEINT-cast-fixed oracles, the new stored-index dedup query, and
+# the two ops new this round (semdedup_prune, bm25_topk — dedup_exact
+# and ann_cosine_topk rotate out to make room: both green r2+r3,
+# their families stay pinned by other window entries, and both stay
+# covered by check_oracle; ann_cosine_topk also runs in the bench
+# headline).
+# Rotated out this round (green official rows in r1-r3; still
 # fully covered by tools/check_oracle.py): dedup_minhash_shingles,
 # dedup_incremental, snapshot_diff, ann_lsh_buckets, ann_ivf_topk,
 # ann_ivf_pruned_topk, embedding_kmeans_iter,
@@ -61,8 +66,8 @@ def query(name: str, oracle: str | Callable[[], str] | None = None):
 # events_watermark_lateness_audit.
 _PRIORITY = [
     "flagship_event_counts",
-    # dedup family: algorithm keeps + never-gated variants
-    "dedup_exact",
+    # dedup family: algorithm keeps + never-gated variants (dedup_exact
+    # rotated out r4 — green r2+r3, family amply covered below)
     "dedup_minhash_lsh",
     "dedup_minhash_lsh_fast",
     "dedup_components",
@@ -72,8 +77,10 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "cross_doc_ngram_exposure",
     "golden_record_merge",
-    # similarity / ANN
-    "ann_cosine_topk",
+    # similarity / ANN (incl. this round's SemDeDup + BM25 retrieval;
+    # ann_cosine_topk rotated out r4 — green r2+r3 and bench headline)
+    "semdedup_prune",
+    "bm25_topk",
     "embedding_norm_stats",
     "text_sparse_dot_topk",
     # text analysis / curation (incl. the HUGEINT-fixed oracles)

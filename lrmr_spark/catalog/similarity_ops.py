@@ -486,3 +486,147 @@ def text_sparse_dot_topk(spark, sf_dir):
     return pairs.orderBy(
         F.col("dot").desc(), "doc_a", "doc_b"
     ).limit(20)
+
+
+def _semdedup_oracle() -> str:
+    cents = _centroids()
+    score_cols = []
+    for i, c in enumerate(cents):
+        cc = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+        dot = _dot_sql("e.embedding", cc)
+        nrm = f"sqrt({_dot_sql('e.embedding', 'e.embedding')}) * sqrt({_dot_sql(cc, cc)})"
+        score_cols.append(f"{dot} / ({nrm}) AS s{i}")
+    n = len(cents)
+    gmax = "greatest(" + ", ".join(f"s{i}" for i in range(n)) + ")"
+    idx_case = (
+        "CASE "
+        + " ".join(f"WHEN s{i} >= {gmax} THEN {i}" for i in range(n))
+        + " END"
+    )
+    pdot = _dot_sql("l.embedding", "r.embedding")
+    pn = (
+        f"sqrt({_dot_sql('l.embedding', 'l.embedding')})"
+        f" * sqrt({_dot_sql('r.embedding', 'r.embedding')})"
+    )
+    return f"""
+    WITH scored AS (
+      SELECT e.vec_id, e.embedding, {", ".join(score_cols)}
+      FROM embeddings e),
+    assigned AS (
+      SELECT vec_id, embedding, {idx_case} AS c FROM scored),
+    pruned AS (
+      SELECT DISTINCT r.vec_id
+      FROM assigned l JOIN assigned r ON l.c = r.c AND l.vec_id < r.vec_id
+      WHERE round({pdot} / ({pn}), 6) >= 0.95)
+    SELECT a.vec_id, a.c AS cluster, (p.vec_id IS NULL) AS kept
+    FROM assigned a LEFT JOIN pruned p ON a.vec_id = p.vec_id
+    ORDER BY a.vec_id
+    """
+
+
+@query("semdedup_prune", oracle=_semdedup_oracle)
+def semdedup_prune(spark, sf_dir):
+    """SemDeDup semantic deduplication (Abbas et al. 2023): coarse
+    k-means cluster assignment (the same fixed quantizer as the IVF
+    family), then within-cluster pairwise cosine with the deterministic
+    keep-lowest-id rule. One row per vector: (vec_id, cluster, kept).
+
+    The scale story is the SemDeDup paper's own: the quantizer bounds
+    the quadratic stage to within-cluster pairs, so the corpus-wide
+    cost is Σ cluster_size² instead of N² — the embedding rides exactly
+    one exchange (hash-partitioned by cluster id). The oracle recomputes
+    assignment + pairwise + prune rule in SQL from the same centroid
+    literals."""
+    return SIM.semdedup(
+        load(spark, sf_dir, "embeddings"),
+        [list(c) for c in _centroids()],
+        threshold=0.95,
+    )
+
+
+_BM25_TERMS = ("vector", "stream", "merge")
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                t -> t <> '')) AS t
+      FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM tok GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) // CAST(count(*) AS BIGINT)
+                       AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+           FROM tok WHERE t IN ({terms}) GROUP BY doc_id, t),
+    df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+    contrib AS (
+      SELECT tf.doc_id,
+             (((1000000 * (s.n_docs - df.df + 1)) // (df.df + 1))
+               * 2200 * tf.tf * s.avgdl)
+               // (1000 * s.avgdl * tf.tf + 300 * s.avgdl + 900 * dl.dl)
+               AS c
+      FROM tf JOIN df USING (t) JOIN dl USING (doc_id), stats s)
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_ppm
+    FROM contrib GROUP BY doc_id
+    ORDER BY score_ppm DESC, doc_id ASC LIMIT 10
+    """
+
+
+@query("bm25_topk", oracle=_bm25_oracle)
+def bm25_topk(spark, sf_dir):
+    """BM25 retrieval: top-10 documents for a fixed term query through
+    the inverted-index path (postings join + per-doc accumulate), with
+    BM25's doc-length normalization (k1=1.2, b=0.75) in EXACT integer
+    arithmetic: the rational k1/b constants are folded into the integer
+    identity  2200·tf·avgdl / (1000·avgdl·tf + 300·avgdl + 900·dl),
+    and the log-idf is replaced by the integer rational
+    (1e6·(N−df+1)) DIV (df+1) — monotone in df like the log form, so
+    ranking behavior is preserved while every intermediate is a BIGINT
+    both engines compute identically (the docs_lm_familiarity
+    discipline; ppm scaling leaves bigint headroom to ~1e8-doc corpora
+    — use DECIMAL(38) beyond).
+
+    100 TB design: the term filter lands BEFORE the (doc_id, term)
+    shuffle so only query-term postings move; df and the corpus stats
+    are broadcast 1-row/`|q|`-row aggregates; the final top-k is
+    TakeOrderedAndProject, never a global sort. Doc length comes from
+    the same token stream (one explode feeds dl, tf, df)."""
+    from ..operators import text as TX
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.tokens("text")).alias("t"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(sum(dl) AS BIGINT) DIV count(1)").alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("t").isin(list(_BM25_TERMS)))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                "(((1000000 * (n_docs - df + 1)) DIV (df + 1))"
+                " * 2200 * tf * avgdl)"
+                " DIV (1000 * avgdl * tf + 300 * avgdl + 900 * dl)"
+            ).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c").alias("score_ppm"))
+        .orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+        .limit(10)
+    )

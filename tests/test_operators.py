@@ -535,3 +535,88 @@ def test_minhash_stored_index_matches_direct(spark, tmp_path):
         DD.match_minhash_index(new, path, "doc_id", "text", fast=False)
     with _pytest.raises(TypeError, match="unknown"):
         DD.match_minhash_index(new, path, "doc_id", "text", nonsense=1)
+
+
+# ---------------------------------------------------- semdedup (r4)
+def test_semdedup_matches_bruteforce_rule(spark):
+    """semdedup's output equals a driver-side brute-force replay of the
+    rule: assign to nearest centroid by cosine, prune iff a lower-id
+    same-cluster vector has round(cos, 6) >= threshold."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+    cents = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(3)]
+    vecs = []
+    for i in range(40):
+        if i % 5 == 0 and i > 0:
+            # near-duplicate of an earlier vector: tiny perturbation
+            base = vecs[i - 1][1]
+            vecs.append((i, [x * 1.001 for x in base]))
+        else:
+            vecs.append((i, [rng.uniform(-1, 1) for _ in range(dim)]))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: (r["cluster"], r["kept"])
+        for r in SIM.semdedup(df, cents, threshold=0.95).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    assign = {}
+    for i, v in vecs:
+        scores = [cos(v, c) for c in cents]
+        assign[i] = scores.index(max(scores))
+    expect = {}
+    for i, v in vecs:
+        pruned = any(
+            j < i
+            and assign[j] == assign[i]
+            and round(cos(vj, v), 6) >= 0.95
+            for j, vj in vecs
+        )
+        expect[i] = (assign[i], not pruned)
+    assert got == expect
+
+
+def test_semdedup_keeps_exactly_one_of_identical_pair(spark):
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (2, [0.9, 0.1]), (3, [0.1, 0.9])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in SIM.semdedup(df, cents, 0.99).collect()}
+    assert rows[1]["kept"] is True  # lowest id of the dup pair survives
+    assert rows[2]["kept"] is False
+    assert rows[3]["kept"] is True  # different cluster, untouched
+    assert rows[1]["cluster"] == rows[2]["cluster"] != rows[3]["cluster"]
+
+
+# ------------------------------------------------------- bm25 (r4)
+def test_bm25_length_normalization_and_tf(spark, sf_dir):
+    """Same tf, longer doc → lower BM25 score; higher tf wins at equal
+    length. Checked through the catalog query's exact integer formula
+    on a synthetic corpus written over the documents schema."""
+    from lrmr_spark.catalog.similarity_ops import _BM25_TERMS, bm25_topk
+    import tempfile, os
+
+    term = _BM25_TERMS[0]
+    filler = "pad"
+    docs = [
+        (1, "en", "s", f"{term} {filler}"),                  # short, tf=1
+        (2, "en", "s", f"{term} " + f"{filler} " * 20),      # long, tf=1
+        (3, "en", "s", f"{term} {term} {filler}"),           # short, tf=2
+        (4, "en", "s", f"{filler} {filler}"),                # no hit
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, lang string, source string, text string"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["doc_id"]: r["score_ppm"] for r in bm25_topk(spark, d).collect()}
+    assert 4 not in out
+    assert out[3] > out[1] > out[2] > 0
