@@ -165,6 +165,51 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+_CONTAINMENT_ITEMS_SQL = f"""
+      SELECT doc_id AS _id,
+             list_sort(list_filter(list_distinct({grams_expr("toks", 3)}),
+                                   g -> g <> '')) AS items
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+            FROM documents) raw
+"""
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH base AS (
+      {_CONTAINMENT_ITEMS_SQL}
+    ), reps AS (
+      SELECT min(_id) AS _id, items
+      FROM base WHERE len(items) > 0 GROUP BY items
+    )
+    SELECT l._id AS id_a, r._id AS id_b,
+           round(len(list_intersect(l.items, r.items))
+                 / CAST(least(len(l.items), len(r.items)) AS DOUBLE), 4)
+             AS containment,
+           round(len(list_intersect(l.items, r.items))
+                 / CAST(len(list_distinct(list_concat(l.items, r.items))) AS DOUBLE), 4)
+             AS jaccard
+    FROM reps l JOIN reps r ON l._id < r._id
+    WHERE round(len(list_intersect(l.items, r.items))
+                / CAST(least(len(l.items), len(r.items)) AS DOUBLE), 4) >= 0.9
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Set-containment near-dup pairs (C = |A∩B|/min sizes ≥ 0.9 over
+    3-shingles) via rare-first prefix filtering — the lossless
+    AllPairs/PPJoin candidate scheme. Catches the subset-duplication
+    class (quoted inclusions, truncations, boilerplate wrappers) that
+    symmetric Jaccard under-scores: a doc fully embedded in one 3× its
+    size has C = 1.0 but J ≈ 0.33. The oracle verifies the *measure*
+    with a blunt n² join — prefix pruning is provably lossless, so
+    outputs must be identical."""
+    return DD.containment_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.9
+    )
+
+
 def _components_oracle() -> str:
     # transitive closure over the (undirected) MinHash pair graph via a
     # recursive CTE; component label = min reachable id

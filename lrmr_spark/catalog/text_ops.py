@@ -90,6 +90,54 @@ def text_langid(spark, sf_dir):
 
 
 @query(
+    "lang_mismatch_audit",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source, lang,
+             CASE WHEN len(list_filter({_TOKS}, t -> t IN {_STOP_SQL}))
+                       / CAST(greatest(len({_TOKS}), 1) AS DOUBLE) >= 0.03
+                  THEN 'en' ELSE 'unknown' END AS pred
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN lang = 'en' AND pred <> 'en' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missed_en,
+           CAST(sum(CASE WHEN lang <> 'en' AND pred = 'en' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_en,
+           round(sum(CASE WHEN (lang = 'en') <> (pred = 'en') THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS mismatch_rate
+    FROM scored GROUP BY source
+    """,
+)
+def lang_mismatch_audit(spark, sf_dir):
+    """Metadata-vs-content language audit: per source, how often the
+    declared ``lang`` column disagrees with content language-ID — the
+    standard crawl-curation QA gate (mislabeled language is a top
+    contamination vector for monolingual corpora). n_missed_en =
+    declared en, content says not; n_false_en = declared non-en,
+    content reads as en. One scan, bounded-key agg — sums are
+    map-side-combinable, nothing but (source, 4 longs) shuffles.
+    Aggregates CAST to BIGINT (DuckDB sum() widens to HUGEINT and the
+    gate hash is type-sensitive — the r3 lesson)."""
+    d = load(spark, sf_dir, "documents")
+    pred = TX.language_id("text")
+    mismatch = (F.col("lang") == "en") != (pred == "en")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(((F.col("lang") == "en") & (pred != "en")).cast("int"))
+        .cast("bigint")
+        .alias("n_missed_en"),
+        F.sum(((F.col("lang") != "en") & (pred == "en")).cast("int"))
+        .cast("bigint")
+        .alias("n_false_en"),
+        F.round(
+            F.sum(mismatch.cast("int")) / F.count(F.lit(1)), 4
+        ).alias("mismatch_rate"),
+    )
+
+
+@query(
     "text_bpe_tokens",
     oracle="""
     SELECT doc_id,

@@ -37,6 +37,7 @@ __all__ = [
     "read_minhash_index_meta",
     "connected_components",
     "jaccard_pairs",
+    "containment_pairs",
     "simhash16",
     "simhash64",
     "simhash_clusters",
@@ -830,6 +831,116 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    unit: str = "shingles",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Set-containment self-join via rare-first prefix filtering (the
+    AllPairs/PPJoin family — Bayardo et al., WWW'07): representative
+    pairs where the smaller item set is ≥ ``threshold`` contained in
+    the larger, C(A,B) = |A∩B| / min(|A|,|B|). This is the
+    subset-duplication class symmetric Jaccard under-scores — a doc
+    fully embedded in one 3× its size has C = 1.0 but J ≈ 0.33,
+    invisible to ``minhash_lsh_pairs`` at any useful threshold.
+
+    Plan (candidate pruning is LOSSLESS — no LSH-style recall loss):
+    1. distinct items per doc (k-token shingles by default:
+       order-sensitive, the substring-containment signal; 'tokens' for
+       bag semantics); identical item sets collapse to one
+       representative (min id) first, so exact-dup clusters never
+       reach the pair stage.
+    2. global item document-frequency; each rep orders its items
+       rarest-first — the standard prefix-filter ordering that keeps
+       stopword-grade hot postings out of every prefix.
+    3. PREFIX explode: the first m - ⌈t·m⌉ + 1 items per rep
+       (floor-based integer bound — conservative by at most one item,
+       immune to FP-ceil drift). Pigeonhole: if C(A,B) ≥ t with
+       m = |A| ≤ |B|, A shares ≥ ⌈t·m⌉ items with B, so at least one
+       of A's m - ⌈t·m⌉ + 1 rarest items lands in B; joining every
+       rep's prefix against the FULL postings therefore misses no
+       qualifying pair.
+    4. exact verify on the candidate (id, id) pairs only — item arrays
+       re-attach by id afterwards, so the postings shuffle never
+       carries document content.
+
+    At 100 TB: shuffles carry (item, id, m) postings and (id, id)
+    pairs; a prefix item's join fan-out is its document frequency, and
+    rarest-first ordering makes high-df items reachable only from reps
+    whose whole set is high-df, keeping hot postings bounded. Output:
+    (id_a, id_b, containment, jaccard), id_a < id_b over reps.
+    """
+    from pyspark.sql import Window
+
+    from .text import shingles
+
+    if unit == "shingles":
+        raw = shingles(text_col, shingle_k)
+    elif unit == "tokens":
+        raw = tokens(text_col)
+    else:
+        raise ValueError(f"unknown unit {unit!r} (expected 'shingles' or 'tokens')")
+    items = F.array_sort(
+        F.filter(F.array_distinct(raw), lambda x: x != F.lit(""))
+    )
+    # collapse identical item sets (groupBy on the sorted array —
+    # Spark hashes complex types natively; no fingerprint detour)
+    reps = (
+        df.select(F.col(id_col).alias("_id"), items.alias("_items"))
+        .filter(F.size("_items") > 0)
+        .groupBy("_items")
+        .agg(F.min("_id").alias("_id"))
+        .persist()
+    )
+    posts = reps.select(
+        "_id", F.size("_items").alias("_m"), F.explode("_items").alias("_item")
+    )
+    dfreq = posts.groupBy("_item").agg(F.count(F.lit(1)).alias("_dfreq"))
+    # prefix bound: floor(t·m) ≤ ⌈t·m⌉ always, so the floor-based
+    # prefix is ≥ the exact one — lossless under FP representation of
+    # t·m (0.9·10 = 9.000000…2 would ceil to 10 and DROP a qualifying
+    # pair; floor stays at 9)
+    prefix_len = F.col("_m") - F.floor(F.lit(threshold) * F.col("_m")).cast("int") + 1
+    ranked = posts.join(dfreq, "_item").withColumn(
+        "_rk",
+        F.row_number().over(Window.partitionBy("_id").orderBy("_dfreq", "_item")),
+    )
+    prefix = ranked.filter(F.col("_rk") <= prefix_len).select("_id", "_item")
+    cand = (
+        prefix.alias("p")
+        .join(posts.select("_id", "_item").alias("t"), on="_item")
+        .filter(F.col("p._id") != F.col("t._id"))
+        .select(
+            F.least("p._id", "t._id").alias("id_a"),
+            F.greatest("p._id", "t._id").alias("id_b"),
+        )
+        .distinct()
+    )
+    ia = reps.select(F.col("_id").alias("id_a"), F.col("_items").alias("_items_a"))
+    ib = reps.select(F.col("_id").alias("id_b"), F.col("_items").alias("_items_b"))
+    inter = F.size(F.array_intersect("_items_a", "_items_b"))
+    union = F.size(F.array_union("_items_a", "_items_b"))
+    smaller = F.least(F.size("_items_a"), F.size("_items_b"))
+    out = (
+        cand.join(ia, "id_a")
+        .join(ib, "id_b")
+        .withColumn("containment", F.round(inter / smaller, 4))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "containment",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    reps.unpersist()
+    return out
 
 
 def simhash16(text_col: Column | str) -> Column:

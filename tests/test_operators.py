@@ -620,3 +620,72 @@ def test_bm25_length_normalization_and_tf(spark, sf_dir):
         out = {r["doc_id"]: r["score_ppm"] for r in bm25_topk(spark, d).collect()}
     assert 4 not in out
     assert out[3] > out[1] > out[2] > 0
+
+
+# -------------------------------------------------- containment pairs
+def test_containment_finds_subset_dup_jaccard_misses(spark):
+    # A embedded verbatim at the head of B (3x longer): every shingle
+    # of A appears in B, so C = 1.0 while J ~ 0.3 — below any useful
+    # Jaccard threshold. The containment join must report (A, B) and
+    # nothing for the unrelated doc.
+    a = " ".join(f"w{i}" for i in range(20))
+    b = a + " " + " ".join(f"x{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, " ".join(f"z{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    pairs = DD.containment_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["containment"] == pytest.approx(1.0)
+    assert pairs[0]["jaccard"] < 0.4
+
+
+def test_containment_collapses_exact_dups(spark):
+    # identical shingle sets collapse to one representative (min id)
+    # before the pair stage — the pair list names reps only
+    a = " ".join(f"w{i}" for i in range(20))
+    b = a + " " + " ".join(f"x{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, a), (5, a), (2, b)], "doc_id long, text string"
+    )
+    pairs = DD.containment_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_containment_prefix_filter_lossless(spark, docs):
+    # the prefix filter is provably lossless: output over the real
+    # sf corpus must equal the blunt all-pairs verification
+    sample = docs.limit(120)
+    fast = {
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in DD.containment_pairs(
+            sample, "doc_id", "text", threshold=0.85
+        ).collect()
+    }
+    from lrmr_spark.operators.text import shingles
+
+    items = F.array_sort(
+        F.filter(F.array_distinct(shingles("text", 3)), lambda x: x != F.lit(""))
+    )
+    reps = (
+        sample.select(F.col("doc_id").alias("_id"), items.alias("_items"))
+        .filter(F.size("_items") > 0)
+        .groupBy("_items")
+        .agg(F.min("_id").alias("_id"))
+    )
+    l = reps.select(F.col("_id").alias("id_a"), F.col("_items").alias("ia"))
+    r = reps.select(F.col("_id").alias("id_b"), F.col("_items").alias("ib"))
+    inter = F.size(F.array_intersect("ia", "ib"))
+    blunt = {
+        (x["id_a"], x["id_b"], x["containment"])
+        for x in l.crossJoin(r)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "containment",
+            F.round(inter / F.least(F.size("ia"), F.size("ib")), 4),
+        )
+        .filter(F.col("containment") >= 0.85)
+        .select("id_a", "id_b", "containment")
+        .collect()
+    }
+    assert fast == blunt
