@@ -630,3 +630,53 @@ def bm25_topk(spark, sf_dir):
         .orderBy(F.desc("score_ppm"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+def _pq_oracle() -> str:
+    """Generative SQL mirror of SIM.pq_codes at num_sub=8 over the
+    4-centroid set: per sub-space the 8-term squared-L2 sum is written
+    left-associated exactly as the Spark expression chains it, so
+    double arithmetic is bit-equal across engines."""
+    cents = _centroids()[:4]
+    num_sub, sub_d = 8, 8
+
+    def dist_expr(s: int, c: int) -> str:
+        return " + ".join(
+            f"(CAST(embedding[{s * sub_d + j + 1}] AS DOUBLE) - {cents[c][s * sub_d + j]!r})"
+            f" * (CAST(embedding[{s * sub_d + j + 1}] AS DOUBLE) - {cents[c][s * sub_d + j]!r})"
+            for j in range(sub_d)
+        )
+
+    inner = ", ".join(
+        f"({dist_expr(s, c)}) AS d{s}_{c}"
+        for s in range(num_sub)
+        for c in range(4)
+    )
+    outer = ["vec_id"]
+    for s in range(num_sub):
+        m = f"least({', '.join(f'd{s}_{c}' for c in range(4))})"
+        outer.append(
+            "CAST(CASE "
+            + " ".join(f"WHEN d{s}_{c} = {m} THEN {c + 1}" for c in range(4))
+            + f" END AS INTEGER) AS code_{s}"
+        )
+        outer.append(f"round({m}, 5) AS dist_{s}")
+    return f"""
+    WITH d AS (SELECT vec_id, {inner} FROM embeddings)
+    SELECT {', '.join(outer)} FROM d ORDER BY vec_id
+    """
+
+
+@query("embedding_pq_codes", oracle=_pq_oracle)
+def embedding_pq_codes(spark, sf_dir):
+    """Product-quantization code assignment (Jégou et al. 2011): each
+    64-dim embedding splits into 8 sub-vectors, each assigned to its
+    nearest of 4 deterministic sub-centroids by squared L2 — the
+    8-byte-per-vector compression that billion-scale ANN re-ranks
+    over (per-query ADC lookup tables replace raw-vector scans).
+    ZERO shuffles: every sub-distance is unrolled codegen'd arithmetic
+    and the argmin is array_position(array_min) (pitfall-10-safe).
+    Oracle mirrors the left-associated double arithmetic exactly."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = SIM.pq_codes(emb, [list(c) for c in _centroids()[:4]], num_sub=8)
+    return out.orderBy("vec_id")

@@ -32,6 +32,7 @@ __all__ = [
     "ivf_topk",
     "cosine_dedup_pairs",
     "semdedup",
+    "pq_codes",
 ]
 
 
@@ -267,3 +268,55 @@ def semdedup(
         out = out.localCheckpoint(eager=True)
         base.unpersist()
     return out
+
+
+def pq_codes(
+    df: DataFrame,
+    centroids: list[list[float]],
+    num_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization code assignment (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the vector into
+    ``num_sub`` contiguous sub-vectors and assign each to its nearest
+    sub-centroid by squared L2 — the compression step that turns a
+    64-dim float32 embedding into ``num_sub`` small codes (8 bytes)
+    for billion-scale ANN, where the re-rank scans codes instead of
+    raw vectors via per-query ADC lookup tables.
+
+    ``centroids`` are FULL-width vectors (code c's sub-centroid for
+    sub-space s is its s-th slice) — the IVF convention this catalog
+    already uses, so one deterministic centroid set serves both.
+
+    Plan: ZERO shuffles, zero HOFs, one narrow projection. Every
+    sub-distance is an unrolled codegen'd arithmetic expression over
+    ``element_at`` (float32 → double is exact, and the 8-term sum is
+    left-associated identically in the SQL oracle, so distances are
+    bit-equal across engines); the per-sub argmin is
+    ``array_position(dists, array_min(dists))`` — first-min-wins, no
+    when-chain blowup (ARCHITECTURE pitfall 10). Output: one row per
+    vector — (id, code_0..code_{S-1} int, dist_0..dist_{S-1} = that
+    sub's min squared-L2, rounded 5).
+    """
+    dim = len(centroids[0])
+    sub_d = dim // num_sub
+    cols: list[Column] = [F.col(id_col)]
+    for s in range(num_sub):
+        dists = []
+        for cent in centroids:
+            acc: Column | None = None
+            for j in range(sub_d):
+                idx = s * sub_d + j + 1  # element_at is 1-based
+                diff = F.element_at(F.col(vec_col), idx).cast("double") - F.lit(
+                    float(cent[s * sub_d + j])
+                )
+                sq = diff * diff
+                acc = sq if acc is None else acc + sq
+            dists.append(acc)
+        arr = F.array(*dists)
+        cols.append(
+            F.array_position(arr, F.array_min(arr)).cast("int").alias(f"code_{s}")
+        )
+        cols.append(F.round(F.array_min(arr), 5).alias(f"dist_{s}"))
+    return df.select(*cols)

@@ -689,3 +689,28 @@ def test_containment_prefix_filter_lossless(spark, docs):
         .collect()
     }
     assert fast == blunt
+
+
+# ---------------------------------------------------- product quantization
+def test_pq_codes_assigns_nearest_subcentroid(spark):
+    # centroid 2's slice matches vec 10 exactly in sub-space 0 → code 2
+    # with dist 0; sub-space 1 is nearest centroid 1 (all-zeros there)
+    c1 = [0.0] * 8 + [0.0] * 8
+    c2 = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0] + [9.0] * 8
+    v = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0] + [0.5] * 8
+    df = spark.createDataFrame(
+        [(10, v)], "vec_id long, embedding array<float>"
+    )
+    row = SIM.pq_codes(df, [c1, c2], num_sub=2).collect()[0]
+    assert row["code_0"] == 2 and row["dist_0"] == 0.0
+    assert row["code_1"] == 1 and row["dist_1"] == pytest.approx(8 * 0.25, abs=1e-6)
+
+
+def test_pq_codes_first_min_wins_tie(spark):
+    # both centroids identical → tie in every sub-space → code 1
+    c = [1.0] * 8
+    df = spark.createDataFrame(
+        [(1, [0.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    row = SIM.pq_codes(df, [c, list(c)], num_sub=1).collect()[0]
+    assert row["code_0"] == 1
