@@ -680,3 +680,62 @@ def embedding_pq_codes(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     out = SIM.pq_codes(emb, [list(c) for c in _centroids()[:4]], num_sub=8)
     return out.orderBy("vec_id")
+
+
+def _pq_adc_oracle() -> str:
+    """ADC mirror: codes via the same per-sub least() CASE as
+    _pq_oracle; the lookup table is the SAME driver-computed float64
+    literals the Spark plan embeds (repr round-trips exactly), summed
+    left-associated — so approximate distances are bit-equal."""
+    cents = _centroids()[:4]
+    q = _query_vec()
+    num_sub, sub_d = 8, 8
+    lut = [
+        [
+            sum((q[s * sub_d + j] - c[s * sub_d + j]) ** 2 for j in range(sub_d))
+            for c in cents
+        ]
+        for s in range(num_sub)
+    ]
+
+    def dist_expr(s: int, c: int) -> str:
+        return " + ".join(
+            f"(CAST(embedding[{s * sub_d + j + 1}] AS DOUBLE) - {cents[c][s * sub_d + j]!r})"
+            f" * (CAST(embedding[{s * sub_d + j + 1}] AS DOUBLE) - {cents[c][s * sub_d + j]!r})"
+            for j in range(sub_d)
+        )
+
+    inner = ", ".join(
+        f"({dist_expr(s, c)}) AS d{s}_{c}" for s in range(num_sub) for c in range(4)
+    )
+    terms = []
+    for s in range(num_sub):
+        m = f"least({', '.join(f'd{s}_{c}' for c in range(4))})"
+        terms.append(
+            "(CASE "
+            + " ".join(f"WHEN d{s}_{c} = {m} THEN CAST({lut[s][c]!r} AS DOUBLE)" for c in range(4))
+            + " END)"
+        )
+    adist = " + ".join(terms)
+    return f"""
+    WITH d AS (SELECT vec_id, {inner} FROM embeddings)
+    SELECT vec_id, round(adist, 5) AS adist FROM (
+      SELECT vec_id, {adist} AS adist FROM d
+    ) ORDER BY adist, vec_id LIMIT 10
+    """
+
+
+@query("ann_pq_adc_topk", oracle=_pq_adc_oracle)
+def ann_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-10: the query's 8×4 lookup table of
+    squared sub-distances enters the plan as driver-computed literals,
+    and each corpus row's approximate distance is 8 array indexings by
+    its PQ codes plus 7 adds — the billion-scale ANN read path where
+    query-time work per vector is O(num_sub), independent of dimension.
+    orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    heap, never a global sort). Oracle recomputes codes and sums the
+    identical float64 lookup literals."""
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.pq_adc_topk(
+        emb, list(_query_vec()), [list(c) for c in _centroids()[:4]], k=10
+    )

@@ -33,6 +33,7 @@ __all__ = [
     "cosine_dedup_pairs",
     "semdedup",
     "pq_codes",
+    "pq_adc_topk",
 ]
 
 
@@ -320,3 +321,55 @@ def pq_codes(
         )
         cols.append(F.round(F.array_min(arr), 5).alias(f"dist_{s}"))
     return df.select(*cols)
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    num_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (the ADC read path of Jégou et al.
+    2011): approximate squared-L2 between the query and every vector is
+    the sum of ``num_sub`` LOOKUP-TABLE entries selected by the
+    vector's PQ codes — the table (num_sub × n_centroids squared
+    distances between query sub-vectors and sub-centroids) is computed
+    ONCE driver-side and enters the plan as literals, so the per-row
+    work is ``num_sub`` array indexings and adds: no vector arithmetic
+    touches the corpus at query time. In production the codes are a
+    stored 8-byte column and this scan never reads raw embeddings;
+    here codes derive inline via ``pq_codes`` (one narrow projection).
+
+    Output: (id, adist) — the k smallest approximate distances,
+    ties broken by id, via orderBy+limit → TakeOrderedAndProject
+    (per-partition heap + driver merge, never a global sort).
+    """
+    sub_d = len(centroids[0]) // num_sub
+    # driver-side lookup table: lut[s][c] = ||query_s - centroid_c,s||²
+    # (exact float64 — the same literals the oracle SQL embeds)
+    lut = [
+        [
+            sum(
+                (query[s * sub_d + j] - c[s * sub_d + j]) ** 2
+                for j in range(sub_d)
+            )
+            for c in centroids
+        ]
+        for s in range(num_sub)
+    ]
+    codes = pq_codes(df, centroids, num_sub, id_col, vec_col)
+    adist: Column | None = None
+    for s in range(num_sub):
+        term = F.element_at(
+            F.array(*[F.lit(float(x)) for x in lut[s]]), F.col(f"code_{s}")
+        )
+        adist = term if adist is None else adist + term
+    return (
+        codes.select(F.col(id_col), adist.alias("_ad"))
+        .orderBy(F.asc("_ad"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("_ad", 5).alias("adist"))
+    )

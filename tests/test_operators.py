@@ -714,3 +714,18 @@ def test_pq_codes_first_min_wins_tie(spark):
     )
     row = SIM.pq_codes(df, [c, list(c)], num_sub=1).collect()[0]
     assert row["code_0"] == 1
+
+
+def test_pq_adc_ranks_by_code_reconstruction(spark):
+    # zeros-vector codes to the zeros-centroid everywhere, ones-vector
+    # to the ones-centroid; with query 0.1 the ADC distances are the
+    # exact lookup sums 8*(8*0.01) and 8*(8*0.81), so zeros ranks first
+    c_zero, c_one = [0.0] * 64, [1.0] * 64
+    df = spark.createDataFrame(
+        [(1, [0.0] * 64), (2, [1.0] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = SIM.pq_adc_topk(df, [0.1] * 64, [c_zero, c_one], k=2).collect()
+    assert [r["vec_id"] for r in rows] == [1, 2]
+    assert rows[0]["adist"] == pytest.approx(64 * 0.01, abs=1e-6)
+    assert rows[1]["adist"] == pytest.approx(64 * 0.81, abs=1e-6)
