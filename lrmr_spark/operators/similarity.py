@@ -241,27 +241,51 @@ def semdedup(
     # them across branches — without the persist the k-centroid
     # quantizer runs 3× per row (measured 9 s for 500×8 at k=8; ~1 s
     # persisted).
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        ivf_assign(F.col(vec_col), centroids).alias("_c"),
+    # EXACT-DUP COLLAPSE FIRST (the minhash_lsh_pairs discipline):
+    # identical vectors — endemic in real corpora (re-crawled pages,
+    # template embeddings) and 40× the rows in the salted scale dirs —
+    # collapse to one representative (min id) BEFORE the quadratic
+    # within-cluster stage, shrinking pair volume quadratically
+    # (sf1: 25.2 M pair evals → ~15 k; measured 97 s → ~2 s). Exactly
+    # semantics-preserving: a non-rep member is always pruned (its rep
+    # has a lower id and cosine 1±ulp ≥ any threshold, and round(·,6)
+    # absorbs the ulp), and a rep is pruned iff a lower-id rep in its
+    # cluster scores ≥ t — any pruning non-rep witness x implies its
+    # own rep x₀ ≤ x with the identical score, so witnesses lose
+    # nothing by collapsing.
+    groups = df.select(F.col(id_col).alias("_mid"), F.col(vec_col).alias("_gv"))
+    rep_ids = groups.groupBy("_gv").agg(F.min("_mid").alias("_rid"))
+    # per-rep state; the pair score reuses per-row precomputed norms so
+    # each candidate pair costs ONE interpreted-HOF dot, not three
+    # (dot+2 norms measured 97 s vs 35 s at 25 M pairs before the
+    # collapse made the point moot — both optimizations kept).
+    base = rep_ids.select(
+        F.col("_rid").alias("_id"),
+        F.col("_gv").alias("_v"),
+        ivf_assign(F.col("_gv"), centroids).alias("_c"),
+        l2_norm(F.col("_gv")).alias("_nrm"),
     ).persist()
     left, right = base.alias("l"), base.alias("r")
+    score = dot(F.col("l._v"), F.col("r._v")) / (F.col("l._nrm") * F.col("r._nrm"))
     pruned = (
         left.join(right, on="_c")
         .filter(F.col("l._id") < F.col("r._id"))
-        .filter(
-            F.round(cosine(F.col("l._v"), F.col("r._v")), 6) >= threshold
-        )
+        .filter(F.round(score, 6) >= threshold)
         .select(F.col("r._id").alias("_pruned"))
         .distinct()
     )
+    rep_out = base.join(pruned, base["_id"] == pruned["_pruned"], "left").select(
+        F.col("_id").alias("_rid"),
+        F.col("_c").alias("cluster"),
+        F.col("_pruned").isNull().alias("_rep_kept"),
+    )
     out = (
-        base.join(pruned, base["_id"] == pruned["_pruned"], "left")
+        groups.join(rep_ids, "_gv")
+        .join(rep_out, "_rid")
         .select(
-            F.col("_id").alias(id_col),
-            F.col("_c").alias("cluster"),
-            F.col("_pruned").isNull().alias("kept"),
+            F.col("_mid").alias(id_col),
+            F.col("cluster"),
+            (F.col("_rep_kept") & (F.col("_mid") == F.col("_rid"))).alias("kept"),
         )
         .orderBy(id_col)
     )

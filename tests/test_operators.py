@@ -729,3 +729,19 @@ def test_pq_adc_ranks_by_code_reconstruction(spark):
     assert [r["vec_id"] for r in rows] == [1, 2]
     assert rows[0]["adist"] == pytest.approx(64 * 0.01, abs=1e-6)
     assert rows[1]["adist"] == pytest.approx(64 * 0.81, abs=1e-6)
+
+
+def test_semdedup_collapses_identical_vectors_exactly(spark):
+    # ids 5 and 9 duplicate id 1's vector: both are pruned (their rep,
+    # min id 1, is lower and cosine 1.0); the rep itself stays kept
+    # unless a lower-id DISTINCT vector scores >= threshold. id 2 is
+    # orthogonal — untouched.
+    v1 = [1.0, 0.0, 0.0, 0.0]
+    v2 = [0.0, 1.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, v1), (5, v1), (9, v1), (2, v2)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[1.0, 1.0, 1.0, 1.0]]  # one cluster: everything together
+    out = {r["vec_id"]: r["kept"] for r in SIM.semdedup(df, cents, threshold=0.95).collect()}
+    assert out == {1: True, 2: True, 5: False, 9: False}
