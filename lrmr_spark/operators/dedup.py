@@ -890,6 +890,17 @@ def containment_pairs(
     rarest-first ordering makes high-df items reachable only from reps
     whose whole set is high-df, keeping hot postings bounded. Output:
     (id_a, id_b, containment, jaccard), id_a < id_b over reps.
+
+    Measured: 23 s warm at sf1 (50 k docs, 51 k pairs). Candidate
+    volume is Σ_prefix-items df(item) — LINEAR in the corpus's true
+    near-dup mass, which is exactly what a lossless join must pay. On
+    a corpus where near-identical docs DOMINATE (the ×100 salted scale
+    dirs: every doc has ~100 sub-threshold cousins sharing most
+    shingles), candidates grow ~quadratically in the duplication
+    factor and sf10 is infeasible — run exact + MinHash near-dedup
+    FIRST and containment on the survivors, which is the natural
+    pipeline order anyway (containment exists to catch what Jaccard
+    already missed).
     """
     from pyspark.sql import Window
 
