@@ -664,3 +664,92 @@ def golden_record_merge(spark, sf_dir):
         )
         .orderBy("fingerprint")
     )
+
+
+def _pipeline_containment_oracle() -> str:
+    # the full composed pipeline in ONE SQL: minhash pairs → recursive
+    # CC → prune non-canonical members → containment join over the
+    # survivors → per-stage counts (counts, not pairs: after near-dedup
+    # the gate corpus has no sub-Jaccard containment pairs left, and a
+    # 0-row result would prove only schema — the count rows carry
+    # values through every stage)
+    pairs_sql = _minhash_oracle()
+    survivors_items = f"""
+      SELECT doc_id AS _id,
+             list_sort(list_filter(list_distinct({grams_expr("toks", 3)}),
+                                   g -> g <> '')) AS items
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+            FROM survivors) raw
+    """
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, reach) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, w.reach FROM edges e JOIN walk w ON e.b = w.id
+    ),
+    cc AS (SELECT id, min(reach) AS comp FROM walk GROUP BY id),
+    pruned AS (SELECT id FROM cc WHERE comp <> id),
+    survivors AS (
+      SELECT * FROM documents WHERE doc_id NOT IN (SELECT id FROM pruned)
+    ),
+    cbase AS ({survivors_items}),
+    creps AS (
+      SELECT min(_id) AS _id, items FROM cbase WHERE len(items) > 0 GROUP BY items
+    ),
+    cpairs AS (
+      SELECT l._id AS id_a, r._id AS id_b
+      FROM creps l JOIN creps r ON l._id < r._id
+      WHERE round(len(list_intersect(l.items, r.items))
+                  / CAST(least(len(l.items), len(r.items)) AS DOUBLE), 4) >= 0.9
+    )
+    SELECT 'raw_docs' AS stage, CAST(count(*) AS BIGINT) AS n FROM documents
+    UNION ALL
+    SELECT 'neardedup_survivors', CAST(count(*) AS BIGINT) FROM survivors
+    UNION ALL
+    SELECT 'containment_pairs_among_survivors', CAST(count(*) AS BIGINT) FROM cpairs
+    """
+
+
+@query("dedup_pipeline_containment", oracle=_pipeline_containment_oracle)
+def dedup_pipeline_containment(spark, sf_dir):
+    """The documented near-dedup pipeline ORDER as one oracle-checked
+    plan: MinHash+LSH pairs → connected components → keep one doc per
+    cluster → containment join over the survivors only. This is the
+    composition that makes the containment stage scale (its candidate
+    volume is linear in true near-dup mass, so it runs AFTER the
+    near-dup mass is removed — see containment_pairs' docstring).
+    Output: per-stage counts (raw docs, survivors, containment pairs
+    among survivors) — counts rather than pairs because a well-deduped
+    corpus legitimately has ~no containment pairs left, and the stage
+    counts carry verified values through the whole composition."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=2, threshold=0.9
+    )
+    cc = DD.connected_components(pairs)
+    pruned = cc.filter(F.col("comp") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    survivors = docs.join(pruned, "doc_id", "left_anti")
+    cont = DD.containment_pairs(survivors, "doc_id", "text", threshold=0.9)
+    n = F.count(F.lit(1)).cast("bigint").alias("n")
+    return (
+        docs.agg(n).select(F.lit("raw_docs").alias("stage"), "n")
+        .unionAll(
+            survivors.agg(n).select(
+                F.lit("neardedup_survivors").alias("stage"), "n"
+            )
+        )
+        .unionAll(
+            cont.agg(n).select(
+                F.lit("containment_pairs_among_survivors").alias("stage"), "n"
+            )
+        )
+    )

@@ -892,15 +892,19 @@ def containment_pairs(
     (id_a, id_b, containment, jaccard), id_a < id_b over reps.
 
     Measured: 23 s warm at sf1 (50 k docs, 51 k pairs). Candidate
-    volume is Σ_prefix-items df(item) — LINEAR in the corpus's true
-    near-dup mass, which is exactly what a lossless join must pay. On
-    a corpus where near-identical docs DOMINATE (the ×100 salted scale
-    dirs: every doc has ~100 sub-threshold cousins sharing most
-    shingles), candidates grow ~quadratically in the duplication
-    factor and sf10 is infeasible — run exact + MinHash near-dedup
-    FIRST and containment on the survivors, which is the natural
-    pipeline order anyway (containment exists to catch what Jaccard
-    already missed).
+    volume is Σ_prefix-items df(item) — the near-miss mass a LOSSLESS
+    join must verify by definition. The ×100 salted scale dirs are the
+    adversarial worst case: every doc has ~100 cousins engineered to
+    sit just BELOW both thresholds (J ≈ 0.75, C ≈ 0.86 — candidates
+    that always fail verification), so candidates grow quadratically
+    in the duplication factor and sf10 is infeasible there — for the
+    composed pipeline too (`dedup_pipeline_containment`), since
+    upstream near-dedup can't remove what's below its own threshold.
+    Run it AFTER near-dedup regardless (removes the removable mass;
+    the natural pipeline order — containment exists to catch what
+    Jaccard already missed), and on corpora with heavy sub-threshold
+    near-miss structure prefer the banded/LSH family, which trades
+    exactly this worst case for probabilistic recall.
     """
     from pyspark.sql import Window
 
