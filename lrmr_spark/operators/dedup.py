@@ -170,7 +170,11 @@ def _minhash_reps(
     # but deletes the second, WIDER exchange — the one carrying every
     # distinct item plus its 16 hash columns. Measured min-of-3 on the
     # 4×4 fast config: 1.93→1.80 s at sf0.1, 3.65→3.14 s at sf1, pairs
-    # identical — the gap widens with scale, as shuffle volume should.
+    # identical. At sf10 the trade MAY flip (the repartition's ~3× raw
+    # token rows start to outweigh the saved exchange) — same-session
+    # A/Bs there were inconclusive under host I/O noise (identical
+    # code measured 27-92 s across windows); revisit on a quiet host
+    # before declaring either way.
     if unit == "shingles":
         from .text import shingles
 
