@@ -745,3 +745,29 @@ def test_semdedup_collapses_identical_vectors_exactly(spark):
     cents = [[1.0, 1.0, 1.0, 1.0]]  # one cluster: everything together
     out = {r["vec_id"]: r["kept"] for r in SIM.semdedup(df, cents, threshold=0.95).collect()}
     assert out == {1: True, 2: True, 5: False, 9: False}
+
+
+def test_containment_short_and_empty_docs(spark):
+    # docs shorter than the shingle width collapse to one clamped gram;
+    # empty docs produce no items and are excluded entirely (not paired
+    # with each other or anything else)
+    df = spark.createDataFrame(
+        [
+            (1, "a b"),          # one clamped gram "a b"
+            (2, "a b"),          # identical short doc -> same rep as 1
+            (3, "a b c d e"),    # contains gram "a b c", not "a b"
+            (4, ""),             # empty: excluded
+            (5, "   "),          # whitespace only: excluded
+        ],
+        "doc_id long, text string",
+    )
+    pairs = DD.containment_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    # 1/2 collapse to rep 1; rep's single gram "a b" is NOT a 3-shingle
+    # of doc 3, so no qualifying pair; empties contribute nothing
+    assert pairs == []
+    # sanity: an exact short-doc containment IS found when the gram matches
+    df2 = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d e")], "doc_id long, text string"
+    )
+    got = DD.containment_pairs(df2, "doc_id", "text", threshold=0.9).collect()
+    assert [(p["id_a"], p["id_b"], p["containment"]) for p in got] == [(1, 2, 1.0)]
