@@ -52,8 +52,8 @@ def query(name: str, oracle: str | Callable[[], str] | None = None):
 # r5 rotation candidates (added late in r4, deliberately OUTSIDE the
 # already-frozen-and-verified window; all green in check_oracle at
 # sf0.01 AND sf0.1): dedup_containment, lang_mismatch_audit,
-# embedding_pq_codes, ann_pq_adc_topk, dedup_pipeline_containment —
-# rotate them in first, then continue the never-gated backlog.
+# embedding_pq_codes, ann_pq_adc_topk, dedup_pipeline_containment,
+# text_winnowing_fingerprints — rotate them in first, then continue the never-gated backlog.
 # Rotated out this round (green official rows in r1-r3; still
 # fully covered by tools/check_oracle.py): dedup_minhash_shingles,
 # dedup_incremental, snapshot_diff, ann_lsh_buckets, ann_ivf_topk,

@@ -694,3 +694,47 @@ def text_bpe_pair_counts(spark, sf_dir):
         .orderBy(F.col("n").desc(), "tok_a", "tok_b")
         .limit(50)
     )
+
+
+def _winnowing_oracle() -> str:
+    """Mirror of operators.text.winnowing_fingerprints at k=3, w=4:
+    per-window minima written as least() over explicit element indexes
+    (out-of-range access is NULL and both engines' least/array_min
+    skip what isn't there — identical clamping, no bracket slices)."""
+    w = 4
+    least_args = ", ".join(f"h[i + {j}]" for j in range(w))
+    return f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform({grams_expr("toks", 3)},
+                            x -> substr(md5('w:' || x), 1, 8)) AS h
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+            FROM documents) raw
+    ), sel AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, greatest(len(h) - {w} + 1, 1) + 1),
+                              i -> least({least_args})))) AS fps
+      FROM g
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM sel
+    """
+
+
+@query("text_winnowing_fingerprints", oracle=_winnowing_oracle)
+def text_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03) as corpus
+    postings: every doc's selected k-gram window-minima exploded to
+    (doc_id, fp) rows — the inverted-index feed for substring-dup /
+    plagiarism detection (docs sharing any fp share a run of ≥ w+k−1
+    tokens). The per-doc selection array is localCheckpoint-ed BEFORE
+    the explode: a generator's sibling expressions re-evaluate per
+    output row (ARCHITECTURE pitfall 12), and the selection is a
+    higher-order-function chain that must run once per doc, not once
+    per fingerprint."""
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "doc_id", TX.winnowing_fingerprints("text").alias("fps")
+    ).localCheckpoint(eager=False)
+    return per_doc.select("doc_id", F.explode("fps").alias("fp"))

@@ -25,6 +25,7 @@ __all__ = [
     "fingerprint",
     "shingles",
     "STOPWORDS",
+    "winnowing_fingerprints",
 ]
 
 # deterministic English stopword marker set used by quality scoring and
@@ -103,4 +104,36 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     return F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+
+
+def winnowing_fingerprints(col: Column | str, k: int = 3, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03): hash every k-gram, slide a window of ``w`` consecutive
+    gram hashes, keep each window's MINIMUM — the selected set is a
+    position-robust fingerprint with guaranteed density (any match of
+    length ≥ w+k−1 shares a fingerprint), the standard primitive for
+    plagiarism / substring-dup detection at corpus scale.
+
+    Hashes are md5-hex prefixes so the min ordering is engine-portable
+    (the same trick the MinHash oracle uses — min over uniform hex
+    strings is a valid min-hash). Pure per-row JVM transforms, zero
+    shuffles; returns the SORTED DISTINCT fingerprint array. At scale
+    the exploded (fingerprint, doc) postings feed an inverted index —
+    exactly the inverted_index_postings / cross_doc_ngram_exposure
+    join shape.
+    """
+    grams = shingles(col, k)
+    hashes = F.transform(
+        grams, lambda g: F.substring(F.md5(F.concat(F.lit("w:"), g)), 1, 8)
+    )
+    n_windows = F.greatest(F.size(hashes) - w + 1, F.lit(1))
+    return F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda i: F.array_min(F.slice(hashes, i, w)),
+            )
+        )
     )

@@ -771,3 +771,24 @@ def test_containment_short_and_empty_docs(spark):
     )
     got = DD.containment_pairs(df2, "doc_id", "text", threshold=0.9).collect()
     assert [(p["id_a"], p["id_b"], p["containment"]) for p in got] == [(1, 2, 1.0)]
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    # Schleimer et al.'s density guarantee: any shared token run of
+    # length >= w + k - 1 (= 6 at k=3, w=4) forces a shared fingerprint
+    shared = "q w e r t y u i"  # 8 shared tokens
+    df = spark.createDataFrame(
+        [
+            (1, "a1 b1 c1 " + shared + " d1 e1"),
+            (2, "x2 y2 " + shared + " z2"),
+            (3, "totally different words here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = (
+        df.select("doc_id", TX.winnowing_fingerprints("text").alias("fps"))
+        .collect()
+    )
+    fps = {r["doc_id"]: set(r["fps"]) for r in rows}
+    assert fps[1] & fps[2], "docs sharing an 8-token run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
