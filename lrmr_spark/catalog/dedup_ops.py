@@ -667,12 +667,13 @@ def golden_record_merge(spark, sf_dir):
 
 
 def _pipeline_containment_oracle() -> str:
-    # the full composed pipeline in ONE SQL: minhash pairs → recursive
-    # CC → prune non-canonical members → containment join over the
-    # survivors → per-stage counts (counts, not pairs: after near-dedup
-    # the gate corpus has no sub-Jaccard containment pairs left, and a
-    # 0-row result would prove only schema — the count rows carry
-    # values through every stage)
+    # the full composed pipeline in ONE SQL: exact-dup prune (multiset
+    # fingerprint collapse) + minhash pairs → recursive CC → prune
+    # non-canonical members → containment join over the survivors →
+    # per-stage counts (counts, not pairs: after near-dedup the gate
+    # corpus has no sub-Jaccard containment pairs left, and a 0-row
+    # result would prove only schema — the count rows carry values
+    # through every stage)
     pairs_sql = _minhash_oracle()
     survivors_items = f"""
       SELECT doc_id AS _id,
@@ -684,6 +685,15 @@ def _pipeline_containment_oracle() -> str:
     """
     return f"""
     WITH RECURSIVE pairs AS ({pairs_sql}),
+    mitems AS ({_MULTISET_ITEMS_SQL}),
+    fps AS (
+      SELECT _id, md5(array_to_string(items, ' ')) AS fp FROM mitems
+    ),
+    ekeep AS (SELECT fp, min(_id) AS keep FROM fps GROUP BY fp),
+    exact_pruned AS (
+      SELECT f._id AS id FROM fps f JOIN ekeep k ON f.fp = k.fp
+      WHERE f._id <> k.keep
+    ),
     edges AS (
       SELECT id_a AS a, id_b AS b FROM pairs
       UNION ALL
@@ -697,7 +707,9 @@ def _pipeline_containment_oracle() -> str:
     cc AS (SELECT id, min(reach) AS comp FROM walk GROUP BY id),
     pruned AS (SELECT id FROM cc WHERE comp <> id),
     survivors AS (
-      SELECT * FROM documents WHERE doc_id NOT IN (SELECT id FROM pruned)
+      SELECT * FROM documents
+      WHERE doc_id NOT IN (SELECT id FROM pruned)
+        AND doc_id NOT IN (SELECT id FROM exact_pruned)
     ),
     cbase AS ({survivors_items}),
     creps AS (
@@ -711,6 +723,8 @@ def _pipeline_containment_oracle() -> str:
     )
     SELECT 'raw_docs' AS stage, CAST(count(*) AS BIGINT) AS n FROM documents
     UNION ALL
+    SELECT 'exact_dup_pruned', CAST(count(*) AS BIGINT) FROM exact_pruned
+    UNION ALL
     SELECT 'neardedup_survivors', CAST(count(*) AS BIGINT) FROM survivors
     UNION ALL
     SELECT 'containment_pairs_among_survivors', CAST(count(*) AS BIGINT) FROM cpairs
@@ -720,28 +734,54 @@ def _pipeline_containment_oracle() -> str:
 @query("dedup_pipeline_containment", oracle=_pipeline_containment_oracle)
 def dedup_pipeline_containment(spark, sf_dir):
     """The documented near-dedup pipeline ORDER as one oracle-checked
-    plan: MinHash+LSH pairs → connected components → keep one doc per
-    cluster → containment join over the survivors only. This is the
-    composition that makes the containment stage scale (its candidate
-    volume is linear in true near-dup mass, so it runs AFTER the
-    near-dup mass is removed — see containment_pairs' docstring).
-    Output: per-stage counts (raw docs, survivors, containment pairs
-    among survivors) — counts rather than pairs because a well-deduped
-    corpus legitimately has ~no containment pairs left, and the stage
-    counts carry verified values through the whole composition."""
+    plan: exact-dup collapse (multiset-fingerprint, keep min id) +
+    MinHash+LSH pairs over representatives → connected components →
+    keep one doc per cluster → containment join over the survivors
+    only. The explicit exact-dup stage matters: minhash_lsh_pairs
+    emits REPRESENTATIVE-only pairs (identical multisets collapse
+    before LSH), so non-rep exact duplicates never enter the pair
+    graph — without this stage they would all survive the CC prune and
+    "keep one doc per cluster" would be false for exact-dup clusters.
+    This is the composition that makes the containment stage scale
+    (its candidate volume is linear in true near-dup mass, so it runs
+    AFTER both dup masses are removed — see containment_pairs'
+    docstring). Output: per-stage counts (raw docs, exact-dup pruned,
+    survivors, containment pairs among survivors) — counts rather than
+    pairs because a well-deduped corpus legitimately has ~no
+    containment pairs left, and the stage counts carry verified values
+    through the whole composition."""
     docs = load(spark, sf_dir, "documents")
+    # exact-dup prune: same multiset fingerprint minhash collapses on
+    # (md5 over sorted token:count items), keep the min doc_id per
+    # fingerprint. groupBy-min + join — only (fp, id) rows shuffle.
+    fps = DD.token_multiset_items(docs, "doc_id", "text").select(
+        "_id", F.md5(F.array_join("items", " ")).alias("_fp")
+    )
+    keeps = fps.groupBy("_fp").agg(F.min("_id").alias("_keep"))
+    exact_pruned = (
+        fps.join(keeps, "_fp")
+        .filter(F.col("_id") != F.col("_keep"))
+        .select(F.col("_id").alias("doc_id"))
+    )
     pairs = DD.minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=16, bands=2, threshold=0.9
     )
     cc = DD.connected_components(pairs)
-    pruned = cc.filter(F.col("comp") != F.col("id")).select(
+    cc_pruned = cc.filter(F.col("comp") != F.col("id")).select(
         F.col("id").alias("doc_id")
     )
-    survivors = docs.join(pruned, "doc_id", "left_anti")
+    survivors = docs.join(
+        cc_pruned.unionAll(exact_pruned), "doc_id", "left_anti"
+    )
     cont = DD.containment_pairs(survivors, "doc_id", "text", threshold=0.9)
     n = F.count(F.lit(1)).cast("bigint").alias("n")
     return (
         docs.agg(n).select(F.lit("raw_docs").alias("stage"), "n")
+        .unionAll(
+            exact_pruned.agg(n).select(
+                F.lit("exact_dup_pruned").alias("stage"), "n"
+            )
+        )
         .unionAll(
             survivors.agg(n).select(
                 F.lit("neardedup_survivors").alias("stage"), "n"

@@ -517,7 +517,7 @@ def _semdedup_oracle() -> str:
     pruned AS (
       SELECT DISTINCT r.vec_id
       FROM assigned l JOIN assigned r ON l.c = r.c AND l.vec_id < r.vec_id
-      WHERE round({pdot} / ({pn}), 6) >= 0.95)
+      WHERE ({pn}) > 0 AND round({pdot} / ({pn}), 6) >= 0.95)
     SELECT a.vec_id, a.c AS cluster, (p.vec_id IS NULL) AS kept
     FROM assigned a LEFT JOIN pruned p ON a.vec_id = p.vec_id
     ORDER BY a.vec_id
@@ -579,17 +579,24 @@ def _bm25_oracle() -> str:
 
 @query("bm25_topk", oracle=_bm25_oracle)
 def bm25_topk(spark, sf_dir):
-    """BM25 retrieval: top-10 documents for a fixed term query through
-    the inverted-index path (postings join + per-doc accumulate), with
-    BM25's doc-length normalization (k1=1.2, b=0.75) in EXACT integer
-    arithmetic: the rational k1/b constants are folded into the integer
-    identity  2200·tf·avgdl / (1000·avgdl·tf + 300·avgdl + 900·dl),
-    and the log-idf is replaced by the integer rational
-    (1e6·(N−df+1)) DIV (df+1) — monotone in df like the log form, so
-    ranking behavior is preserved while every intermediate is a BIGINT
-    both engines compute identically (the docs_lm_familiarity
-    discipline; ppm scaling leaves bigint headroom to ~1e8-doc corpora
-    — use DECIMAL(38) beyond).
+    """BM25-SHAPED retrieval scoring: top-10 documents for a fixed term
+    query through the inverted-index path (postings join + per-doc
+    accumulate), with BM25's doc-length normalization (k1=1.2, b=0.75)
+    in EXACT integer arithmetic: the rational k1/b constants are folded
+    into the integer identity
+    2200·tf·avgdl / (1000·avgdl·tf + 300·avgdl + 900·dl), and the
+    log-idf is replaced by the integer rational (1e6·(N−df+1)) DIV
+    (df+1). That substitution is MONOTONE IN df PER TERM but not a
+    monotone transform of the summed multi-term score — a document's
+    total can order differently than under true log-idf BM25, so this
+    is "BM25-shaped scoring, per-term monotone in df", not rank-exact
+    BM25 (the price of a hash-exact cross-engine oracle). Overflow
+    bound: the largest intermediate is idf_int·2200·tf·avgdl ≈
+    2.2e9·N·tf·avgdl, which must stay < 2^63 ≈ 9.2e18 — i.e.
+    N·tf·avgdl ≲ 4.2e9 (e.g. 1e6 docs × tf 40 × avgdl 100 is the
+    ceiling; a 1e8-doc corpus overflows with any realistic tf·avgdl,
+    and Spark's non-ANSI mode would WRAP silently where DuckDB errors
+    — use DECIMAL(38) or float scoring beyond this regime).
 
     100 TB design: the term filter lands BEFORE the (doc_id, term)
     shuffle so only query-term postings move; df and the corpus stats

@@ -267,9 +267,15 @@ def semdedup(
     ).persist()
     left, right = base.alias("l"), base.alias("r")
     score = dot(F.col("l._v"), F.col("r._v")) / (F.col("l._nrm") * F.col("r._nrm"))
+    # zero-norm guard: a degenerate all-zero embedding yields 0/0 = NaN
+    # cosine, and Spark (like DuckDB) sorts NaN above every double, so
+    # NaN >= threshold would be TRUE — one zero vector would silently
+    # prune every higher-id rep in its cluster. Zero vectors carry no
+    # direction, so they prune nothing and are never pruned.
     pruned = (
         left.join(right, on="_c")
         .filter(F.col("l._id") < F.col("r._id"))
+        .filter((F.col("l._nrm") > 0) & (F.col("r._nrm") > 0))
         .filter(F.round(score, 6) >= threshold)
         .select(F.col("r._id").alias("_pruned"))
         .distinct()
@@ -325,6 +331,13 @@ def pq_codes(
     sub's min squared-L2, rounded 5).
     """
     dim = len(centroids[0])
+    if num_sub <= 0 or dim % num_sub != 0:
+        raise ValueError(
+            f"num_sub={num_sub} must evenly divide the embedding "
+            f"dimension {dim} — a remainder would silently drop the "
+            f"trailing {dim % num_sub if num_sub > 0 else dim} dims "
+            "from quantization"
+        )
     sub_d = dim // num_sub
     cols: list[Column] = [F.col(id_col)]
     for s in range(num_sub):
@@ -371,7 +384,13 @@ def pq_adc_topk(
     ties broken by id, via orderBy+limit → TakeOrderedAndProject
     (per-partition heap + driver merge, never a global sort).
     """
-    sub_d = len(centroids[0]) // num_sub
+    dim = len(centroids[0])
+    if num_sub <= 0 or dim % num_sub != 0:
+        raise ValueError(
+            f"num_sub={num_sub} must evenly divide the embedding "
+            f"dimension {dim} (pq_codes would silently truncate)"
+        )
+    sub_d = dim // num_sub
     # driver-side lookup table: lut[s][c] = ||query_s - centroid_c,s||²
     # (exact float64 — the same literals the oracle SQL embeds)
     lut = [

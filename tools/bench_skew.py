@@ -49,7 +49,13 @@ def main() -> None:
             F.col("user_id")
         ),
     )
-    path = os.path.join("/root/repo/.scratch", "skew_events")
+    # cache key embeds the source dir — a bare "skew_events" path
+    # keyed only on _SUCCESS would silently reuse a stale corpus when
+    # re-run with a different src while the JSON records the new one
+    path = os.path.join(
+        "/root/repo/.scratch",
+        f"skew_events_{os.path.basename(os.path.normpath(src))}",
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         ev.write.mode("overwrite").parquet(path)
     events = spark.read.parquet(path)
