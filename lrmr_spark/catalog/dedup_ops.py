@@ -390,6 +390,62 @@ def dedup_minhash_lsh_fast(spark, sf_dir):
     )
 
 
+def _fast_vs_md5_oracle() -> str:
+    pairs = _minhash_oracle(num_hashes=16, bands=4, threshold=0.9)
+    return f"""
+    SELECT id_a, id_b, jaccard,
+           TRUE AS in_fast, TRUE AS in_md5
+    FROM ({pairs})
+    ORDER BY id_a, id_b
+    """
+
+
+@query("dedup_minhash_fast_vs_md5", oracle=_fast_vs_md5_oracle)
+def dedup_minhash_fast_vs_md5(spark, sf_dir):
+    """The production (xxhash64) MinHash path's correctness made
+    VISIBLE in the official gate: run the fast path and the
+    oracle-portable md5 path at the IDENTICAL config (16 hashes, 4
+    bands, t=0.9), full-outer-join their pair sets, and emit every
+    pair with in_fast/in_md5 membership flags. The oracle is the md5
+    algorithm in SQL with both flags TRUE — so this row hash-matches
+    IFF the two engines' pair sets are exactly equal, upgrading the
+    fast path's gate evidence from rows-only to a value-checked
+    equality (the pair-set equality tests/test_operators.py property-
+    checks, now recorded per-round by the driver). The jaccard values
+    agree by construction: both paths verify on the same multiset
+    items, hashing only changes candidate generation.
+
+    A future legitimate divergence (a near-threshold pair band-missed
+    by one hash family but not the other) would turn this row red BY
+    DESIGN — that is the event worth surfacing; banding recall, not
+    emitted-pair precision, is the only probabilistic part of either
+    path."""
+    docs = load(spark, sf_dir, "documents")
+    fast = DD.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, threshold=0.9, fast=True
+    )
+    md5 = DD.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, threshold=0.9, fast=False
+    )
+    f_, m_ = fast.alias("f"), md5.alias("m")
+    return (
+        f_.join(
+            m_,
+            (F.col("f.id_a") == F.col("m.id_a"))
+            & (F.col("f.id_b") == F.col("m.id_b")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("f.id_a"), F.col("m.id_a")).alias("id_a"),
+            F.coalesce(F.col("f.id_b"), F.col("m.id_b")).alias("id_b"),
+            F.coalesce(F.col("m.jaccard"), F.col("f.jaccard")).alias("jaccard"),
+            F.col("f.id_a").isNotNull().alias("in_fast"),
+            F.col("m.id_a").isNotNull().alias("in_md5"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _simhash_oracle() -> str:
     bits = []
     for j in range(1, 17):
@@ -417,6 +473,68 @@ def dedup_simhash(spark, sf_dir):
     md5 hex-digit bits over distinct tokens), grouped by signature.
     Production uses the same aggregate shape over 64 xxhash64 bits."""
     return DD.simhash_clusters(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _simhash_hamming_oracle() -> str:
+    """simhash_hamming_pairs mirrored at k=3: the _simhash_oracle
+    signature, identical-sig rep collapse, 4 contiguous 4-bit blocks,
+    pigeonhole candidate join, exact 16-position Hamming verify."""
+    bits = []
+    for j in range(1, 17):
+        bits.append(
+            f"CASE WHEN list_sum(list_transform(toks, t -> "
+            f"CASE WHEN substr(md5(t), {j}, 1) IN "
+            f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0 "
+            f"THEN '1' ELSE '0' END"
+        )
+    concat = " || ".join(bits)
+    blk_elems = ", ".join(
+        f"'{b}' || '|' || substr(sig, {b * 4 + 1}, 4)" for b in range(4)
+    )
+    hamming = " + ".join(
+        f"CASE WHEN substr(sig_a, {j}, 1) <> substr(sig_b, {j}, 1) THEN 1 ELSE 0 END"
+        for j in range(1, 17)
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), sigs AS (
+      SELECT doc_id, {concat} AS sig FROM base
+    ), reps AS (
+      SELECT min(doc_id) AS _id, sig FROM sigs GROUP BY sig
+    ), banded AS (
+      SELECT _id, sig, unnest([{blk_elems}]) AS blk FROM reps
+    ), cand AS (
+      SELECT DISTINCT l._id AS id_a, l.sig AS sig_a,
+                      r._id AS id_b, r.sig AS sig_b
+      FROM banded l JOIN banded r ON l.blk = r.blk AND l._id < r._id
+    )
+    SELECT id_a, id_b, CAST({hamming} AS INTEGER) AS hamming
+    FROM cand WHERE ({hamming}) <= 3
+    ORDER BY id_a, id_b
+    """
+
+
+@query("dedup_simhash_hamming", oracle=_simhash_hamming_oracle)
+def dedup_simhash_hamming(spark, sf_dir):
+    """SimHash NEAR-match pairs at Hamming distance ≤ 3 — the
+    production simhash use (Manku et al., WWW'07: near-dup web pages
+    differ in a few signature bits, not zero): signatures split into
+    k+1 = 4 blocks, and any pair within distance 3 must agree exactly
+    on ≥ 1 block (pigeonhole), so candidates come from block-key
+    joins, never an all-pairs scan; each candidate is verified by
+    exact Hamming distance — lossless for ≤ k. Identical signatures
+    collapse to a representative first (the minhash_lsh_pairs
+    discipline; identical-sig clusters are dedup_simhash's output).
+    Portable 16-bit variant, oracle-mirrored block-by-block;
+    simhash64_hamming_pairs is the 64-bit production path
+    (bit_count(xor), property-tested vs the brute all-pairs scan)."""
+    return (
+        DD.simhash_hamming_pairs(
+            load(spark, sf_dir, "documents"), "doc_id", "text", k=3
+        )
+        .orderBy("id_a", "id_b")
+    )
 
 
 @query(

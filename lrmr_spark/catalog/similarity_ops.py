@@ -746,3 +746,30 @@ def ann_pq_adc_topk(spark, sf_dir):
     return SIM.pq_adc_topk(
         emb, list(_query_vec()), [list(c) for c in _centroids()[:4]], k=10
     )
+
+
+@query("ann_pq_stored_topk", oracle=_pq_adc_oracle)
+def ann_pq_stored_topk(spark, sf_dir):
+    """PQ ADC top-10 over STORED codes — the production read path
+    end-to-end (the dedup_minhash_stored_index layout discipline): the
+    embeddings are quantized ONCE into a (vec_id, code_0..7) parquet
+    table with a self-describing _meta (codebook fingerprint — a
+    codebook drift between write and query raises instead of silently
+    scoring against the wrong centroids), then the query scans ONLY
+    the 8-byte codes: the scan's ReadSchema contains no embedding
+    column (plan-pinned in tests/test_plans.py), so at billion scale
+    the ANN query reads ~9 bytes/vector instead of 256. Same ADC
+    lookup-table arithmetic as ann_pq_adc_topk, so the two entries
+    share the oracle — the write→read round trip must not change a
+    single distance. At 100 TB the codes are written by the ingest
+    job; here the query performs the write too, so the gate covers
+    both halves."""
+    import os
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = [list(c) for c in _centroids()[:4]]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"lrmr_pq_codes_{tag}")
+    SIM.write_pq_codes(emb, path, cents, num_sub=8)
+    return SIM.pq_adc_topk_stored(spark, path, list(_query_vec()), cents, k=10)

@@ -725,16 +725,67 @@ def _winnowing_oracle() -> str:
 @query("text_winnowing_fingerprints", oracle=_winnowing_oracle)
 def text_winnowing_fingerprints(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al., SIGMOD'03) as corpus
-    postings: every doc's selected k-gram window-minima exploded to
-    (doc_id, fp) rows — the inverted-index feed for substring-dup /
-    plagiarism detection (docs sharing any fp share a run of ≥ w+k−1
-    tokens). The per-doc selection array is localCheckpoint-ed BEFORE
-    the explode: a generator's sibling expressions re-evaluate per
-    output row (ARCHITECTURE pitfall 12), and the selection is a
-    higher-order-function chain that must run once per doc, not once
-    per fingerprint."""
+    postings: every doc's selected k-gram window-minima as (doc_id,
+    fp) rows — the inverted-index feed for substring-dup / plagiarism
+    detection (docs sharing any fp share a run of ≥ w+k−1 tokens).
+    Computed by winnowing_postings' posexplode + sliding window-min
+    plan: each gram hashed once, one doc-keyed exchange — replacing
+    the r4 nested-HOF Column form whose per-window subtree re-eval
+    was O(n²) per doc (measured 224 s → ~3 s at sf0.1; the Column
+    form remains for per-row composition, same selected set
+    bit-for-bit)."""
     d = load(spark, sf_dir, "documents")
-    per_doc = d.select(
-        "doc_id", TX.winnowing_fingerprints("text").alias("fps")
-    ).localCheckpoint(eager=False)
-    return per_doc.select("doc_id", F.explode("fps").alias("fp"))
+    return TX.winnowing_postings(d, "doc_id", "text").select(
+        F.col("_id").alias("doc_id"), "fp"
+    )
+
+
+def _winnowing_matches_oracle() -> str:
+    """The _winnowing_oracle selection extended by the match join:
+    postings self-join on fingerprint, pair counts, ≥ min_shared."""
+    w = 4
+    least_args = ", ".join(f"h[i + {j}]" for j in range(w))
+    return f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform({grams_expr("toks", 3)},
+                            x -> substr(md5('w:' || x), 1, 8)) AS h
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+            FROM documents) raw
+    ), sel AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, greatest(len(h) - {w} + 1, 1) + 1),
+                              i -> least({least_args})))) AS fps
+      FROM g
+    ), post AS (
+      SELECT doc_id, unnest(fps) AS fp FROM sel
+    )
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM post l JOIN post r ON l.fp = r.fp AND l.doc_id < r.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    ORDER BY id_a, id_b
+    """
+
+
+@query("text_winnowing_matches", oracle=_winnowing_matches_oracle)
+def text_winnowing_matches(spark, sf_dir):
+    """Winnowing MATCH pairs — the consumer the fingerprints exist for
+    (Schleimer et al. SIGMOD'03, the MOSS ranking): document pairs
+    sharing ≥ 3 winnowed window-minima, i.e. pairs with substantial
+    verbatim token runs (the guarantee: every shared run of ≥ w+k−1 =
+    6 tokens surfaces at least one shared fingerprint). Catches the
+    substring-reuse that whole-document dedup misses.
+
+    Plan: the inverted-index join shape (cross_doc_ngram_exposure's
+    plan) — per-doc selection arrays built in pure JVM transforms,
+    exploded to (doc_id, 8-hex-char fp) postings, self-joined on fp,
+    counted per pair. Document bodies never shuffle; per-fp fanout is
+    df² with df bounded by content entropy (operator exposes max_df,
+    MOSS's boilerplate guard, for template-heavy corpora — unset here
+    so the oracle states the exact unpruned semantics)."""
+    return TX.winnowing_matches(
+        load(spark, sf_dir, "documents"), "doc_id", "text", min_shared=3
+    ).orderBy("id_a", "id_b")

@@ -1043,3 +1043,151 @@ def simhash_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy("sig")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def _block_bounds(total: int, blocks: int) -> list[tuple[int, int]]:
+    """Partition ``total`` positions into ``blocks`` contiguous
+    (start, length) spans, first ``total % blocks`` spans one longer —
+    any k-position difference leaves ≥1 of k+1 spans untouched
+    (pigeonhole), whatever the span widths."""
+    base, rem = divmod(total, blocks)
+    bounds, start = [], 0
+    for b in range(blocks):
+        length = base + (1 if b < rem else 0)
+        bounds.append((start, length))
+        start += length
+    return bounds
+
+
+def simhash_hamming_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """SimHash near-match pairs at Hamming distance ≤ k — the
+    production simhash use (Manku, Jain, Das Sarma, "Detecting
+    Near-Duplicates for Web Crawling", WWW'07): identical signatures
+    are exact-dup candidates; ALMOST-identical signatures (a few
+    flipped bits) are the near-dups simhash exists to find, and the
+    banded sub-key trick finds them without an all-pairs scan.
+
+    Algorithm: split the signature into k+1 contiguous blocks — any
+    pair within Hamming distance k differs in ≤ k blocks, so by
+    pigeonhole it agrees EXACTLY on at least one block. Candidates =
+    pairs sharing any (block_idx, block_value) key; each candidate is
+    then verified by exact Hamming distance. Lossless for ≤ k (the
+    banding only over-generates; the verify filter is exact).
+
+    Identical signatures collapse to one representative (min id)
+    BEFORE banding — the minhash_lsh_pairs discipline: exact-dup
+    clusters would otherwise re-meet in every block bucket and
+    recreate the quadratic pair list (cluster membership itself is
+    simhash_clusters' output). Output: (id_a, id_b, hamming ≤ k) over
+    representatives, id_a < id_b.
+
+    Portable 16-bit variant (md5-voted bit string, oracle-twinned in
+    SQL); simhash64_hamming_pairs is the production 64-bit path. 100 TB
+    shape: only (block_key, id, 16-char sig) rows shuffle — the sig
+    rides the band explode so verification needs no re-join — and
+    per-block bucket fanout is bounded by signature entropy, the same
+    candidate-bounding argument as MinHash banding."""
+    sigs = df.select(
+        F.col(id_col).alias("_id"), simhash16(text_col).alias("_sig")
+    )
+    reps = sigs.groupBy("_sig").agg(F.min("_id").alias("_id"))
+    blocks = k + 1
+    banded = reps.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        F.substring("_sig", start + 1, length),
+                    )
+                    for b, (start, length) in enumerate(_block_bounds(16, blocks))
+                ]
+            )
+        ).alias("_blk"),
+    )
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), on="_blk")
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("l._sig").alias("_sa"),
+            F.col("r._id").alias("id_b"),
+            F.col("r._sig").alias("_sb"),
+        )
+        .distinct()
+    )
+    # exact Hamming over the 16 bit-chars, unrolled (codegen-friendly;
+    # HOF lambdas would stay interpreted for a 16-term sum)
+    hamming = sum(
+        F.when(
+            F.substring("_sa", j, 1) != F.substring("_sb", j, 1), 1
+        ).otherwise(0)
+        for j in range(1, 17)
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= k)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash64_hamming_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Production 64-bit variant of simhash_hamming_pairs: signatures
+    from simhash64 (xxhash64 token bits, one bigint per doc), block
+    keys are bit-field extracts (shiftright + mask — 8-byte longs on
+    the shuffle, no strings), and the verify is
+    bit_count(sig_a XOR sig_b) ≤ k — one JVM popcount per candidate.
+    Not oracle-portable (xxhash64); property-tested against the brute
+    all-pairs Hamming scan instead. Output: (id_a, id_b, hamming) over
+    identical-signature representatives, id_a < id_b."""
+    sigs = simhash64(df, id_col, text_col).select(
+        F.col(id_col).alias("_id"), F.col("simhash").alias("_sig")
+    )
+    reps = sigs.groupBy("_sig").agg(F.min("_id").alias("_id"))
+    blocks = k + 1
+    banded = reps.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    # (block idx, field) packed into one long-pair
+                    # struct — struct keys hash-join fine and avoid
+                    # string concat on the hot shuffle
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright("_sig", start)
+                        .bitwiseAND(F.lit((1 << length) - 1))
+                        .alias("v"),
+                    )
+                    for b, (start, length) in enumerate(_block_bounds(64, blocks))
+                ]
+            )
+        ).alias("_blk"),
+    )
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), on="_blk")
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("l._sig").alias("_sa"),
+            F.col("r._id").alias("id_b"),
+            F.col("r._sig").alias("_sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= k)
+        .select("id_a", "id_b", "hamming")
+    )

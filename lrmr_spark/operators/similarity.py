@@ -34,7 +34,17 @@ __all__ = [
     "semdedup",
     "pq_codes",
     "pq_adc_topk",
+    "write_pq_codes",
+    "read_pq_codes_meta",
+    "pq_adc_topk_stored",
 ]
+
+
+def _centroid_fingerprint(centroids: list[list[float]]) -> str:
+    """md5 over the exact float reprs — the codebook identity a stored
+    codes table is bound to (repr round-trips float64 exactly)."""
+    payload = repr([[float(x) for x in c] for c in centroids])
+    return hashlib.md5(payload.encode()).hexdigest()
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -259,24 +269,37 @@ def semdedup(
     # each candidate pair costs ONE interpreted-HOF dot, not three
     # (dot+2 norms measured 97 s vs 35 s at 25 M pairs before the
     # collapse made the point moot — both optimizations kept).
+    # zero-norm guard: a degenerate all-zero embedding divides by zero
+    # in both the quantizer cosine and the pairwise cosine — under
+    # ANSI mode that's a hard error, and under non-ANSI it's NaN,
+    # which sorts above every double so NaN >= threshold would be TRUE
+    # and one zero vector would silently prune its whole cluster. Zero
+    # vectors carry no direction: they land in sentinel cluster -1,
+    # prune nothing and are never pruned. The guards are CASE WHEN
+    # (not separate filters): conditional branches are the only
+    # construct Spark guarantees won't evaluate the guarded division,
+    # while Catalyst freely reorders/merges filter predicates.
     base = rep_ids.select(
         F.col("_rid").alias("_id"),
         F.col("_gv").alias("_v"),
-        ivf_assign(F.col("_gv"), centroids).alias("_c"),
         l2_norm(F.col("_gv")).alias("_nrm"),
+    ).select(
+        "_id",
+        "_v",
+        "_nrm",
+        F.when(F.col("_nrm") > 0, ivf_assign(F.col("_v"), centroids))
+        .otherwise(F.lit(-1))
+        .alias("_c"),
     ).persist()
     left, right = base.alias("l"), base.alias("r")
-    score = dot(F.col("l._v"), F.col("r._v")) / (F.col("l._nrm") * F.col("r._nrm"))
-    # zero-norm guard: a degenerate all-zero embedding yields 0/0 = NaN
-    # cosine, and Spark (like DuckDB) sorts NaN above every double, so
-    # NaN >= threshold would be TRUE — one zero vector would silently
-    # prune every higher-id rep in its cluster. Zero vectors carry no
-    # direction, so they prune nothing and are never pruned.
+    safe_score = F.when(
+        (F.col("l._nrm") > 0) & (F.col("r._nrm") > 0),
+        dot(F.col("l._v"), F.col("r._v")) / (F.col("l._nrm") * F.col("r._nrm")),
+    )  # NULL when either side is degenerate → never >= threshold
     pruned = (
         left.join(right, on="_c")
         .filter(F.col("l._id") < F.col("r._id"))
-        .filter((F.col("l._nrm") > 0) & (F.col("r._nrm") > 0))
-        .filter(F.round(score, 6) >= threshold)
+        .filter(F.round(safe_score, 6) >= threshold)
         .select(F.col("r._id").alias("_pruned"))
         .distinct()
     )
@@ -404,6 +427,114 @@ def pq_adc_topk(
         for s in range(num_sub)
     ]
     codes = pq_codes(df, centroids, num_sub, id_col, vec_col)
+    adist: Column | None = None
+    for s in range(num_sub):
+        term = F.element_at(
+            F.array(*[F.lit(float(x)) for x in lut[s]]), F.col(f"code_{s}")
+        )
+        adist = term if adist is None else adist + term
+    return (
+        codes.select(F.col(id_col), adist.alias("_ad"))
+        .orderBy(F.asc("_ad"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("_ad", 5).alias("adist"))
+    )
+
+
+def write_pq_codes(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    num_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the PQ codes table ONCE: ``path/codes`` holds
+    (id, code_0..code_{S-1}) — num_sub small ints per vector, the
+    8-byte payload billion-scale ANN scans instead of raw embeddings.
+    The dist_s diagnostic columns are dropped at write time; the read
+    path needs only codes.
+
+    The codebook identity (md5 over exact centroid reprs), num_sub and
+    dim are persisted to ``path/_meta`` (single-row JSON, the
+    write_minhash_index discipline), so the stored table is
+    self-describing and pq_adc_topk_stored raises on codebook/param
+    drift instead of silently scoring against the wrong centroids —
+    codes are meaningless outside their codebook."""
+    code_cols = [f"code_{s}" for s in range(num_sub)]
+    pq_codes(df, centroids, num_sub, id_col, vec_col).select(
+        id_col, *code_cols
+    ).write.mode("overwrite").parquet(f"{path}/codes")
+    spark = df.sparkSession
+    # pure-JVM single row (createDataFrame would boot Python workers)
+    spark.range(1).select(
+        F.lit(int(num_sub)).cast("int").alias("num_sub"),
+        F.lit(int(len(centroids[0]))).cast("int").alias("dim"),
+        F.lit(int(len(centroids))).cast("int").alias("n_centroids"),
+        F.lit(_centroid_fingerprint(centroids)).alias("codebook_md5"),
+        F.lit(id_col).alias("id_col"),
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+
+
+def read_pq_codes_meta(spark, path: str) -> dict:
+    """The parameters a stored PQ codes table was built with
+    (write_pq_codes' ``path/_meta``)."""
+    row = spark.read.json(f"{path}/_meta").collect()[0]
+    return {
+        "num_sub": int(row["num_sub"]),
+        "dim": int(row["dim"]),
+        "n_centroids": int(row["n_centroids"]),
+        "codebook_md5": row["codebook_md5"],
+        "id_col": row["id_col"],
+    }
+
+
+def pq_adc_topk_stored(
+    spark,
+    path: str,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k over a STORED codes table — the
+    production read path: the scan touches ONLY the (id, codes) parquet
+    written by write_pq_codes; raw embeddings are never read (plan-
+    pinned in tests: the scan's ReadSchema has no embedding column).
+    Per-query work: one driver-side num_sub×n_centroids lookup table,
+    then num_sub array indexings + adds per stored row,
+    TakeOrderedAndProject for the top-k — query cost independent of
+    the original dimension.
+
+    ``centroids`` must be the codebook the codes were written with:
+    the stored _meta's codebook fingerprint is checked and a mismatch
+    raises (codes index into THIS codebook; scoring them against
+    another would be silently wrong, the match_minhash_index drift
+    discipline)."""
+    meta = read_pq_codes_meta(spark, path)
+    fp = _centroid_fingerprint(centroids)
+    if fp != meta["codebook_md5"]:
+        raise ValueError(
+            f"codebook drift: stored codes at {path!r} were written "
+            f"with codebook {meta['codebook_md5']} but the query "
+            f"supplied {fp} — ADC lookup tables must be built from "
+            "the codebook the codes index into"
+        )
+    num_sub, dim = meta["num_sub"], meta["dim"]
+    if len(query) != dim:
+        raise ValueError(f"query dim {len(query)} != stored dim {dim}")
+    sub_d = dim // num_sub
+    id_col = meta["id_col"]
+    lut = [
+        [
+            sum(
+                (query[s * sub_d + j] - c[s * sub_d + j]) ** 2
+                for j in range(sub_d)
+            )
+            for c in centroids
+        ]
+        for s in range(num_sub)
+    ]
+    codes = spark.read.parquet(f"{path}/codes")
     adist: Column | None = None
     for s in range(num_sub):
         term = F.element_at(

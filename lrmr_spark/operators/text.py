@@ -26,6 +26,8 @@ __all__ = [
     "shingles",
     "STOPWORDS",
     "winnowing_fingerprints",
+    "winnowing_postings",
+    "winnowing_matches",
 ]
 
 # deterministic English stopword marker set used by quality scoring and
@@ -119,10 +121,17 @@ def winnowing_fingerprints(col: Column | str, k: int = 3, w: int = 4) -> Column:
     Hashes are md5-hex prefixes so the min ordering is engine-portable
     (the same trick the MinHash oracle uses — min over uniform hex
     strings is a valid min-hash). Pure per-row JVM transforms, zero
-    shuffles; returns the SORTED DISTINCT fingerprint array. At scale
-    the exploded (fingerprint, doc) postings feed an inverted index —
-    exactly the inverted_index_postings / cross_doc_ngram_exposure
-    join shape.
+    shuffles; returns the SORTED DISTINCT fingerprint array.
+
+    PERFORMANCE CAVEAT — this Column form is O(n²) per document: the
+    ``slice(hashes, i, w)`` inside the window lambda re-evaluates its
+    ``hashes`` subtree (the whole md5 gram chain) once per window
+    invocation — interpreted HOFs don't CSE their children (measured
+    224 s for 5000 × ~200-token docs). Fine for short rows, tests and
+    composition inside other per-row expressions; for TABLE-scale
+    fingerprinting use ``winnowing_postings`` — the same selection as
+    a posexplode + sliding window-min plan that computes each gram
+    hash exactly once.
     """
     grams = shingles(col, k)
     hashes = F.transform(
@@ -137,3 +146,108 @@ def winnowing_fingerprints(col: Column | str, k: int = 3, w: int = 4) -> Column:
             )
         )
     )
+
+
+def winnowing_postings(
+    df,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+):
+    """Winnowing fingerprint POSTINGS — (id, fp) rows, one per distinct
+    selected window-minimum per document; the table-scale form of
+    ``winnowing_fingerprints`` (identical selected set, same md5-prefix
+    hashes, bit-for-bit).
+
+    Spark-first plan instead of the nested-HOF Column form: posexplode
+    the k-gram stream to (doc, pos, gram) rows, hash each gram ONCE
+    (codegen'd md5 projection), then take the sliding minimum with a
+    window frame ``rowsBetween(0, w−1)`` partitioned by doc — Spark's
+    WindowExec computes all per-position minima in one sorted pass, so
+    total work is O(tokens·w) with every gram hashed exactly once
+    (the Column form re-evaluates the gram chain per window — O(n²)
+    per doc, measured 224 s vs ~3 s at sf0.1). Tail windows shorter
+    than w are dropped (pos ≤ n−w), except that a doc shorter than w
+    grams keeps its single clamped window (pos 0) — exactly the
+    slice-clamp semantics of the Column form and the SQL oracle.
+
+    100 TB shape: ONE doc-keyed exchange of narrow (id, pos, 8-char
+    hash) rows + an in-partition sort; no arrays ride the shuffle, no
+    interpreted HOFs, no checkpoint barrier needed downstream."""
+    from pyspark.sql import Window as W
+
+    g = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(shingles(text_col, k)).alias("_pos", "_g"),
+    )
+    h = g.select(
+        "_id",
+        "_pos",
+        F.substring(F.md5(F.concat(F.lit("w:"), F.col("_g"))), 1, 8).alias("_h"),
+    )
+    slide = W.partitionBy("_id").orderBy("_pos").rowsBetween(0, w - 1)
+    per_doc = W.partitionBy("_id")
+    scored = h.select(
+        "_id",
+        "_pos",
+        F.min("_h").over(slide).alias("fp"),
+        F.count(F.lit(1)).over(per_doc).alias("_n"),
+    )
+    return (
+        scored.filter(
+            F.col("_pos") <= F.greatest(F.col("_n") - w, F.lit(0))
+        )
+        .select("_id", "fp")
+        .distinct()
+    )
+
+
+def winnowing_matches(
+    df,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+):
+    """Substring-duplicate MATCH pairs over winnowing fingerprints —
+    the consumer of winnowing_fingerprints (Schleimer et al. SIGMOD'03
+    §5: MOSS ranks document pairs by shared selected fingerprints):
+    pairs of documents sharing ≥ ``min_shared`` winnowed k-gram
+    window-minima. By the winnowing guarantee, any shared token run of
+    length ≥ w+k−1 contributes at least one shared fingerprint, so
+    pairs with several shared fingerprints share several distinct (or
+    one long) verbatim passages — the plagiarism / boilerplate-reuse
+    signal exact- and near-dedup both miss (a 200-token doc quoting 20
+    tokens of another has tiny global Jaccard).
+
+    Plan (the inverted-index join shape, cross_doc_ngram_exposure's
+    plan): winnowing_postings' windowed selection → (doc, fp) postings
+    → self-join on fp → count per pair. Document BODIES never shuffle
+    — only 8-hex-char fingerprints and ids. Per-fingerprint join
+    fanout is df², so ``max_df`` optionally drops fingerprints
+    appearing in more than that many documents (MOSS's own boilerplate
+    guard — ubiquitous fingerprints are template noise AND the
+    quadratic blowup; the same df-band idea as text_sparse_dot_topk).
+    Output: (id_a, id_b, n_shared) with id_a < id_b."""
+    from pyspark.sql import functions as F  # noqa: F811 (local alias)
+
+    post = winnowing_postings(df, id_col, text_col, k, w).select(
+        "_id", F.col("fp").alias("_fp")
+    )
+    if max_df is not None:
+        from pyspark.sql import Window as W
+
+        post = post.withColumn(
+            "_df", F.count(F.lit(1)).over(W.partitionBy("_fp"))
+        ).filter(F.col("_df") <= max_df).drop("_df")
+    pairs = (
+        post.alias("l")
+        .join(post.alias("r"), on="_fp")
+        .filter(F.col("l._id") < F.col("r._id"))
+        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return pairs.filter(F.col("n_shared") >= min_shared)

@@ -792,3 +792,194 @@ def test_winnowing_shared_run_guarantee(spark):
     fps = {r["doc_id"]: set(r["fps"]) for r in rows}
     assert fps[1] & fps[2], "docs sharing an 8-token run must share a fingerprint"
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_winnowing_postings_match_column_form(spark, docs):
+    # the table-scale windowed plan and the per-row HOF Column form
+    # must select the identical fingerprint set (the postings entry
+    # swapped formulations in r5 for the O(n²)→O(n·w) fix)
+    sample = docs.limit(50)
+    via_postings = {
+        (r["_id"], r["fp"])
+        for r in TX.winnowing_postings(sample, "doc_id", "text").collect()
+    }
+    via_column = {
+        (r["doc_id"], fp)
+        for r in sample.select(
+            "doc_id", TX.winnowing_fingerprints("text").alias("fps")
+        ).collect()
+        for fp in r["fps"]
+    }
+    assert via_postings == via_column
+
+
+def test_winnowing_matches_shared_run_pair(spark):
+    shared = "q w e r t y u i o p"  # 10 shared tokens
+    df = spark.createDataFrame(
+        [
+            (1, "a1 b1 c1 " + shared + " d1 e1"),
+            (2, "x2 y2 " + shared + " z2"),
+            (3, "totally different words here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in TX.winnowing_matches(
+            df, "doc_id", "text", min_shared=1
+        ).collect()
+    }
+    assert (1, 2) in pairs  # the guarantee: long shared run → shared fp
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnowing_matches_max_df_drops_boilerplate(spark):
+    # a fingerprint present in EVERY doc is template noise; max_df=2
+    # must remove it from the pair counts
+    boiler = "common boiler plate sentence shared by every document"
+    df = spark.createDataFrame(
+        [(i, boiler + f" unique tail {i} only") for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    unfiltered = TX.winnowing_matches(df, "doc_id", "text", min_shared=1)
+    filtered = TX.winnowing_matches(
+        df, "doc_id", "text", min_shared=1, max_df=2
+    )
+    assert unfiltered.count() > 0
+    assert filtered.count() == 0
+
+
+# ------------------------------------------------------ simhash hamming
+def _brute_hamming_pairs(sigrows, k):
+    reps = {}
+    for _id, sig in sigrows:
+        if sig not in reps or _id < reps[sig]:
+            reps[sig] = _id
+    ids = sorted((i, s) for s, i in reps.items())
+    out = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            (ia, sa), (ib, sb) = ids[x], ids[y]
+            d = sum(ca != cb for ca, cb in zip(str(sa), str(sb))) if isinstance(sa, str) else bin(sa ^ sb).count("1")
+            if d <= k:
+                out.add((min(ia, ib), max(ia, ib), d))
+    return out
+
+
+def test_simhash_hamming_pairs_vs_bruteforce(spark, docs):
+    sample = docs.limit(80)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in DD.simhash_hamming_pairs(sample, "doc_id", "text", k=3).collect()
+    }
+    sigs = [
+        (r["doc_id"], r["sig"])
+        for r in sample.select(
+            "doc_id", DD.simhash16("text").alias("sig")
+        ).collect()
+    ]
+    assert got == _brute_hamming_pairs(sigs, 3)
+
+
+def test_simhash64_hamming_pairs_vs_bruteforce(spark, docs):
+    sample = docs.limit(80)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in DD.simhash64_hamming_pairs(
+            sample, "doc_id", "text", k=3
+        ).collect()
+    }
+    sigs = [
+        (r["doc_id"], r["simhash"])
+        for r in DD.simhash64(sample, "doc_id", "text").collect()
+    ]
+    # python ints are unbounded; emulate 64-bit xor on the signed longs
+    brute = set()
+    reps = {}
+    for _id, sig in sigs:
+        if sig not in reps or _id < reps[sig]:
+            reps[sig] = _id
+    items = sorted((i, s) for s, i in reps.items())
+    for x in range(len(items)):
+        for y in range(x + 1, len(items)):
+            (ia, sa), (ib, sb) = items[x], items[y]
+            d = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                brute.add((ia, ib, d))
+    assert got == brute
+
+
+def test_simhash_hamming_lossless_adversarial_blocks(spark):
+    # pairs differing in exactly k bits placed to straddle blocks must
+    # still be found (pigeonhole: k diffs cannot touch all k+1 blocks)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " lambda"), (3, base + " lambda mu nu")],
+        "doc_id long, text string",
+    )
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in df.select("doc_id", DD.simhash16("text").alias("sig")).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in DD.simhash_hamming_pairs(df, "doc_id", "text", k=3).collect()
+    }
+    for a in (1, 2, 3):
+        for b in range(a + 1, 4):
+            d = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+            if d <= 3 and sigs[a] != sigs[b]:
+                assert (a, b) in got
+            elif d > 3:
+                assert (a, b) not in got
+
+
+# ------------------------------------------------------------ stored PQ
+def _pq_test_centroids():
+    return [
+        [float((i * 7 + j * 3) % 5) for j in range(16)] for i in range(4)
+    ]
+
+
+def test_pq_num_sub_must_divide_dim(spark, emb):
+    with pytest.raises(ValueError, match="evenly divide"):
+        SIM.pq_codes(emb, [[0.0] * 64] * 4, num_sub=7)
+    with pytest.raises(ValueError, match="evenly divide"):
+        SIM.pq_adc_topk(emb, [0.0] * 64, [[0.0] * 64] * 4, num_sub=7)
+
+
+def test_pq_stored_roundtrip_matches_inline(spark, emb, tmp_path):
+    cents = [[float((i * 13 + j) % 7) for j in range(64)] for i in range(4)]
+    q = [float(j % 5) for j in range(64)]
+    path = str(tmp_path / "pq")
+    SIM.write_pq_codes(emb, path, cents, num_sub=8)
+    stored = SIM.pq_adc_topk_stored(spark, path, q, cents, k=10).collect()
+    inline = SIM.pq_adc_topk(emb, q, cents, k=10).collect()
+    assert [tuple(r) for r in stored] == [tuple(r) for r in inline]
+
+
+def test_pq_stored_codebook_drift_raises(spark, emb, tmp_path):
+    cents = [[float((i * 13 + j) % 7) for j in range(64)] for i in range(4)]
+    other = [[c + 1.0 for c in row] for row in cents]
+    path = str(tmp_path / "pq_drift")
+    SIM.write_pq_codes(emb, path, cents, num_sub=8)
+    with pytest.raises(ValueError, match="codebook drift"):
+        SIM.pq_adc_topk_stored(spark, path, [0.0] * 64, other, k=5)
+
+
+def test_semdedup_zero_norm_vector_prunes_nothing(spark):
+    # a zero vector has NaN cosine with everything; it must neither
+    # prune nor be pruned via the similarity rule (r4 advice fix)
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # degenerate
+        (3, [2.0, 0.0, 0.0, 0.0]),  # cosine 1 with id 1 → pruned
+        (4, [0.0, 1.0, 0.0, 0.0]),  # orthogonal → kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 1.0, 1.0, 1.0]]  # one cluster: worst case
+    kept = {
+        r["vec_id"]: r["kept"]
+        for r in SIM.semdedup(df, cents, threshold=0.95).collect()
+    }
+    assert kept == {1: True, 2: True, 3: False, 4: True}

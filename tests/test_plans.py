@@ -412,3 +412,24 @@ def test_global_rank_cumsum_two_phase(spark):
         df = queries()[name](spark, SF)
         plan = physical_plan(df)
         assert plan.count("SinglePartition") == n_bounded, (name, plan)
+
+
+def test_pq_stored_scan_reads_codes_only(spark):
+    # the production ANN read path must scan the stored codes table
+    # and never touch raw embeddings (~9 bytes/vector instead of 256)
+    df = queries()["ann_pq_stored_topk"](spark, SF)
+    cols = read_schema_columns(df)
+    assert "embedding" not in cols
+    assert set(cols) == {"vec_id"} | {f"code_{s}" for s in range(8)}
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_winnowing_postings_single_exchange(spark):
+    # winnowing selection = one doc-keyed exchange (the window sort);
+    # the O(n²) HOF form this replaced had zero exchanges but hashed
+    # every gram once per window
+    from lrmr_spark.operators import text as TX
+    from lrmr_spark.tables import load
+
+    df = TX.winnowing_postings(load(spark, SF, "documents"), "doc_id", "text")
+    assert count_exchanges(df) <= 2  # doc window + distinct
