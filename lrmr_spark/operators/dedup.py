@@ -25,6 +25,13 @@ from pyspark.sql import functions as F
 
 from .text import distinct_tokens, fingerprint, tokens
 
+# A/B switch for the MinHash reps-stage exchange fusion (see
+# _minhash_reps): True = hash-repartition exploded tokens by _id up
+# front so one exchange serves both aggregations (the default); False =
+# let each groupBy insert its own exchange. Flipped only by
+# tools/ab_reps_fusion.py to measure the trade at scale.
+_FUSE_REPS_EXCHANGE = True
+
 __all__ = [
     "exact_dedup",
     "tokenset_dedup",
@@ -170,26 +177,30 @@ def _minhash_reps(
     # but deletes the second, WIDER exchange — the one carrying every
     # distinct item plus its 16 hash columns. Measured min-of-3 on the
     # 4×4 fast config: 1.93→1.80 s at sf0.1, 3.65→3.14 s at sf1, pairs
-    # identical. At sf10 the trade MAY flip (the repartition's ~3× raw
-    # token rows start to outweigh the saved exchange) — same-session
-    # A/Bs there were inconclusive under host I/O noise (identical
-    # code measured 27-92 s across windows); revisit on a quiet host
-    # before declaring either way.
+    # At sf10 the trade MAY flip (the repartition's ~3× raw token rows
+    # start to outweigh the saved exchange) — the r4 same-session A/Bs
+    # there were inconclusive under host I/O noise (identical code
+    # measured 27-92 s across windows). The r5 rerun protocol:
+    # verified-idle host (load < 1 before each timing), min-of-3 per
+    # variant, one session — tools/ab_reps_fusion.py, result in
+    # AB_REPS_FUSION.json. _FUSE_REPS_EXCHANGE is the A/B switch the
+    # tool flips — not a user-facing knob.
     if unit == "shingles":
         from .text import shingles
 
-        items_df = (
-            df.select(
-                F.col(id_col).alias("_id"),
-                F.explode_outer(shingles(text_col, shingle_k)).alias("_item"),
-            )
-            .repartition("_id")
-            .dropDuplicates(["_id", "_item"])
+        items_df = df.select(
+            F.col(id_col).alias("_id"),
+            F.explode_outer(shingles(text_col, shingle_k)).alias("_item"),
         )
+        if _FUSE_REPS_EXCHANGE:
+            items_df = items_df.repartition("_id")
+        items_df = items_df.dropDuplicates(["_id", "_item"])
     elif unit == "multiset":
         exploded = df.select(
             F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok")
-        ).repartition("_id")
+        )
+        if _FUSE_REPS_EXCHANGE:
+            exploded = exploded.repartition("_id")
         item = F.concat(F.col("_tok"), F.lit(":"), F.col("_cnt"))
         items_df = (
             exploded.groupBy("_id", "_tok")
