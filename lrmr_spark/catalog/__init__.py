@@ -81,6 +81,11 @@ _PRIORITY = [
     "dedup_minhash_lsh_fast",
     "events_sessionization",
     "streaming_sessionization",
+    # family pins (test_gate_window_covers_every_family: every catalog
+    # module keeps >= 1 window entry) — all green in prior rounds
+    "window_topk_per_customer",
+    "multimodal_frame_sample",
+    "skew_salted_agg",
     # --- the six ops queued at the end of r4 (built after the r4
     # window froze), first in line per VERDICT r4 task 1
     "dedup_containment",
@@ -130,16 +135,16 @@ _PRIORITY = [
     "schema_evolution_union",
     "fuzzy_join_part_names",
     "dq_constraint_audit",
-    # --- events backlog (first 4; the rest are r6 candidates)
+    # --- events backlog (first 2; the rest are r6 candidates)
     "events_scd2_intervals",
     "events_time_weighted_avg",
-    "events_growth_accounting",
-    "events_time_pruned_rollup",
     # --- streaming backlog (rows-only per the no-oracle contract)
     "streaming_ewma",
-    "streaming_interval_join",
 ]
-# r6 rotation candidates (the 20 still-never-gated entries):
+# r6 rotation candidates (the still-never-gated entries):
+# dedup_simhash_hamming_fast (added after the r5 window froze),
+# events_growth_accounting, events_time_pruned_rollup,
+# streaming_interval_join,
 # events_json_props, events_value_moments, events_outliers_zscore,
 # events_outliers_mad, events_heatmap_dow_hour,
 # events_rolling_weekly_active, events_value_histogram_log2,

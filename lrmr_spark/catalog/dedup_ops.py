@@ -537,6 +537,25 @@ def dedup_simhash_hamming(spark, sf_dir):
     )
 
 
+@query("dedup_simhash_hamming_fast")  # rows-only: xxhash64 not in SQL
+def dedup_simhash_hamming_fast(spark, sf_dir):
+    """Production 64-bit SimHash near-match at Hamming ≤ 3: one bigint
+    signature per doc (xxhash64 token bits), block keys are bit-field
+    extracts riding the shuffle as 8-byte longs, verify is one JVM
+    popcount — bit_count(sig_a XOR sig_b). Same pigeonhole banding as
+    the oracle-checked 16-bit row (dedup_simhash_hamming pins the
+    algorithm; this pins the fast path's plumbing). Not SQL-portable,
+    so the driver records rows-only; the pair set is property-tested
+    against the brute all-pairs Hamming scan in
+    tests/test_operators.py."""
+    return (
+        DD.simhash64_hamming_pairs(
+            load(spark, sf_dir, "documents"), "doc_id", "text", k=3
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 @query(
     "dedup_incremental",
     oracle="""

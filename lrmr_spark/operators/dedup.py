@@ -177,14 +177,18 @@ def _minhash_reps(
     # but deletes the second, WIDER exchange — the one carrying every
     # distinct item plus its 16 hash columns. Measured min-of-3 on the
     # 4×4 fast config: 1.93→1.80 s at sf0.1, 3.65→3.14 s at sf1, pairs
-    # At sf10 the trade MAY flip (the repartition's ~3× raw token rows
-    # start to outweigh the saved exchange) — the r4 same-session A/Bs
-    # there were inconclusive under host I/O noise (identical code
-    # measured 27-92 s across windows). The r5 rerun protocol:
-    # verified-idle host (load < 1 before each timing), min-of-3 per
-    # variant, one session — tools/ab_reps_fusion.py, result in
-    # AB_REPS_FUSION.json. _FUSE_REPS_EXCHANGE is the A/B switch the
-    # tool flips — not a user-facing knob.
+    # The sf10 question (does the repartition's ~3× raw token rows
+    # outweigh the saved exchange at scale?) is RESOLVED — r5 reran
+    # the A/B under the idle-gated protocol (load < 1 before every
+    # timed run, answer equality asserted, tools/ab_reps_fusion.py +
+    # an alternating-order second pass, AB_REPS_FUSION.json): pooled
+    # min-of-N fused 27.7 s vs unfused 29.6 s at sf10 (−6%),
+    # consistent in direction with sf0.1 (1.80 vs 1.93) and sf1
+    # (3.14 vs 3.65). No flip; a sequential-order pass that briefly
+    # showed unfused ahead inverted under alternating order — host
+    # drift, not signal (identical code spans 27–163 s on this host).
+    # Fusion stays the default. _FUSE_REPS_EXCHANGE is the A/B switch
+    # the tool flips — not a user-facing knob.
     if unit == "shingles":
         from .text import shingles
 

@@ -64,7 +64,14 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; NULL (never NaN, never an ANSI error) when
+    either vector has zero norm — try_divide evaluates each argument
+    once (a when(norm > 0, ...) guard would re-evaluate the norm HOFs,
+    which don't CSE), and a NULL score sorts last under desc ordering
+    and fails every >= threshold filter, so degenerate vectors drop out
+    of top-k and pair queries instead of crashing (ANSI mode) or
+    ranking first (non-ANSI: 0/0 = NaN sorts ABOVE every double)."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_topk(

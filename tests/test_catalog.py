@@ -76,4 +76,7 @@ def test_every_query_has_oracle_or_is_documented_rows_only():
         "streaming_interval_join_left_outer",  # watermark-gated null emission
 
         "dedup_minhash_lsh_fast",  # xxhash64 not reproducible in SQL
+        "dedup_simhash_hamming_fast",  # xxhash64 bits not in SQL;
+        # algorithm pinned by the oracle-checked 16-bit twin +
+        # brute-force property test
     }, rows_only

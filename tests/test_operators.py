@@ -983,3 +983,22 @@ def test_semdedup_zero_norm_vector_prunes_nothing(spark):
         for r in SIM.semdedup(df, cents, threshold=0.95).collect()
     }
     assert kept == {1: True, 2: True, 3: False, 4: True}
+
+
+def test_cosine_zero_norm_is_null_not_nan(spark):
+    # zero vectors must drop out of top-k / pair queries, not crash
+    # under ANSI division or rank first via NaN (r5 hardening)
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 0.0]),  # degenerate
+        (3, [0.9, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = SIM.cosine_topk(df, [1.0, 0.0], k=3).collect()
+    ids = [r["vec_id"] for r in top]
+    assert ids[:2] == [1, 3]  # real vectors first
+    assert top[-1]["vec_id"] == 2 and top[-1]["score"] is None
+    pairs = SIM.cosine_dedup_pairs(
+        df.withColumn("blk", F.lit(1)), "blk", threshold=0.5
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 3)}
