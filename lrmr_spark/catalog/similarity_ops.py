@@ -773,3 +773,114 @@ def ann_pq_stored_topk(spark, sf_dir):
     path = os.path.join(tempfile.gettempdir(), f"lrmr_pq_codes_{tag}")
     SIM.write_pq_codes(emb, path, cents, num_sub=8)
     return SIM.pq_adc_topk_stored(spark, path, list(_query_vec()), cents, k=10)
+
+
+def _ivfpq_oracle() -> str:
+    """IVF-PQ mirror: coarse assignment via the _ivf_oracle CASE over 8
+    cosine scores, rows restricted to the same driver-computed top-2
+    probes, then PQ codes + the ADC lookup-table sum of _pq_adc_oracle
+    — every float literal identical to the Spark plan's."""
+    import math
+
+    cents8 = _centroids()
+    pq_cents = _centroids()[:4]
+    q = _query_vec()
+
+    def py_cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    probes = sorted(range(len(cents8)), key=lambda i: -py_cos(cents8[i], q))[:2]
+    # coarse assignment scores
+    score_cols = []
+    for i, c in enumerate(cents8):
+        cc = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+        dotc = _dot_sql("e.embedding", cc)
+        nrm = f"sqrt({_dot_sql('e.embedding', 'e.embedding')}) * sqrt({_dot_sql(cc, cc)})"
+        score_cols.append(f"{dotc} / ({nrm}) AS s{i}")
+    n = len(cents8)
+    gmax = "greatest(" + ", ".join(f"s{i}" for i in range(n)) + ")"
+    idx_case = (
+        "CASE "
+        + " ".join(f"WHEN s{i} >= {gmax} THEN {i}" for i in range(n))
+        + " END"
+    )
+    # PQ sub-distances + ADC lookup (by_residual=false: raw embeddings)
+    num_sub, sub_d = 8, 8
+    lut = [
+        [
+            sum((q[s * sub_d + j] - c[s * sub_d + j]) ** 2 for j in range(sub_d))
+            for c in pq_cents
+        ]
+        for s in range(num_sub)
+    ]
+
+    def dist_expr(s: int, c: int) -> str:
+        return " + ".join(
+            f"(CAST(embedding[{s * sub_d + j + 1}] AS DOUBLE) - {pq_cents[c][s * sub_d + j]!r})"
+            f" * (CAST(embedding[{s * sub_d + j + 1}] AS DOUBLE) - {pq_cents[c][s * sub_d + j]!r})"
+            for j in range(sub_d)
+        )
+
+    inner = ", ".join(
+        f"({dist_expr(s, c)}) AS d{s}_{c}" for s in range(num_sub) for c in range(4)
+    )
+    terms = []
+    for s in range(num_sub):
+        m = f"least({', '.join(f'd{s}_{c}' for c in range(4))})"
+        terms.append(
+            "(CASE "
+            + " ".join(
+                f"WHEN d{s}_{c} = {m} THEN CAST({lut[s][c]!r} AS DOUBLE)"
+                for c in range(4)
+            )
+            + " END)"
+        )
+    adist = " + ".join(terms)
+    return f"""
+    WITH scored AS (
+      SELECT e.vec_id, e.embedding, {", ".join(score_cols)} FROM embeddings e
+    ),
+    probed AS (
+      SELECT vec_id, embedding FROM (
+        SELECT vec_id, embedding, {idx_case} AS part FROM scored
+      ) WHERE part IN ({", ".join(str(p) for p in probes)})
+    ),
+    d AS (SELECT vec_id, {inner} FROM probed)
+    SELECT vec_id, round(adist, 5) AS adist FROM (
+      SELECT vec_id, {adist} AS adist FROM d
+    ) ORDER BY adist, vec_id LIMIT 10
+    """
+
+
+@query("ann_ivfpq_topk", oracle=_ivfpq_oracle)
+def ann_ivfpq_topk(spark, sf_dir):
+    """The COMPOSED billion-scale ANN read path — IVF-PQ (Jégou et al.
+    2011 §V, the FAISS layout): the corpus is materialized once as a
+    parquet index partitioned by coarse-centroid assignment (the
+    directory layout IS the inverted list) whose rows are 8 PQ codes,
+    and the n_probe=2 query (a) scans exactly 2 of 8 partition
+    directories — storage-level pruning, plan-pinned PartitionFilters
+    — and (b) reads only the code columns, never embeddings
+    (plan-pinned ReadSchema). Per-candidate work is 8 LUT indexings +
+    adds; top-k is TakeOrderedAndProject. Compounds the two reductions
+    the catalog proves separately (ann_ivf_pruned_topk: scan 1/4 of
+    rows; ann_pq_stored_topk: ~9 bytes/row) into the production
+    composition: ~1/4 of directories × ~1/28 of bytes. Codebook drift
+    between write and query raises via the stored _meta fingerprints.
+    Oracle recomputes assignment, probe pruning, codes, and the ADC
+    sum from the same literals."""
+    import os
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    coarse = [list(c) for c in _centroids()]
+    pq_cents = [list(c) for c in _centroids()[:4]]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"lrmr_ivfpq_{tag}")
+    SIM.write_ivfpq_index(emb, path, coarse, pq_cents, num_sub=8)
+    return SIM.ivfpq_adc_topk(
+        spark, path, list(_query_vec()), coarse, pq_cents, k=10, n_probe=2
+    )

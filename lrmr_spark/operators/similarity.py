@@ -37,6 +37,8 @@ __all__ = [
     "write_pq_codes",
     "read_pq_codes_meta",
     "pq_adc_topk_stored",
+    "write_ivfpq_index",
+    "ivfpq_adc_topk",
 ]
 
 
@@ -542,6 +544,162 @@ def pq_adc_topk_stored(
         for s in range(num_sub)
     ]
     codes = spark.read.parquet(f"{path}/codes")
+    adist: Column | None = None
+    for s in range(num_sub):
+        term = F.element_at(
+            F.array(*[F.lit(float(x)) for x in lut[s]]), F.col(f"code_{s}")
+        )
+        adist = term if adist is None else adist + term
+    return (
+        codes.select(F.col(id_col), adist.alias("_ad"))
+        .orderBy(F.asc("_ad"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("_ad", 5).alias("adist"))
+    )
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    coarse_centroids: list[list[float]],
+    pq_centroids: list[list[float]],
+    num_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the composed IVF-PQ index — the FAISS-style
+    billion-scale ANN layout (Jégou et al. 2011 §V: inverted lists
+    selected by a coarse quantizer, entries stored as PQ codes): each
+    vector is assigned to its nearest coarse centroid (the partition
+    column, so the directory layout IS the inverted list) and stored as
+    ``num_sub`` PQ codes of the raw vector (the by_residual=false
+    variant — codes index the shared codebook, keeping the oracle and
+    the ADC table query-independent of the probed list).
+
+    A query then (a) prunes to n_probe partition DIRECTORIES (storage-
+    level pruning, not a runtime filter) and (b) scans ~9 bytes/vector
+    of codes instead of raw embeddings — compounding the two read-path
+    reductions this catalog already proves separately
+    (ann_ivf_pruned_topk, ann_pq_stored_topk).
+
+    ``path/_meta`` records BOTH codebook fingerprints + num_sub;
+    ivfpq_adc_topk raises on drift (codes and partitions are
+    meaningless outside the codebooks that produced them)."""
+    if len(pq_centroids[0]) % num_sub != 0:
+        raise ValueError(
+            f"num_sub={num_sub} must evenly divide the embedding "
+            f"dimension {len(pq_centroids[0])}"
+        )
+    assigned = df.withColumn(
+        "_part", ivf_assign(F.col(vec_col), coarse_centroids)
+    )
+    # assignment + all code columns in ONE projection (zero shuffles —
+    # the partitioned write's own clustering is the only movement);
+    # _pq_code_col is pq_codes' own code expression, shared so the two
+    # write paths stay arithmetically identical
+    out = assigned.select(
+        F.col(id_col),
+        F.col("_part").alias("part"),
+        *[
+            _pq_code_col(vec_col, pq_centroids, num_sub, s)
+            for s in range(num_sub)
+        ],
+    )
+    out.write.mode("overwrite").partitionBy("part").parquet(f"{path}/codes")
+    spark = df.sparkSession
+    spark.range(1).select(
+        F.lit(int(num_sub)).cast("int").alias("num_sub"),
+        F.lit(int(len(pq_centroids[0]))).cast("int").alias("dim"),
+        F.lit(int(len(coarse_centroids))).cast("int").alias("n_coarse"),
+        F.lit(int(len(pq_centroids))).cast("int").alias("n_pq_centroids"),
+        F.lit(_centroid_fingerprint(coarse_centroids)).alias("coarse_md5"),
+        F.lit(_centroid_fingerprint(pq_centroids)).alias("pq_md5"),
+        F.lit(id_col).alias("id_col"),
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+
+
+def _pq_code_col(
+    vec_col: str, centroids: list[list[float]], num_sub: int, s: int
+) -> Column:
+    """The code_s column expression pq_codes builds, exposed so callers
+    can compose it with other columns in ONE projection (identical
+    arithmetic: left-associated squared-L2, first-min-wins argmin)."""
+    dim = len(centroids[0])
+    sub_d = dim // num_sub
+    dists = []
+    for cent in centroids:
+        acc: Column | None = None
+        for j in range(sub_d):
+            idx = s * sub_d + j + 1
+            diff = F.element_at(F.col(vec_col), idx).cast("double") - F.lit(
+                float(cent[s * sub_d + j])
+            )
+            sq = diff * diff
+            acc = sq if acc is None else acc + sq
+        dists.append(acc)
+    arr = F.array(*dists)
+    return F.array_position(arr, F.array_min(arr)).cast("int").alias(f"code_{s}")
+
+
+def ivfpq_adc_topk(
+    spark,
+    path: str,
+    query: list[float],
+    coarse_centroids: list[list[float]],
+    pq_centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-PQ query over the stored index (write_ivfpq_index): pick the
+    ``n_probe`` coarse centroids nearest the query (driver-side cosine
+    over the bounded codebook — the same probe rule as ivf_topk), scan
+    ONLY those partition directories (plan-pinned PartitionFilters) and
+    ONLY the code columns (plan-pinned ReadSchema — no embedding), and
+    rank by the ADC lookup-table distance: num_sub array indexings +
+    adds per candidate row, TakeOrderedAndProject for the top-k.
+    Codebook drift between write and query raises."""
+    import math
+
+    row = spark.read.json(f"{path}/_meta").collect()[0]
+    if row["coarse_md5"] != _centroid_fingerprint(coarse_centroids):
+        raise ValueError(
+            "coarse-codebook drift: the stored index was partitioned by "
+            "a different coarse quantizer than the query supplied"
+        )
+    if row["pq_md5"] != _centroid_fingerprint(pq_centroids):
+        raise ValueError(
+            "pq-codebook drift: stored codes index a different PQ "
+            "codebook than the query supplied"
+        )
+    num_sub, dim = int(row["num_sub"]), int(row["dim"])
+    if len(query) != dim:
+        raise ValueError(f"query dim {len(query)} != stored dim {dim}")
+    id_col = row["id_col"]
+    sub_d = dim // num_sub
+
+    def py_cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    probes = sorted(
+        range(len(coarse_centroids)),
+        key=lambda i: -py_cos(coarse_centroids[i], query),
+    )[:n_probe]
+    lut = [
+        [
+            sum(
+                (query[s * sub_d + j] - c[s * sub_d + j]) ** 2
+                for j in range(sub_d)
+            )
+            for c in pq_centroids
+        ]
+        for s in range(num_sub)
+    ]
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("part").isin(probes)
+    )
     adist: Column | None = None
     for s in range(num_sub):
         term = F.element_at(

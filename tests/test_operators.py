@@ -1002,3 +1002,40 @@ def test_cosine_zero_norm_is_null_not_nan(spark):
         df.withColumn("blk", F.lit(1)), "blk", threshold=0.5
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 3)}
+
+
+def test_ivfpq_matches_probed_bruteforce_adc(spark, emb, tmp_path):
+    # the stored IVF-PQ answer == inline PQ ADC restricted to the rows
+    # the coarse quantizer assigns to the probed partitions
+    coarse = [[float((i * 11 + j) % 9) for j in range(64)] for i in range(8)]
+    pq_cents = [[float((i * 13 + j) % 7) for j in range(64)] for i in range(4)]
+    q = [float(j % 5) for j in range(64)]
+    path = str(tmp_path / "ivfpq")
+    SIM.write_ivfpq_index(emb, path, coarse, pq_cents, num_sub=8)
+    got = SIM.ivfpq_adc_topk(spark, path, q, coarse, pq_cents, k=10, n_probe=2).collect()
+
+    import math
+
+    def py_cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    probes = sorted(range(8), key=lambda i: -py_cos(coarse[i], q))[:2]
+    probed = emb.withColumn(
+        "_p", SIM.ivf_assign(F.col("embedding"), coarse)
+    ).filter(F.col("_p").isin(probes))
+    want = SIM.pq_adc_topk(probed, q, pq_cents, k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_ivfpq_codebook_drift_raises(spark, emb, tmp_path):
+    coarse = [[float((i * 11 + j) % 9) for j in range(64)] for i in range(8)]
+    pq_cents = [[float((i * 13 + j) % 7) for j in range(64)] for i in range(4)]
+    path = str(tmp_path / "ivfpq_drift")
+    SIM.write_ivfpq_index(emb, path, coarse, pq_cents, num_sub=8)
+    other = [[c + 1.0 for c in row] for row in coarse]
+    with pytest.raises(ValueError, match="coarse-codebook drift"):
+        SIM.ivfpq_adc_topk(spark, path, [0.0] * 64, other, pq_cents)
+    other_pq = [[c + 1.0 for c in row] for row in pq_cents]
+    with pytest.raises(ValueError, match="pq-codebook drift"):
+        SIM.ivfpq_adc_topk(spark, path, [0.0] * 64, coarse, other_pq)

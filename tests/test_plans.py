@@ -433,3 +433,15 @@ def test_winnowing_postings_single_exchange(spark):
 
     df = TX.winnowing_postings(load(spark, SF, "documents"), "doc_id", "text")
     assert count_exchanges(df) <= 2  # doc window + distinct
+
+
+def test_ivfpq_scan_prunes_partitions_and_reads_codes_only(spark):
+    # the composed IVF-PQ read path: 2 of 8 partition directories via
+    # PartitionFilters, and only code columns in the ReadSchema
+    df = queries()["ann_ivfpq_topk"](spark, SF)
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan and "part" in plan
+    cols = read_schema_columns(df)
+    assert "embedding" not in cols
+    assert set(cols) == {"vec_id"} | {f"code_{s}" for s in range(8)}
+    assert "TakeOrderedAndProject" in plan
