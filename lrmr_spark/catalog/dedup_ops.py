@@ -372,6 +372,46 @@ def dedup_minhash_stored_index(spark, sf_dir):
     )
 
 
+@query("dedup_minhash_index_append", oracle=_minhash_match_oracle)
+def dedup_minhash_index_append(spark, sf_dir):
+    """The daily-crawl WRITE loop end-to-end: day-1 corpus (lower-id
+    half of doc_id MOD 5 <> 0) is materialized as a stored MinHash
+    index, day-2 corpus (upper-id half) is FOLDED IN via
+    append_minhash_index (first-writer-wins reps, narrow fingerprint
+    anti-join against the stored reps), and the day-3 batch (doc_id
+    MOD 5 = 0) matches against the appended index. Ids are monotone
+    across the two days, so the appended index is provably identical
+    to a full rebuild — which is why this entry SHARES
+    dedup_minhash_stored_index's oracle: write→append→match must emit
+    exactly the pairs the one-shot index does. md5 path for oracle
+    portability."""
+    import os
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    lo, hi = corpus.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (lo + hi) // 2
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"lrmr_minhash_append_{tag}")
+    DD.write_minhash_index(
+        corpus.filter(F.col("doc_id") <= mid),
+        "doc_id",
+        "text",
+        path,
+        num_hashes=16,
+        bands=2,
+        fast=False,
+    )
+    DD.append_minhash_index(
+        corpus.filter(F.col("doc_id") > mid), path, "doc_id", "text"
+    )
+    return DD.match_minhash_index(
+        docs.filter(F.col("doc_id") % 5 == 0), path, "doc_id", "text",
+        threshold=0.9,
+    )
+
+
 @query("dedup_minhash_lsh_fast")  # rows-only: xxhash64 not reproducible in SQL
 def dedup_minhash_lsh_fast(spark, sf_dir):
     """Production MinHash+LSH: identical collapse→band→verify plan to

@@ -572,6 +572,60 @@ def write_minhash_index(
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
 
 
+def append_minhash_index(
+    new_df: DataFrame, path: str, id_col: str, text_col: str
+) -> int:
+    """Fold a new batch into a stored MinHash index (the write side of
+    the daily-crawl loop write_minhash_index/match_minhash_index model:
+    match today's batch against the index, THEN append it so tomorrow's
+    batch sees it). Hashing parameters come from the stored ``_meta``
+    — drift is impossible by construction. Returns the number of new
+    representative rows appended.
+
+    Semantics: FIRST-WRITER-WINS representatives. A new doc whose item
+    multiset already has a stored representative adds nothing (its
+    cluster membership is the match output); only genuinely new
+    multisets append one rep row + their band postings. With
+    monotonically increasing doc ids — the crawl case — this is
+    identical to rebuilding the index from the full corpus (min-id
+    reps); with interleaved ids the stored rep keeps its original id
+    (stable identity across days, which production wants) where a
+    rebuild would relabel. Asserted equal under monotone ids in
+    tests/test_operators.py.
+
+    Scale shape: the new batch is hashed once (the same one-exchange
+    rep pipeline); dedup-against-stored is a narrow anti-join on the
+    8-byte/32-hex multiset fingerprint — stored item arrays never
+    load beyond that projection. Appends are plain parquet appends;
+    single-writer, like the index's write-once discipline."""
+    spark = new_df.sparkSession
+    meta = read_minhash_index_meta(spark, path)
+    num_hashes, bands = meta["num_hashes"], meta["bands"]
+    unit, shingle_k, fast = meta["unit"], meta["shingle_k"], meta["fast"]
+    reps_new = _minhash_reps(
+        new_df, id_col, text_col, num_hashes, unit, shingle_k, fast
+    )
+    fp = (
+        (lambda c: F.xxhash64(c)) if fast else (lambda c: F.md5(F.array_join(c, " ")))
+    )
+    stored_fps = spark.read.parquet(f"{path}/reps").select(
+        fp(F.col("items")).alias("_fp")
+    )
+    fresh = (
+        reps_new.withColumn("_fp", fp(F.col("items")))
+        .join(stored_fps, "_fp", "left_anti")
+        .drop("_fp")
+        .localCheckpoint(eager=True)  # one computation serves both writes
+    )
+    n_new = fresh.count()
+    if n_new:
+        fresh.write.mode("append").parquet(f"{path}/reps")
+        fresh.select(
+            "_id", F.explode(_band_keys(num_hashes, bands, fast)).alias("_band")
+        ).write.mode("append").parquet(f"{path}/bands")
+    return n_new
+
+
 def read_minhash_index_meta(spark, path: str) -> dict:
     """The hashing parameters a stored index was built with
     (write_minhash_index's ``path/_meta``)."""

@@ -1039,3 +1039,41 @@ def test_ivfpq_codebook_drift_raises(spark, emb, tmp_path):
     other_pq = [[c + 1.0 for c in row] for row in pq_cents]
     with pytest.raises(ValueError, match="pq-codebook drift"):
         SIM.ivfpq_adc_topk(spark, path, [0.0] * 64, coarse, other_pq)
+
+
+def test_minhash_index_append_equals_rebuild(spark, docs, tmp_path):
+    # the daily-crawl loop: write day-1 corpus, append day-2 batch,
+    # match day-3 against the appended index == against a full rebuild
+    # (ids are monotone across days, so first-writer-wins reps == the
+    # rebuild's min-id reps)
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    t1, t2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    day1 = docs.filter(F.col("doc_id") < t1)
+    day2 = docs.filter((F.col("doc_id") >= t1) & (F.col("doc_id") < t2))
+    day3 = docs.filter(F.col("doc_id") >= t2)
+
+    inc = str(tmp_path / "inc")
+    DD.write_minhash_index(day1, "doc_id", "text", inc, num_hashes=16, bands=4)
+    n_new = DD.append_minhash_index(day2, inc, "doc_id", "text")
+    assert n_new > 0
+    got = {
+        (r["new_id"], r["base_id"], r["jaccard"])
+        for r in DD.match_minhash_index(day3, inc, "doc_id", "text").collect()
+    }
+
+    full = str(tmp_path / "full")
+    DD.write_minhash_index(
+        day1.unionAll(day2), "doc_id", "text", full, num_hashes=16, bands=4
+    )
+    want = {
+        (r["new_id"], r["base_id"], r["jaccard"])
+        for r in DD.match_minhash_index(day3, full, "doc_id", "text").collect()
+    }
+    assert got == want and want
+
+
+def test_minhash_index_append_skips_known_multisets(spark, docs, tmp_path):
+    # appending the SAME batch twice adds zero rows
+    path = str(tmp_path / "idem")
+    DD.write_minhash_index(docs, "doc_id", "text", path, num_hashes=16, bands=4)
+    assert DD.append_minhash_index(docs, path, "doc_id", "text") == 0
