@@ -142,7 +142,7 @@ _PRIORITY = [
     "streaming_ewma",
 ]
 # r6 rotation candidates (the still-never-gated entries):
-# dedup_simhash_hamming_fast, ann_ivfpq_topk,
+# dedup_simhash_hamming_fast, ann_ivfpq_topk, ann_ivfpq_residual_topk,
 # dedup_minhash_index_append (added after the r5 window froze),
 # events_growth_accounting, events_time_pruned_rollup,
 # streaming_interval_join,

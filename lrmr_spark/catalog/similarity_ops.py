@@ -855,6 +855,128 @@ def _ivfpq_oracle() -> str:
     """
 
 
+def _ivfpq_residual_oracle() -> str:
+    """by_residual twin of _ivfpq_oracle: codes quantize the residual
+    (each squared term subtracts the ONE folded literal coarse[p][j] +
+    pqc[c][j], selected by a CASE over the row's part — exactly the
+    Spark write expression), and the ADC lookup table is built per
+    probed list from (q − coarse[p] − pqc) literals."""
+    import math
+
+    cents8 = _centroids()
+    pq_cents = _centroids()[:4]
+    q = _query_vec()
+
+    def py_cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    probes = sorted(range(len(cents8)), key=lambda i: -py_cos(cents8[i], q))[:2]
+    score_cols = []
+    for i, c in enumerate(cents8):
+        cc = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+        dotc = _dot_sql("e.embedding", cc)
+        nrm = f"sqrt({_dot_sql('e.embedding', 'e.embedding')}) * sqrt({_dot_sql(cc, cc)})"
+        score_cols.append(f"{dotc} / ({nrm}) AS s{i}")
+    n = len(cents8)
+    gmax = "greatest(" + ", ".join(f"s{i}" for i in range(n)) + ")"
+    idx_case = (
+        "CASE "
+        + " ".join(f"WHEN s{i} >= {gmax} THEN {i}" for i in range(n))
+        + " END"
+    )
+    num_sub, sub_d = 8, 8
+
+    def dist_expr(s: int, c: int) -> str:
+        # per term: embedding[j] − CASE(part){coarse[p][j] + pqc[c][j]}
+        terms = []
+        for j in range(sub_d):
+            idx = s * sub_d + j
+            folded = " ".join(
+                f"WHEN part = {p} THEN {cents8[p][idx] + pq_cents[c][idx]!r}"
+                for p in probes
+            )
+            d = f"(CAST(embedding[{idx + 1}] AS DOUBLE) - (CASE {folded} END))"
+            terms.append(f"{d} * {d}")
+        return " + ".join(terms)
+
+    inner = ", ".join(
+        f"({dist_expr(s, c)}) AS d{s}_{c}" for s in range(num_sub) for c in range(4)
+    )
+    luts = {
+        p: [
+            [
+                sum(
+                    (q[s * sub_d + j] - cents8[p][s * sub_d + j] - c[s * sub_d + j]) ** 2
+                    for j in range(sub_d)
+                )
+                for c in pq_cents
+            ]
+            for s in range(num_sub)
+        ]
+        for p in probes
+    }
+    terms = []
+    for s in range(num_sub):
+        branches = []
+        for c in range(4):
+            m = f"least({', '.join(f'd{s}_{cc}' for cc in range(4))})"
+            per_part = " ".join(
+                f"WHEN part = {p} THEN CAST({luts[p][s][c]!r} AS DOUBLE)"
+                for p in probes
+            )
+            branches.append(f"WHEN d{s}_{c} = {m} THEN (CASE {per_part} END)")
+        terms.append("(CASE " + " ".join(branches) + " END)")
+    adist = " + ".join(terms)
+    return f"""
+    WITH scored AS (
+      SELECT e.vec_id, e.embedding, {", ".join(score_cols)} FROM embeddings e
+    ),
+    probed AS (
+      SELECT vec_id, embedding, part FROM (
+        SELECT vec_id, embedding, {idx_case} AS part FROM scored
+      ) WHERE part IN ({", ".join(str(p) for p in probes)})
+    ),
+    d AS (SELECT vec_id, part, {inner} FROM probed)
+    SELECT vec_id, round(adist, 5) AS adist FROM (
+      SELECT vec_id, {adist} AS adist FROM d
+    ) ORDER BY adist, vec_id LIMIT 10
+    """
+
+
+@query("ann_ivfpq_residual_topk", oracle=_ivfpq_residual_oracle)
+def ann_ivfpq_residual_topk(spark, sf_dir):
+    """IVF-PQ with RESIDUAL encoding (by_residual=true — FAISS's
+    default; Jégou et al. 2011 §V): stored codes quantize
+    vec − coarse[part], so the shared 4-centroid codebook spends its
+    resolution on the (smaller) within-list displacement rather than
+    absolute position, and the query builds one ADC lookup table per
+    probed list (against q − coarse[p]). Same storage layout and
+    plan shape as ann_ivfpq_topk — partition-directory pruning +
+    codes-only scan — the only query-time addition is an
+    n_probe-branch CASE choosing the row's lookup table. The residual
+    never materializes: each squared term subtracts one driver-folded
+    literal behind a CASE over part, in both engines. Exact-match
+    pinned additionally by an independent python model in
+    tests/test_operators.py."""
+    import os
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    coarse = [list(c) for c in _centroids()]
+    pq_cents = [list(c) for c in _centroids()[:4]]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"lrmr_ivfpq_res_{tag}")
+    SIM.write_ivfpq_index(
+        emb, path, coarse, pq_cents, num_sub=8, by_residual=True
+    )
+    return SIM.ivfpq_adc_topk(
+        spark, path, list(_query_vec()), coarse, pq_cents, k=10, n_probe=2
+    )
+
+
 @query("ann_ivfpq_topk", oracle=_ivfpq_oracle)
 def ann_ivfpq_topk(spark, sf_dir):
     """The COMPOSED billion-scale ANN read path — IVF-PQ (Jégou et al.

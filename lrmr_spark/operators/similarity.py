@@ -566,15 +566,25 @@ def write_ivfpq_index(
     num_sub: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    by_residual: bool = False,
 ) -> None:
     """Materialize the composed IVF-PQ index — the FAISS-style
     billion-scale ANN layout (Jégou et al. 2011 §V: inverted lists
     selected by a coarse quantizer, entries stored as PQ codes): each
     vector is assigned to its nearest coarse centroid (the partition
     column, so the directory layout IS the inverted list) and stored as
-    ``num_sub`` PQ codes of the raw vector (the by_residual=false
-    variant — codes index the shared codebook, keeping the oracle and
-    the ADC table query-independent of the probed list).
+    ``num_sub`` PQ codes.
+
+    ``by_residual=False`` (default) quantizes the raw vector — the
+    simpler layout whose ADC table is independent of the probed list.
+    ``by_residual=True`` quantizes the residual vec − coarse[part]
+    (FAISS's default): residual magnitudes are smaller than raw
+    vectors, so the same codebook quantizes finer; the query then
+    builds one ADC table PER PROBED LIST (the paper's asymmetric
+    distance vs the list's own residual frame). The residual never
+    materializes — each squared term folds coarse[part][j] + pqc[c][j]
+    into one literal behind a small CASE over part (codegen'd scalar
+    arithmetic, no HOF re-evaluation).
 
     A query then (a) prunes to n_probe partition DIRECTORIES (storage-
     level pruning, not a runtime filter) and (b) scans ~9 bytes/vector
@@ -582,9 +592,9 @@ def write_ivfpq_index(
     reductions this catalog already proves separately
     (ann_ivf_pruned_topk, ann_pq_stored_topk).
 
-    ``path/_meta`` records BOTH codebook fingerprints + num_sub;
-    ivfpq_adc_topk raises on drift (codes and partitions are
-    meaningless outside the codebooks that produced them)."""
+    ``path/_meta`` records BOTH codebook fingerprints + num_sub +
+    by_residual; ivfpq_adc_topk raises on drift (codes and partitions
+    are meaningless outside the codebooks that produced them)."""
     if len(pq_centroids[0]) % num_sub != 0:
         raise ValueError(
             f"num_sub={num_sub} must evenly divide the embedding "
@@ -601,7 +611,14 @@ def write_ivfpq_index(
         F.col(id_col),
         F.col("_part").alias("part"),
         *[
-            _pq_code_col(vec_col, pq_centroids, num_sub, s)
+            _pq_code_col(
+                vec_col,
+                pq_centroids,
+                num_sub,
+                s,
+                coarse_centroids=coarse_centroids if by_residual else None,
+                part_col="_part" if by_residual else None,
+            )
             for s in range(num_sub)
         ],
     )
@@ -614,16 +631,31 @@ def write_ivfpq_index(
         F.lit(int(len(pq_centroids))).cast("int").alias("n_pq_centroids"),
         F.lit(_centroid_fingerprint(coarse_centroids)).alias("coarse_md5"),
         F.lit(_centroid_fingerprint(pq_centroids)).alias("pq_md5"),
+        F.lit(bool(by_residual)).alias("by_residual"),
         F.lit(id_col).alias("id_col"),
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
 
 
 def _pq_code_col(
-    vec_col: str, centroids: list[list[float]], num_sub: int, s: int
+    vec_col: str,
+    centroids: list[list[float]],
+    num_sub: int,
+    s: int,
+    coarse_centroids: list[list[float]] | None = None,
+    part_col: str | None = None,
 ) -> Column:
     """The code_s column expression pq_codes builds, exposed so callers
     can compose it with other columns in ONE projection (identical
-    arithmetic: left-associated squared-L2, first-min-wins argmin)."""
+    arithmetic: left-associated squared-L2, first-min-wins argmin).
+
+    With ``coarse_centroids`` + ``part_col`` set, codes quantize the
+    RESIDUAL vec − coarse[part] (the by_residual=true IVF-PQ write
+    path). The residual never materializes as an array: each squared
+    term folds the row's coarse component and the PQ sub-centroid into
+    ONE driver-computed literal selected by a CASE over part —
+    element_at(vec, j) − CASE(part){coarse[p][j] + pqc[c][j]} — pure
+    codegen'd scalar arithmetic, no zip_with whose re-evaluation a
+    collapsed projection would multiply (pitfall 16's class)."""
     dim = len(centroids[0])
     sub_d = dim // num_sub
     dists = []
@@ -631,9 +663,22 @@ def _pq_code_col(
         acc: Column | None = None
         for j in range(sub_d):
             idx = s * sub_d + j + 1
-            diff = F.element_at(F.col(vec_col), idx).cast("double") - F.lit(
-                float(cent[s * sub_d + j])
-            )
+            if coarse_centroids is None:
+                offset: Column = F.lit(float(cent[s * sub_d + j]))
+            else:
+                # fold coarse[p][j] + pqc[c][j] per branch at driver
+                # time; the row pays one small literal CASE
+                offset = F.lit(None).cast("double")
+                expr = None
+                for p, cc in enumerate(coarse_centroids):
+                    lit = F.lit(float(cc[idx - 1]) + float(cent[idx - 1]))
+                    expr = (
+                        F.when(F.col(part_col) == p, lit)
+                        if expr is None
+                        else expr.when(F.col(part_col) == p, lit)
+                    )
+                offset = expr
+            diff = F.element_at(F.col(vec_col), idx).cast("double") - offset
             sq = diff * diff
             acc = sq if acc is None else acc + sq
         dists.append(acc)
@@ -657,6 +702,10 @@ def ivfpq_adc_topk(
     ONLY the code columns (plan-pinned ReadSchema — no embedding), and
     rank by the ADC lookup-table distance: num_sub array indexings +
     adds per candidate row, TakeOrderedAndProject for the top-k.
+    For a by_residual index the table is built PER PROBED LIST (ADC
+    against q − coarse[p]; Jégou 2011 §V) and the row's list picks its
+    table through an n_probe-branch CASE on the partition column —
+    still pure literal indexing, no vector arithmetic at query time.
     Codebook drift between write and query raises."""
     import math
 
@@ -687,24 +736,48 @@ def ivfpq_adc_topk(
         range(len(coarse_centroids)),
         key=lambda i: -py_cos(coarse_centroids[i], query),
     )[:n_probe]
-    lut = [
-        [
-            sum(
-                (query[s * sub_d + j] - c[s * sub_d + j]) ** 2
-                for j in range(sub_d)
-            )
-            for c in pq_centroids
+    by_residual = bool(row["by_residual"]) if "by_residual" in row else False
+
+    def make_lut(origin: list[float]) -> list[list[float]]:
+        # lut[s][c] = || (query − origin)_s − pqc_s ||², left-assoc sums
+        return [
+            [
+                sum(
+                    (query[s * sub_d + j] - origin[s * sub_d + j] - c[s * sub_d + j]) ** 2
+                    for j in range(sub_d)
+                )
+                for c in pq_centroids
+            ]
+            for s in range(num_sub)
         ]
-        for s in range(num_sub)
-    ]
+
+    zero = [0.0] * dim
+    luts = {
+        p: make_lut(coarse_centroids[p] if by_residual else zero)
+        for p in probes
+    }
     codes = spark.read.parquet(f"{path}/codes").filter(
         F.col("part").isin(probes)
     )
     adist: Column | None = None
     for s in range(num_sub):
-        term = F.element_at(
-            F.array(*[F.lit(float(x)) for x in lut[s]]), F.col(f"code_{s}")
-        )
+        if by_residual:
+            term = None
+            for p in probes:
+                indexed = F.element_at(
+                    F.array(*[F.lit(float(x)) for x in luts[p][s]]),
+                    F.col(f"code_{s}"),
+                )
+                term = (
+                    F.when(F.col("part") == p, indexed)
+                    if term is None
+                    else term.when(F.col("part") == p, indexed)
+                )
+        else:
+            term = F.element_at(
+                F.array(*[F.lit(float(x)) for x in luts[probes[0]][s]]),
+                F.col(f"code_{s}"),
+            )
         adist = term if adist is None else adist + term
     return (
         codes.select(F.col(id_col), adist.alias("_ad"))

@@ -1077,3 +1077,62 @@ def test_minhash_index_append_skips_known_multisets(spark, docs, tmp_path):
     path = str(tmp_path / "idem")
     DD.write_minhash_index(docs, "doc_id", "text", path, num_hashes=16, bands=4)
     assert DD.append_minhash_index(docs, path, "doc_id", "text") == 0
+
+
+def test_ivfpq_residual_roundtrip_matches_python_model(spark, emb, tmp_path):
+    # by_residual=True: codes quantize vec - coarse[part]; the query
+    # builds one ADC table per probed list. Exact-match against an
+    # independent python reimplementation (same fold order: the write
+    # side subtracts the ONE folded literal coarse[p][j] + pqc[c][j]).
+    import math
+
+    coarse = [[float((i * 11 + j) % 9) for j in range(64)] for i in range(8)]
+    pq_cents = [[float((i * 13 + j) % 7) for j in range(64)] for i in range(4)]
+    q = [float(j % 5) for j in range(64)]
+    path = str(tmp_path / "ivfpq_res")
+    SIM.write_ivfpq_index(emb, path, coarse, pq_cents, num_sub=8, by_residual=True)
+    got = [
+        tuple(r)
+        for r in SIM.ivfpq_adc_topk(
+            spark, path, q, coarse, pq_cents, k=10, n_probe=2
+        ).collect()
+    ]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return d / (na * nb) if na and nb else float("-inf")
+
+    def assign(v):
+        scores = [cos(v, c) for c in coarse]
+        return scores.index(max(scores))  # first-max-wins
+
+    probes = sorted(range(8), key=lambda i: -cos(coarse[i], q))[:2]
+    rows = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in emb.collect()]
+    scored = []
+    for vid, v in rows:
+        p = assign(v)
+        if p not in probes:
+            continue
+        ad = 0.0
+        for s in range(8):
+            dists = []
+            for c in pq_cents:
+                acc = 0.0
+                for j in range(8):
+                    idx = s * 8 + j
+                    acc += (v[idx] - (coarse[p][idx] + c[idx])) ** 2
+                dists.append(acc)
+            code = dists.index(min(dists))  # first-min-wins
+            lut_c = [
+                sum(
+                    (q[s * 8 + j] - coarse[p][s * 8 + j] - c[s * 8 + j]) ** 2
+                    for j in range(8)
+                )
+                for c in pq_cents
+            ]
+            ad += lut_c[code]
+        scored.append((vid, round(ad, 5)))
+    want = sorted(scored, key=lambda t: (t[1], t[0]))[:10]
+    assert got == want
