@@ -857,10 +857,11 @@ def _ivfpq_oracle() -> str:
 
 def _ivfpq_residual_oracle() -> str:
     """by_residual twin of _ivfpq_oracle: codes quantize the residual
-    (each squared term subtracts the ONE folded literal coarse[p][j] +
-    pqc[c][j], selected by a CASE over the row's part — exactly the
-    Spark write expression), and the ADC lookup table is built per
-    probed list from (q − coarse[p] − pqc) literals."""
+    — (embedding[j] − coarse[part][j]) − pqc[c][j], the coarse
+    component selected by a CASE over the row's part, mirroring the
+    Spark write path's zip_with-then-subtract order exactly — and the
+    ADC lookup table is built per probed list from
+    (q − coarse[p] − pqc) literals."""
     import math
 
     cents8 = _centroids()
@@ -890,15 +891,17 @@ def _ivfpq_residual_oracle() -> str:
     num_sub, sub_d = 8, 8
 
     def dist_expr(s: int, c: int) -> str:
-        # per term: embedding[j] − CASE(part){coarse[p][j] + pqc[c][j]}
+        # per term: (embedding[j] − CASE(part){coarse[p][j]}) − pqc[c][j]
         terms = []
         for j in range(sub_d):
             idx = s * sub_d + j
-            folded = " ".join(
-                f"WHEN part = {p} THEN {cents8[p][idx] + pq_cents[c][idx]!r}"
-                for p in probes
+            coarse_case = " ".join(
+                f"WHEN part = {p} THEN {cents8[p][idx]!r}" for p in probes
             )
-            d = f"(CAST(embedding[{idx + 1}] AS DOUBLE) - (CASE {folded} END))"
+            d = (
+                f"((CAST(embedding[{idx + 1}] AS DOUBLE) - (CASE {coarse_case} END))"
+                f" - {pq_cents[c][idx]!r})"
+            )
             terms.append(f"{d} * {d}")
         return " + ".join(terms)
 

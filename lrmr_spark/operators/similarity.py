@@ -581,10 +581,11 @@ def write_ivfpq_index(
     (FAISS's default): residual magnitudes are smaller than raw
     vectors, so the same codebook quantizes finer; the query then
     builds one ADC table PER PROBED LIST (the paper's asymmetric
-    distance vs the list's own residual frame). The residual never
-    materializes — each squared term folds coarse[part][j] + pqc[c][j]
-    into one literal behind a small CASE over part (codegen'd scalar
-    arithmetic, no HOF re-evaluation).
+    distance vs the list's own residual frame). The residual is
+    materialized ONCE per row (zip_with against the part-selected
+    coarse centroid) behind a checkpoint barrier, then quantized by
+    the ordinary literal code expressions — the two rejected
+    formulations are recorded in the barrier comment below.
 
     A query then (a) prunes to n_probe partition DIRECTORIES (storage-
     level pruning, not a runtime filter) and (b) scans ~9 bytes/vector
@@ -603,6 +604,36 @@ def write_ivfpq_index(
     assigned = df.withColumn(
         "_part", ivf_assign(F.col(vec_col), coarse_centroids)
     )
+    if by_residual:
+        # materialize the residual ONCE per row, behind a checkpoint
+        # barrier: downstream, every code column references the
+        # residual array num_sub × n_cent × sub_d times, and without
+        # the barrier projection collapse would inline the zip_with
+        # (and ivf_assign's interpreted-HOF cosines behind _part) into
+        # EVERY reference (pitfall 12's class). Two rejected
+        # alternatives, measured at the sf0.1 write: a per-TERM
+        # literal CASE over part (~2048 branch dispatches/row, 19 s)
+        # and a per-PART duplicated argmin under one outer CASE (8×
+        # the expression tree — a 677 KB plan whose analysis/codegen
+        # dominated, 36 s). This formulation: ~5 s.
+        coarse_lookup = F.element_at(
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in cc])
+                    for cc in coarse_centroids
+                ]
+            ),
+            F.col("_part") + 1,
+        )
+        assigned = assigned.withColumn(
+            "_res",
+            F.zip_with(
+                F.col(vec_col), coarse_lookup, lambda x, y: x.cast("double") - y
+            ),
+        ).localCheckpoint(eager=False)
+        code_src = "_res"
+    else:
+        code_src = vec_col
     # assignment + all code columns in ONE projection (zero shuffles —
     # the partitioned write's own clustering is the only movement);
     # _pq_code_col is pq_codes' own code expression, shared so the two
@@ -611,14 +642,7 @@ def write_ivfpq_index(
         F.col(id_col),
         F.col("_part").alias("part"),
         *[
-            _pq_code_col(
-                vec_col,
-                pq_centroids,
-                num_sub,
-                s,
-                coarse_centroids=coarse_centroids if by_residual else None,
-                part_col="_part" if by_residual else None,
-            )
+            _pq_code_col(code_src, pq_centroids, num_sub, s)
             for s in range(num_sub)
         ],
     )
@@ -637,25 +661,11 @@ def write_ivfpq_index(
 
 
 def _pq_code_col(
-    vec_col: str,
-    centroids: list[list[float]],
-    num_sub: int,
-    s: int,
-    coarse_centroids: list[list[float]] | None = None,
-    part_col: str | None = None,
+    vec_col: str, centroids: list[list[float]], num_sub: int, s: int
 ) -> Column:
     """The code_s column expression pq_codes builds, exposed so callers
     can compose it with other columns in ONE projection (identical
-    arithmetic: left-associated squared-L2, first-min-wins argmin).
-
-    With ``coarse_centroids`` + ``part_col`` set, codes quantize the
-    RESIDUAL vec − coarse[part] (the by_residual=true IVF-PQ write
-    path). The residual never materializes as an array: each squared
-    term folds the row's coarse component and the PQ sub-centroid into
-    ONE driver-computed literal selected by a CASE over part —
-    element_at(vec, j) − CASE(part){coarse[p][j] + pqc[c][j]} — pure
-    codegen'd scalar arithmetic, no zip_with whose re-evaluation a
-    collapsed projection would multiply (pitfall 16's class)."""
+    arithmetic: left-associated squared-L2, first-min-wins argmin)."""
     dim = len(centroids[0])
     sub_d = dim // num_sub
     dists = []
@@ -663,22 +673,9 @@ def _pq_code_col(
         acc: Column | None = None
         for j in range(sub_d):
             idx = s * sub_d + j + 1
-            if coarse_centroids is None:
-                offset: Column = F.lit(float(cent[s * sub_d + j]))
-            else:
-                # fold coarse[p][j] + pqc[c][j] per branch at driver
-                # time; the row pays one small literal CASE
-                offset = F.lit(None).cast("double")
-                expr = None
-                for p, cc in enumerate(coarse_centroids):
-                    lit = F.lit(float(cc[idx - 1]) + float(cent[idx - 1]))
-                    expr = (
-                        F.when(F.col(part_col) == p, lit)
-                        if expr is None
-                        else expr.when(F.col(part_col) == p, lit)
-                    )
-                offset = expr
-            diff = F.element_at(F.col(vec_col), idx).cast("double") - offset
+            diff = F.element_at(F.col(vec_col), idx).cast("double") - F.lit(
+                float(cent[s * sub_d + j])
+            )
             sq = diff * diff
             acc = sq if acc is None else acc + sq
         dists.append(acc)

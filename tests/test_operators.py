@@ -1082,8 +1082,8 @@ def test_minhash_index_append_skips_known_multisets(spark, docs, tmp_path):
 def test_ivfpq_residual_roundtrip_matches_python_model(spark, emb, tmp_path):
     # by_residual=True: codes quantize vec - coarse[part]; the query
     # builds one ADC table per probed list. Exact-match against an
-    # independent python reimplementation (same fold order: the write
-    # side subtracts the ONE folded literal coarse[p][j] + pqc[c][j]).
+    # independent python reimplementation (same subtraction order as
+    # the write side: residual first, then minus the sub-centroid).
     import math
 
     coarse = [[float((i * 11 + j) % 9) for j in range(64)] for i in range(8)]
@@ -1122,7 +1122,7 @@ def test_ivfpq_residual_roundtrip_matches_python_model(spark, emb, tmp_path):
                 acc = 0.0
                 for j in range(8):
                     idx = s * 8 + j
-                    acc += (v[idx] - (coarse[p][idx] + c[idx])) ** 2
+                    acc += ((v[idx] - coarse[p][idx]) - c[idx]) ** 2
                 dists.append(acc)
             code = dists.index(min(dists))  # first-min-wins
             lut_c = [
