@@ -149,3 +149,47 @@ def streaming_interval_join_left_outer(spark, sf_dir):
         ),
         name,
     )
+
+
+@query("streaming_minhash_index_match")  # rows-only: foreachBatch run-mode
+def streaming_minhash_index_match(spark, sf_dir):
+    """The daily-crawl near-dedup loop as a LIVE STREAM: the corpus
+    (doc_id MOD 5 <> 0) is materialized once as a stored MinHash index,
+    then the incoming-document stream (filtered to the MOD-5 batch) is
+    matched against it per micro-batch via foreachBatch — each bounded
+    micro-batch runs the identical batch matcher, with matches landing
+    in an epoch-partitioned sink under dynamic partition overwrite
+    (idempotent under checkpoint replay). Stream/batch equivalence is
+    asserted in tests/test_streaming.py."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..operators import dedup as DD
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    index = os.path.join(tempfile.gettempdir(), f"lrmr_minhash_stream_{tag}")
+    DD.write_minhash_index(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        "doc_id",
+        "text",
+        index,
+        num_hashes=16,
+        bands=2,
+        fast=False,
+    )
+    run = uuid.uuid4().hex[:8]
+    out = os.path.join(tempfile.gettempdir(), f"lrmr_minhash_stream_out_{run}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"lrmr_minhash_stream_ck_{run}")
+    matches = ST.run_minhash_index_match_stream(
+        ST.stream_documents(spark, sf_dir).filter(F.col("doc_id") % 5 == 0),
+        index,
+        out,
+        ckpt,
+        threshold=0.9,
+    )
+    return matches.orderBy("new_id", "base_id")

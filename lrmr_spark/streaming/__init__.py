@@ -45,6 +45,8 @@ __all__ = [
     "static_enrich_counts",
     "run_to_memory",
     "run_available_now",
+    "stream_documents",
+    "run_minhash_index_match_stream",
 ]
 
 def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
@@ -466,3 +468,87 @@ def mincount_sketch_state(
             F.col("w.start").alias("w_start"), "event_type", "bucket", "mn"
         )
     )
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (one file = one
+    micro-batch locally; production reads Kafka/object-store drops —
+    only this function changes)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def run_minhash_index_match_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """STREAMING near-dup detection against the stored MinHash index —
+    the daily-crawl dedup loop run as a live stream: each micro-batch
+    of incoming documents is matched against the write-once corpus
+    index (operators.dedup.match_minhash_index) inside foreachBatch,
+    and its (new_id, base_id, jaccard) matches land in an
+    epoch-partitioned parquet sink. Drains with Trigger.AvailableNow
+    and returns the accumulated matches as a batch DF.
+
+    Why foreachBatch rather than a declarative stream-stream join:
+    the match is a multi-stage batch algorithm (rep collapse → band
+    join → exact-Jaccard verify) whose aggregations are unbounded
+    under streaming semantics, but each MICRO-BATCH is a bounded
+    batch DF — foreachBatch runs the identical batch operator
+    per batch, so stream and batch results agree exactly
+    (asserted in tests). This is also the production shape: the index
+    is static within a run; intra-batch/intra-stream duplicates are
+    the INCREMENTAL variant's job (dedup_minhash_incremental).
+
+    Exactly-once: the sink is partitioned by the epoch id and written
+    with dynamic partition overwrite, so a replayed micro-batch (after
+    a failure, from the checkpoint) overwrites its own partition
+    instead of appending duplicates."""
+    spark = docs_stream.sparkSession
+
+    def _match_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..operators import dedup as DD
+
+        matches = DD.match_minhash_index(
+            batch_df, index_path, id_col, text_col, threshold=threshold
+        ).withColumn("_epoch", F.lit(int(epoch_id)))
+        (
+            matches.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(out_path)
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_match_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"availableNow minhash-match stream did not drain in {timeout_s}s"
+            )
+    finally:
+        q.stop()
+    return spark.read.parquet(out_path).drop("_epoch")

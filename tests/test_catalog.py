@@ -74,6 +74,8 @@ def test_every_query_has_oracle_or_is_documented_rows_only():
         "streaming_mincount_sketch",  # incremental sketch-state semantics
         "streaming_backfill_available_now",  # trigger/run-mode semantics
         "streaming_interval_join_left_outer",  # watermark-gated null emission
+        "streaming_minhash_index_match",  # foreachBatch run-mode; stream ==
+        # batch matcher asserted in tests/test_streaming.py
 
         "dedup_minhash_lsh_fast",  # xxhash64 not reproducible in SQL
         "dedup_simhash_hamming_fast",  # xxhash64 bits not in SQL;

@@ -408,3 +408,36 @@ def test_left_outer_interval_join(spark, sf_dir):
     # a view emits either matched rows or one null row, never both
     matched_views = {v for v, _ in matched}
     assert all(r["view_id"] not in matched_views for r in nulls)
+
+
+def test_minhash_index_match_stream_equals_batch(spark, sf_dir, tmp_path):
+    # the foreachBatch streaming matcher must emit exactly the batch
+    # matcher's pairs (the stream is bounded: one file micro-batch)
+    from pyspark.sql import functions as F
+
+    from lrmr_spark import streaming as ST
+    from lrmr_spark.operators import dedup as DD
+    from lrmr_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    index = str(tmp_path / "idx")
+    DD.write_minhash_index(
+        docs.filter(F.col("doc_id") % 5 != 0), "doc_id", "text", index,
+        num_hashes=16, bands=4,
+    )
+    got = {
+        (r["new_id"], r["base_id"], r["jaccard"])
+        for r in ST.run_minhash_index_match_stream(
+            ST.stream_documents(spark, sf_dir).filter(F.col("doc_id") % 5 == 0),
+            index,
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+        ).collect()
+    }
+    want = {
+        (r["new_id"], r["base_id"], r["jaccard"])
+        for r in DD.match_minhash_index(
+            docs.filter(F.col("doc_id") % 5 == 0), index, "doc_id", "text"
+        ).collect()
+    }
+    assert got == want and want
