@@ -294,3 +294,69 @@ def test_trimmed_mean_matches_python(spark, vals):
     k = len(s) // 10
     kept = s[k : len(s) - k]
     assert got == sum(kept) // len(kept)
+
+
+_WORDS = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(toks=_WORDS)
+@_SETTINGS
+def test_winnowing_postings_match_python_selection(spark, toks):
+    # windowed-min selection vs a plain-python winnowing reference
+    # (k=3, w=4, md5-prefix hashes; clamped single window when short)
+    import hashlib
+
+    from lrmr_spark.operators import text as TX
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(
+        r["fp"] for r in TX.winnowing_postings(df, "doc_id", "text").collect()
+    )
+
+    k, w = 3, 4
+    n = len(toks)
+    grams = [
+        " ".join(toks[i : i + k]) for i in range(max(n - k, 0) + 1)
+    ]  # shingles() semantics: >= 1 gram always (empty doc -> one "" gram)
+    hashes = [hashlib.md5(("w:" + g).encode()).hexdigest()[:8] for g in grams]
+    n_win = max(len(hashes) - w + 1, 1)
+    want = sorted({min(hashes[i : i + w]) for i in range(n_win)})
+    assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=1, max_size=30), min_size=2, max_size=10
+    ),
+    k=st.integers(1, 5),
+)
+@_SETTINGS
+def test_simhash_hamming_banding_lossless(spark, texts, k):
+    # pigeonhole banding must find EVERY rep pair within Hamming k —
+    # compare against the brute all-pairs scan over simhash16 strings
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in DD.simhash_hamming_pairs(df, "doc_id", "text", k=k).collect()
+    }
+    sigs = {}
+    for r in df.select("doc_id", DD.simhash16("text").alias("sig")).collect():
+        s = r["sig"]
+        if s not in sigs or r["doc_id"] < sigs[s]:
+            sigs[s] = r["doc_id"]
+    reps = sorted((i, s) for s, i in sigs.items())
+    want = set()
+    for x in range(len(reps)):
+        for y in range(x + 1, len(reps)):
+            (ia, sa), (ib, sb) = reps[x], reps[y]
+            d = sum(a != b for a, b in zip(sa, sb))
+            if d <= k:
+                want.add((ia, ib, d))
+    assert got == want
