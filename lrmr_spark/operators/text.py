@@ -231,7 +231,16 @@ def winnowing_matches(
     appearing in more than that many documents (MOSS's own boilerplate
     guard — ubiquitous fingerprints are template noise AND the
     quadratic blowup; the same df-band idea as text_sparse_dot_topk).
-    Output: (id_a, id_b, n_shared) with id_a < id_b."""
+    Output: (id_a, id_b, n_shared) with id_a < id_b.
+
+    Output volume is Σ C(cluster, 2) over substring-dup clusters —
+    quadratic in duplication factor, like the containment join.
+    Measured on the ×10-salted rehearsal dir (BENCH_r5_newops.json):
+    10× input → 72,000× output pairs in 5.5× the time — the engine
+    absorbs it, but on heavily duplicated corpora run exact/near
+    dedup first or set max_df (a K-duplicated doc pushes every one of
+    its fingerprints to df ≥ K, so the cap removes exactly those
+    clusters' fanout)."""
     from pyspark.sql import functions as F  # noqa: F811 (local alias)
 
     post = winnowing_postings(df, id_col, text_col, k, w).select(

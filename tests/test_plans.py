@@ -445,3 +445,14 @@ def test_ivfpq_scan_prunes_partitions_and_reads_codes_only(spark):
     assert "embedding" not in cols
     assert set(cols) == {"vec_id"} | {f"code_{s}" for s in range(8)}
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivfpq_residual_scan_prunes_partitions_and_reads_codes_only(spark):
+    # the residual encoding must not change the read-path plan shape
+    df = queries()["ann_ivfpq_residual_topk"](spark, SF)
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan and "part" in plan
+    cols = read_schema_columns(df)
+    assert "embedding" not in cols
+    assert set(cols) == {"vec_id"} | {f"code_{s}" for s in range(8)}
+    assert "TakeOrderedAndProject" in plan
