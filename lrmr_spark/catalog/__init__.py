@@ -143,8 +143,8 @@ _PRIORITY = [
 ]
 # r6 rotation candidates (the still-never-gated entries):
 # dedup_simhash_hamming_fast, ann_ivfpq_topk, ann_ivfpq_residual_topk,
-# dedup_minhash_index_append, streaming_minhash_index_match (added
-# after the r5 window froze),
+# dedup_minhash_index_append, streaming_minhash_index_match,
+# text_winnowing_matches_capped (added after the r5 window froze),
 # events_growth_accounting, events_time_pruned_rollup,
 # streaming_interval_join,
 # events_json_props, events_value_moments, events_outliers_zscore,

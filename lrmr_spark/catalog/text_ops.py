@@ -770,6 +770,57 @@ def _winnowing_matches_oracle() -> str:
     """
 
 
+def _winnowing_matches_capped_oracle() -> str:
+    """_winnowing_matches_oracle with the MOSS boilerplate guard: drop
+    fingerprints whose document frequency exceeds 8 before pairing."""
+    w = 4
+    least_args = ", ".join(f"h[i + {j}]" for j in range(w))
+    return f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform({grams_expr("toks", 3)},
+                            x -> substr(md5('w:' || x), 1, 8)) AS h
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+            FROM documents) raw
+    ), sel AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, greatest(len(h) - {w} + 1, 1) + 1),
+                              i -> least({least_args})))) AS fps
+      FROM g
+    ), post AS (
+      SELECT doc_id, unnest(fps) AS fp FROM sel
+    ), kept AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM post
+      ) WHERE df <= 8
+    )
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM kept l JOIN kept r ON l.fp = r.fp AND l.doc_id < r.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    ORDER BY id_a, id_b
+    """
+
+
+@query("text_winnowing_matches_capped", oracle=_winnowing_matches_capped_oracle)
+def text_winnowing_matches_capped(spark, sf_dir):
+    """The winnowing match join under the MOSS boilerplate guard
+    (max_df = 8): fingerprints shared by more than 8 documents are
+    dropped before the pair join. This is the production configuration
+    for duplicated/template-heavy corpora — the uncapped entry's
+    output is quadratic in duplication factor (measured 72,000× pairs
+    at 10× salted data, BENCH_r5_newops.json), and the df cap removes
+    exactly the mass-duplicated clusters' fanout while keeping the
+    low-df fingerprints genuine plagiarism pairs share. Same inverted-
+    index plan plus one fp-keyed window for df."""
+    return TX.winnowing_matches(
+        load(spark, sf_dir, "documents"), "doc_id", "text",
+        min_shared=3, max_df=8,
+    ).orderBy("id_a", "id_b")
+
+
 @query("text_winnowing_matches", oracle=_winnowing_matches_oracle)
 def text_winnowing_matches(spark, sf_dir):
     """Winnowing MATCH pairs — the consumer the fingerprints exist for
