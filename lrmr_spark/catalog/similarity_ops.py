@@ -200,7 +200,8 @@ def _ivf_oracle() -> str:
 
     def py_cos(a, b):
         d = sum(x * y for x, y in zip(a, b))
-        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+        n = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return d / n if n else float("-inf")  # zero-norm ranks last, never raises
 
     order = sorted(range(len(cents)), key=lambda i: -py_cos(cents[i], q))
     probes = order[:2]
@@ -273,7 +274,8 @@ def ann_ivf_pruned_df(spark, sf_dir):
 
     def py_cos(a, b):
         d = sum(x * y for x, y in zip(a, b))
-        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+        n = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return d / n if n else float("-inf")  # zero-norm ranks last, never raises
 
     probes = sorted(range(len(cents)), key=lambda i: -py_cos(cents[i], q))[:2]
     qcol = F.array(*[F.lit(float(x)) for x in q])
@@ -508,12 +510,18 @@ def _semdedup_oracle() -> str:
         f"sqrt({_dot_sql('l.embedding', 'l.embedding')})"
         f" * sqrt({_dot_sql('r.embedding', 'r.embedding')})"
     )
+    enorm = f"sqrt({_dot_sql('e.embedding', 'e.embedding')})"
     return f"""
     WITH scored AS (
-      SELECT e.vec_id, e.embedding, {", ".join(score_cols)}
+      SELECT e.vec_id, e.embedding, {enorm} AS enorm, {", ".join(score_cols)}
       FROM embeddings e),
     assigned AS (
-      SELECT vec_id, embedding, {idx_case} AS c FROM scored),
+      -- zero-norm sentinel mirrors the Spark path: a degenerate
+      -- embedding gets cluster -1 on BOTH engines (its s_i are all
+      -- NULL/NaN, so the bare CASE would otherwise yield NULL here)
+      SELECT vec_id, embedding,
+             CASE WHEN enorm > 0 THEN ({idx_case}) ELSE -1 END AS c
+      FROM scored),
     pruned AS (
       SELECT DISTINCT r.vec_id
       FROM assigned l JOIN assigned r ON l.c = r.c AND l.vec_id < r.vec_id
@@ -788,9 +796,8 @@ def _ivfpq_oracle() -> str:
 
     def py_cos(a, b):
         d = sum(x * y for x, y in zip(a, b))
-        return d / (
-            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
-        )
+        n = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return d / n if n else float("-inf")  # zero-norm ranks last, never raises
 
     probes = sorted(range(len(cents8)), key=lambda i: -py_cos(cents8[i], q))[:2]
     # coarse assignment scores
@@ -870,9 +877,8 @@ def _ivfpq_residual_oracle() -> str:
 
     def py_cos(a, b):
         d = sum(x * y for x, y in zip(a, b))
-        return d / (
-            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
-        )
+        n = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return d / n if n else float("-inf")  # zero-norm ranks last, never raises
 
     probes = sorted(range(len(cents8)), key=lambda i: -py_cos(cents8[i], q))[:2]
     score_cols = []

@@ -181,7 +181,10 @@ def ivf_topk(
 
     def py_cos(a, b):
         d = sum(x * y for x, y in zip(a, b))
-        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+        n = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        # zero-norm → -inf (rank last), mirroring the NULL-safe column
+        # cosine(): a zero query/centroid must not raise ZeroDivisionError
+        return d / n if n else float("-inf")
 
     order = sorted(range(len(centroids)), key=lambda i: -py_cos(centroids[i], query_vec))
     probes = order[:n_probe]
@@ -435,7 +438,13 @@ def pq_adc_topk(
         ]
         for s in range(num_sub)
     ]
-    codes = pq_codes(df, centroids, num_sub, id_col, vec_col)
+    # NULL embeddings are EXCLUDED, not ranked last: their codes are
+    # NULL, and Spark 4's element_at treats a NULL column index like -1
+    # (returns the LAST array element, not NULL — verified on 4.1.2),
+    # which would assign degenerate rows a silently bogus distance.
+    codes = pq_codes(
+        df.filter(F.col(vec_col).isNotNull()), centroids, num_sub, id_col, vec_col
+    )
     adist: Column | None = None
     for s in range(num_sub):
         term = F.element_at(
@@ -444,10 +453,24 @@ def pq_adc_topk(
         adist = term if adist is None else adist + term
     return (
         codes.select(F.col(id_col), adist.alias("_ad"))
-        .orderBy(F.asc("_ad"), F.asc(id_col))
+        .orderBy(F.asc_nulls_last("_ad"), F.asc(id_col))
         .limit(k)
         .select(id_col, F.round("_ad", 5).alias("adist"))
     )
+
+
+def _invalidate_meta(spark, path: str) -> None:
+    """Delete ``path/_meta`` (if present) BEFORE overwriting codes: the
+    codes and _meta writes are not atomic together, so a failure between
+    them must leave NO _meta rather than the previous one — a stale
+    _meta would pair the OLD codebook fingerprint with NEW codes and the
+    drift check would silently accept wrong distances. With _meta gone,
+    the next read fails loudly (missing-path AnalysisException) until a
+    complete rewrite lands."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_meta")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
 
 
 def write_pq_codes(
@@ -471,7 +494,13 @@ def write_pq_codes(
     drift instead of silently scoring against the wrong centroids —
     codes are meaningless outside their codebook."""
     code_cols = [f"code_{s}" for s in range(num_sub)]
-    pq_codes(df, centroids, num_sub, id_col, vec_col).select(
+    _invalidate_meta(df.sparkSession, path)  # torn-write guard: no stale _meta over new codes
+    # NULL embeddings never enter the index: their codes would be NULL
+    # and element_at(lut, NULL) resolves like index -1 on Spark 4
+    # (silently wrong distance, not NULL — see pq_adc_topk)
+    pq_codes(
+        df.filter(F.col(vec_col).isNotNull()), centroids, num_sub, id_col, vec_col
+    ).select(
         id_col, *code_cols
     ).write.mode("overwrite").parquet(f"{path}/codes")
     spark = df.sparkSession
@@ -543,7 +572,12 @@ def pq_adc_topk_stored(
         ]
         for s in range(num_sub)
     ]
-    codes = spark.read.parquet(f"{path}/codes")
+    # defensively drop NULL-code rows (indexes written before the
+    # NULL-embedding write filter): element_at with a NULL index acts
+    # like -1 on Spark 4 → silently wrong distance, not NULL
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("code_0").isNotNull()
+    )
     adist: Column | None = None
     for s in range(num_sub):
         term = F.element_at(
@@ -552,7 +586,7 @@ def pq_adc_topk_stored(
         adist = term if adist is None else adist + term
     return (
         codes.select(F.col(id_col), adist.alias("_ad"))
-        .orderBy(F.asc("_ad"), F.asc(id_col))
+        .orderBy(F.asc_nulls_last("_ad"), F.asc(id_col))
         .limit(k)
         .select(id_col, F.round("_ad", 5).alias("adist"))
     )
@@ -601,9 +635,9 @@ def write_ivfpq_index(
             f"num_sub={num_sub} must evenly divide the embedding "
             f"dimension {len(pq_centroids[0])}"
         )
-    assigned = df.withColumn(
+    assigned = df.filter(F.col(vec_col).isNotNull()).withColumn(
         "_part", ivf_assign(F.col(vec_col), coarse_centroids)
-    )
+    )  # NULL embeddings excluded at write time (see write_pq_codes)
     if by_residual:
         # materialize the residual ONCE per row, behind a checkpoint
         # barrier: downstream, every code column references the
@@ -646,6 +680,7 @@ def write_ivfpq_index(
             for s in range(num_sub)
         ],
     )
+    _invalidate_meta(df.sparkSession, path)  # torn-write guard: no stale _meta over new codes
     out.write.mode("overwrite").partitionBy("part").parquet(f"{path}/codes")
     spark = df.sparkSession
     spark.range(1).select(
@@ -725,9 +760,11 @@ def ivfpq_adc_topk(
 
     def py_cos(a, b):
         d = sum(x * y for x, y in zip(a, b))
-        return d / (
-            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
-        )
+        n = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        # zero-norm → -inf (centroid ranks last), matching the guarded
+        # python model in the residual-roundtrip test and the NULL-safe
+        # column cosine() — never ZeroDivisionError
+        return d / n if n else float("-inf")
 
     probes = sorted(
         range(len(coarse_centroids)),
@@ -754,7 +791,7 @@ def ivfpq_adc_topk(
         for p in probes
     }
     codes = spark.read.parquet(f"{path}/codes").filter(
-        F.col("part").isin(probes)
+        F.col("part").isin(probes) & F.col("code_0").isNotNull()
     )
     adist: Column | None = None
     for s in range(num_sub):
@@ -778,7 +815,7 @@ def ivfpq_adc_topk(
         adist = term if adist is None else adist + term
     return (
         codes.select(F.col(id_col), adist.alias("_ad"))
-        .orderBy(F.asc("_ad"), F.asc(id_col))
+        .orderBy(F.asc_nulls_last("_ad"), F.asc(id_col))
         .limit(k)
         .select(id_col, F.round("_ad", 5).alias("adist"))
     )

@@ -30,6 +30,7 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -551,4 +552,21 @@ def run_minhash_index_match_stream(
             )
     finally:
         q.stop()
-    return spark.read.parquet(out_path).drop("_epoch")
+    try:
+        return spark.read.parquet(out_path).drop("_epoch")
+    except AnalysisException:
+        # every micro-batch produced ZERO matches → the dynamic
+        # partition overwrites wrote no parquet files, so the read-back
+        # can't infer a schema. An empty match set is a normal outcome
+        # (a crawl with no near-dups), not an error: return an empty DF
+        # with the matcher's (new_id, base_id, jaccard) schema, id type
+        # taken from the stream itself.
+        id_type = docs_stream.schema[id_col].dataType
+        schema = T.StructType(
+            [
+                T.StructField("new_id", id_type),
+                T.StructField("base_id", id_type),
+                T.StructField("jaccard", T.DoubleType()),
+            ]
+        )
+        return spark.createDataFrame([], schema)

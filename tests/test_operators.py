@@ -1136,3 +1136,76 @@ def test_ivfpq_residual_roundtrip_matches_python_model(spark, emb, tmp_path):
         scored.append((vid, round(ad, 5)))
     want = sorted(scored, key=lambda t: (t[1], t[0]))[:10]
     assert got == want
+
+
+def test_element_at_null_index_is_last_element_gotcha(spark):
+    # pins the Spark 4 behavior the PQ NULL-handling is designed
+    # around: element_at(array, NULL-column-index) does NOT return
+    # NULL — it resolves like index -1 and returns the LAST element.
+    # If this ever starts returning NULL, the write-time exclusion is
+    # merely redundant; but while it holds, a NULL code scoring path
+    # would be silently WRONG, so degenerate rows must be excluded.
+    df = spark.createDataFrame([(None,), (1,)], "c int")
+    got = {
+        r["c"]: r["a"]
+        for r in df.select(
+            "c",
+            F.element_at(F.array(F.lit(10.0), F.lit(20.0)), F.col("c")).alias("a"),
+        ).collect()
+    }
+    assert got[1] == 10.0
+    assert got[None] in (20.0, None)  # today: 20.0 (acts as -1)
+
+
+def test_pq_null_embedding_excluded_everywhere(spark, tmp_path):
+    # a NULL embedding must be EXCLUDED from the index and from every
+    # ADC ranking — not scored: its codes are NULL and element_at
+    # treats a NULL index like -1 (silently bogus distance; see the
+    # gotcha test above). r5 advice fix, strengthened.
+    rows = [
+        (1, [float(j % 5) for j in range(64)]),
+        (2, None),  # degenerate row
+        (3, [float((j + 1) % 5) for j in range(64)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[float((i * 13 + j) % 7) for j in range(64)] for i in range(4)]
+    q = [float(j % 5) for j in range(64)]
+    path = str(tmp_path / "pq_null")
+    SIM.write_pq_codes(df, path, cents, num_sub=8)
+    stored = SIM.pq_adc_topk_stored(spark, path, q, cents, k=3).collect()
+    assert [r["vec_id"] for r in stored] == [1, 3]
+    inline = SIM.pq_adc_topk(df, q, cents, k=3).collect()
+    assert [r["vec_id"] for r in inline] == [1, 3]
+    coarse = [[float((i * 11 + j) % 9) for j in range(64)] for i in range(8)]
+    ipath = str(tmp_path / "ivfpq_null")
+    SIM.write_ivfpq_index(df, ipath, coarse, cents, num_sub=8)
+    ivf = SIM.ivfpq_adc_topk(
+        spark, ipath, q, coarse, cents, k=3, n_probe=8
+    ).collect()
+    assert 2 not in {r["vec_id"] for r in ivf}
+
+
+def test_pq_write_torn_between_codes_and_meta_fails_loudly(
+    spark, emb, tmp_path, monkeypatch
+):
+    # simulate a crash AFTER the codes overwrite but BEFORE the _meta
+    # write: the stale _meta from the previous write must be gone, so
+    # the next read raises instead of accepting the OLD codebook
+    # fingerprint against the NEW codes (r5 advice fix)
+    from pyspark.sql import SparkSession
+
+    cents = [[float((i * 13 + j) % 7) for j in range(64)] for i in range(4)]
+    other = [[c + 1.0 for c in row] for row in cents]
+    path = str(tmp_path / "pq_torn")
+    SIM.write_pq_codes(emb, path, cents, num_sub=8)
+
+    def boom(self, *a, **k):
+        raise RuntimeError("simulated crash before _meta write")
+
+    monkeypatch.setattr(SparkSession, "range", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        SIM.write_pq_codes(emb, path, other, num_sub=8)
+    monkeypatch.undo()
+    # old codebook must NOT silently validate against the new codes
+    with pytest.raises(Exception, match="_meta|PATH_NOT_FOUND|Path does not exist"):
+        SIM.pq_adc_topk_stored(spark, path, [0.0] * 64, cents, k=5)

@@ -441,3 +441,32 @@ def test_minhash_index_match_stream_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and want
+
+
+def test_minhash_index_match_stream_zero_matches_is_empty_df(
+    spark, sf_dir, tmp_path
+):
+    # a stream whose micro-batches all produce ZERO matches writes no
+    # parquet files; the read-back must return an empty DF with the
+    # (new_id, base_id, jaccard) schema, not raise unable-to-infer
+    # (r5 advice fix)
+    from pyspark.sql import functions as F
+
+    from lrmr_spark import streaming as ST
+    from lrmr_spark.operators import dedup as DD
+    from lrmr_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    index = str(tmp_path / "idx0")
+    DD.write_minhash_index(
+        docs.filter(F.col("doc_id") % 5 != 0), "doc_id", "text", index,
+        num_hashes=16, bands=4,
+    )
+    out = ST.run_minhash_index_match_stream(
+        ST.stream_documents(spark, sf_dir).filter(F.col("doc_id") < 0),
+        index,
+        str(tmp_path / "out0"),
+        str(tmp_path / "ck0"),
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["new_id", "base_id", "jaccard"]
