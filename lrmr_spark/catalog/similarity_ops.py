@@ -783,6 +783,125 @@ def ann_pq_stored_topk(spark, sf_dir):
     return SIM.pq_adc_topk_stored(spark, path, list(_query_vec()), cents, k=10)
 
 
+def _pq_rerank_oracle() -> str:
+    """Two-stage mirror: the _pq_adc_oracle arithmetic ranks the ADC
+    shortlist (LIMIT 50, ties by vec_id — distances are bit-equal
+    across engines so the shortlist SET is identical), then the
+    _ann_topk_oracle exact-cosine arithmetic re-ranks only shortlist
+    rows."""
+    cents = _centroids()[:4]
+    q = _query_vec()
+    num_sub, sub_d = 8, 8
+    lut = [
+        [
+            sum((q[s * sub_d + j] - c[s * sub_d + j]) ** 2 for j in range(sub_d))
+            for c in cents
+        ]
+        for s in range(num_sub)
+    ]
+
+    def dist_expr(s: int, c: int) -> str:
+        return " + ".join(
+            f"(CAST(embedding[{s * sub_d + j + 1}] AS DOUBLE) - {cents[c][s * sub_d + j]!r})"
+            f" * (CAST(embedding[{s * sub_d + j + 1}] AS DOUBLE) - {cents[c][s * sub_d + j]!r})"
+            for j in range(sub_d)
+        )
+
+    inner = ", ".join(
+        f"({dist_expr(s, c)}) AS d{s}_{c}" for s in range(num_sub) for c in range(4)
+    )
+    terms = []
+    for s in range(num_sub):
+        m = f"least({', '.join(f'd{s}_{c}' for c in range(4))})"
+        terms.append(
+            "(CASE "
+            + " ".join(
+                f"WHEN d{s}_{c} = {m} THEN CAST({lut[s][c]!r} AS DOUBLE)"
+                for c in range(4)
+            )
+            + " END)"
+        )
+    adist = " + ".join(terms)
+    qlit = _vec_sql_literal(q)
+    dot = _dot_sql("e.embedding", "q.qv")
+    norm_e = f"sqrt({_dot_sql('e.embedding', 'e.embedding')})"
+    norm_q = f"sqrt({_dot_sql('q.qv', 'q.qv')})"
+    return f"""
+    WITH d AS (SELECT vec_id, {inner} FROM embeddings),
+    sl AS (
+      SELECT vec_id FROM (SELECT vec_id, {adist} AS adist FROM d)
+      ORDER BY adist, vec_id LIMIT 50
+    ),
+    q AS (SELECT {qlit} AS qv)
+    SELECT e.vec_id, round({dot} / ({norm_e} * {norm_q}), 6) AS score
+    FROM embeddings e JOIN sl USING (vec_id), q
+    ORDER BY score DESC, e.vec_id ASC
+    LIMIT 10
+    """
+
+
+@query("ann_pq_rerank_topk", oracle=_pq_rerank_oracle)
+def ann_pq_rerank_topk(spark, sf_dir):
+    """The two-stage production ANN read path: ADC SHORTLIST over the
+    stored 8-byte codes (k′=50 candidates — the scan that never reads
+    embeddings) → EXACT cosine RE-RANK over ONLY the 50 shortlist ids
+    (an In-literal predicate pushed into the embeddings parquet scan,
+    plan-pinned in tests/test_plans.py — at billion scale the raw
+    table is touched for ~k′ rows, never scanned) → exact top-10 of
+    the shortlist. The re-rank repairs ADC quantization error inside
+    the shortlist: measured at sf0.01 with this deliberately coarse
+    4×8 codebook, ADC-only top-10 shares 2/10 with brute force while
+    re-ranked recall@10 is 4/10 at k′=50, rising monotonically to
+    8/10 at k′=200 (recall@k ≡ shortlist recall — the k′ knob;
+    asserted in tests/test_operators.py). Oracle: the _pq_adc_oracle
+    shortlist CTE + the _ann_topk_oracle exact-cosine arithmetic over
+    shortlist rows."""
+    import os
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = [list(c) for c in _centroids()[:4]]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"lrmr_pq_rerank_{tag}")
+    SIM.write_pq_codes(emb, path, cents, num_sub=8)
+    return SIM.pq_rerank_topk(
+        emb, path, list(_query_vec()), cents, k=10, k_prime=50
+    )
+
+
+@query("ann_pq_append_topk", oracle=_pq_adc_oracle)
+def ann_pq_append_topk(spark, sf_dir):
+    """The daily-crawl ANN index lifecycle as one gate row (the
+    dedup_minhash_index_append discipline): write the codes index from
+    the base corpus (vec_id % 3 ≠ 0), APPEND the new batch
+    (vec_id % 3 = 0) via append_pq_codes — codebook-fingerprint-
+    checked, first-writer-wins anti-join on id — then re-append the
+    SAME batch (must add 0 rows: idempotent re-delivery) and query ADC
+    top-10 over the stored codes. Codes are deterministic in (vector,
+    codebook), so write→append→query must equal a one-shot index over
+    the full corpus — the entry therefore SHARES ann_pq_adc_topk's
+    oracle: a single changed distance anywhere in the append path
+    turns this row red."""
+    import os
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = [list(c) for c in _centroids()[:4]]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"lrmr_pq_append_{tag}")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    SIM.write_pq_codes(base, path, cents, num_sub=8)
+    SIM.append_pq_codes(batch, path, cents)
+    n_redelivered = SIM.append_pq_codes(batch, path, cents)
+    if n_redelivered != 0:
+        raise AssertionError(
+            f"append_pq_codes re-delivery appended {n_redelivered} rows — "
+            "first-writer-wins anti-join must make re-sent batches no-ops"
+        )
+    return SIM.pq_adc_topk_stored(spark, path, list(_query_vec()), cents, k=10)
+
+
 def _ivfpq_oracle() -> str:
     """IVF-PQ mirror: coarse assignment via the _ivf_oracle CASE over 8
     cosine scores, rows restricted to the same driver-computed top-2

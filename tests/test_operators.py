@@ -1209,3 +1209,114 @@ def test_pq_write_torn_between_codes_and_meta_fails_loudly(
     # old codebook must NOT silently validate against the new codes
     with pytest.raises(Exception, match="_meta|PATH_NOT_FOUND|Path does not exist"):
         SIM.pq_adc_topk_stored(spark, path, [0.0] * 64, cents, k=5)
+
+
+# -------------------------------------------- two-stage rerank + append
+def test_pq_rerank_is_exact_cosine_over_adc_shortlist(spark, emb, tmp_path):
+    # the contract: output == exact-cosine ordering restricted to the
+    # ADC shortlist ids — nothing outside the shortlist can appear
+    cents = [[float((i * 13 + j) % 7) for j in range(64)] for i in range(4)]
+    q = [float(j % 5) for j in range(64)]
+    path = str(tmp_path / "pq_rr")
+    SIM.write_pq_codes(emb, path, cents, num_sub=8)
+    kp = 30
+    shortlist = {
+        r[0] for r in SIM.pq_adc_topk_stored(spark, path, q, cents, k=kp).collect()
+    }
+    got = SIM.pq_rerank_topk(emb, path, q, cents, k=10, k_prime=kp).collect()
+    assert {r["vec_id"] for r in got} <= shortlist
+    want = (
+        SIM.cosine_topk(emb.filter(F.col("vec_id").isin(list(shortlist))), q, k=10)
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_pq_rerank_recall_monotone_and_exact_at_full_kprime(spark, emb, tmp_path):
+    # recall@10 is monotone in k' and equals brute force when the
+    # shortlist covers the whole corpus (ADC error fully repaired)
+    cents = [[float((i * 13 + j) % 7) for j in range(64)] for i in range(4)]
+    q = [float(j % 5) for j in range(64)]
+    path = str(tmp_path / "pq_rr_mono")
+    SIM.write_pq_codes(emb, path, cents, num_sub=8)
+    n = emb.count()
+    brute = [tuple(r) for r in SIM.cosine_topk(emb, q, k=10).collect()]
+    prev = -1
+    for kp in (10, 50, n):
+        got = [
+            tuple(r)
+            for r in SIM.pq_rerank_topk(emb, path, q, cents, k=10, k_prime=kp).collect()
+        ]
+        recall = len({g[0] for g in got} & {b[0] for b in brute})
+        assert recall >= prev
+        prev = recall
+    assert got == brute  # k' = corpus size → exact
+
+
+def test_pq_rerank_empty_index_returns_empty(spark, emb, tmp_path):
+    cents = [[float((i * 13 + j) % 7) for j in range(64)] for i in range(4)]
+    path = str(tmp_path / "pq_rr_empty")
+    SIM.write_pq_codes(emb.filter(F.lit(False)), path, cents, num_sub=8)
+    out = SIM.pq_rerank_topk(emb, path, [0.0] * 64, cents, k=10)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "score"]
+
+
+def test_append_pq_codes_equals_rebuild_and_is_idempotent(spark, emb, tmp_path):
+    cents = [[float((i * 13 + j) % 7) for j in range(64)] for i in range(4)]
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    apath, rpath = str(tmp_path / "pq_app"), str(tmp_path / "pq_reb")
+    SIM.write_pq_codes(base, apath, cents, num_sub=8)
+    n1 = SIM.append_pq_codes(batch, apath, cents)
+    assert n1 == batch.count()
+    # re-delivery: first-writer-wins anti-join → no-op
+    assert SIM.append_pq_codes(batch, apath, cents) == 0
+    SIM.write_pq_codes(emb, rpath, cents, num_sub=8)
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(f"{apath}/codes").collect()
+    )
+    want = sorted(
+        tuple(r) for r in spark.read.parquet(f"{rpath}/codes").collect()
+    )
+    assert got == want  # append ≡ one-shot rebuild
+
+
+def test_append_pq_codes_codebook_drift_raises(spark, emb, tmp_path):
+    cents = [[float((i * 13 + j) % 7) for j in range(64)] for i in range(4)]
+    other = [[c + 1.0 for c in row] for row in cents]
+    path = str(tmp_path / "pq_app_drift")
+    SIM.write_pq_codes(emb, path, cents, num_sub=8)
+    with pytest.raises(ValueError, match="codebook drift"):
+        SIM.append_pq_codes(emb, path, other)
+
+
+def test_append_ivfpq_equals_rebuild_both_encodings(spark, emb, tmp_path):
+    coarse = [[float((i * 11 + j) % 9) for j in range(64)] for i in range(8)]
+    pq_cents = [[float((i * 13 + j) % 7) for j in range(64)] for i in range(4)]
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    for res in (False, True):
+        apath = str(tmp_path / f"ivfpq_app_{res}")
+        rpath = str(tmp_path / f"ivfpq_reb_{res}")
+        SIM.write_ivfpq_index(base, apath, coarse, pq_cents, num_sub=8, by_residual=res)
+        n1 = SIM.append_ivfpq_index(batch, apath, coarse, pq_cents)
+        assert n1 == batch.count()
+        assert SIM.append_ivfpq_index(batch, apath, coarse, pq_cents) == 0
+        SIM.write_ivfpq_index(emb, rpath, coarse, pq_cents, num_sub=8, by_residual=res)
+        got = sorted(tuple(r) for r in spark.read.parquet(f"{apath}/codes").collect())
+        want = sorted(tuple(r) for r in spark.read.parquet(f"{rpath}/codes").collect())
+        assert got == want
+
+
+def test_append_ivfpq_codebook_drift_raises(spark, emb, tmp_path):
+    coarse = [[float((i * 11 + j) % 9) for j in range(64)] for i in range(8)]
+    pq_cents = [[float((i * 13 + j) % 7) for j in range(64)] for i in range(4)]
+    path = str(tmp_path / "ivfpq_app_drift")
+    SIM.write_ivfpq_index(emb, path, coarse, pq_cents, num_sub=8)
+    other = [[c + 1.0 for c in row] for row in coarse]
+    with pytest.raises(ValueError, match="coarse-codebook drift"):
+        SIM.append_ivfpq_index(emb, path, other, pq_cents)
+    other_pq = [[c + 1.0 for c in row] for row in pq_cents]
+    with pytest.raises(ValueError, match="pq-codebook drift"):
+        SIM.append_ivfpq_index(emb, path, coarse, other_pq)

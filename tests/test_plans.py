@@ -424,6 +424,17 @@ def test_pq_stored_scan_reads_codes_only(spark):
     assert "TakeOrderedAndProject" in physical_plan(df)
 
 
+def test_pq_rerank_stage2_scan_is_shortlist_driven(spark):
+    # the two-stage read path's exact re-rank must touch the raw
+    # embeddings ONLY for the k' shortlist ids: the In-literal
+    # predicate pushes into the parquet scan (row-group skipping at
+    # scale), never a full embedding scan feeding a join
+    df = queries()["ann_pq_rerank_topk"](spark, SF)
+    plan = physical_plan(df)
+    assert "PushedFilters: [In(vec_id" in plan, plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_winnowing_postings_single_exchange(spark):
     # winnowing selection = one doc-keyed exchange (the window sort);
     # the O(n²) HOF form this replaced had zero exchanges but hashed
