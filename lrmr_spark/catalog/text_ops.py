@@ -840,3 +840,59 @@ def text_winnowing_matches(spark, sf_dir):
     return TX.winnowing_matches(
         load(spark, sf_dir, "documents"), "doc_id", "text", min_shared=3
     ).orderBy("id_a", "id_b")
+
+
+def _dup_spans_oracle(n: int = 5) -> str:
+    """Mirror of operators.text.dup_token_spans at n=5: grams via
+    grams_expr (same ' ' join), the same 's:'-prefixed md5-16 keys,
+    duplication = corpus-wide count ≥ 2, islands via the identical
+    lag/running-sum merge (gap ≤ n). Docs shorter than n tokens are
+    excluded on both sides (they cannot hold a full n-gram)."""
+    return f"""
+    WITH tokd AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform({grams_expr("toks", n)},
+                            x -> substr(md5('s:' || x), 1, 16)) AS hs
+      FROM tokd WHERE len(toks) >= {n}
+    ), pos AS (
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, hs[i] AS h
+      FROM g, unnest(range(1, len(hs) + 1)) AS t(i)
+    ), dup AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM pos
+      ) WHERE cnt >= 2
+    ), brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {n} THEN 0 ELSE 1 END AS b
+      FROM dup
+    ), grp AS (
+      SELECT doc_id, pos,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS gid
+      FROM brk
+    )
+    SELECT doc_id, CAST(min(pos) AS INTEGER) AS start,
+           CAST(max(pos) - min(pos) + {n} AS INTEGER) AS length
+    FROM grp GROUP BY doc_id, gid
+    ORDER BY doc_id, start
+    """
+
+
+@query("text_dup_token_spans", oracle=_dup_spans_oracle)
+def text_dup_token_spans(spark, sf_dir):
+    """EXACT duplicated-substring spans (Lee et al. ACL'22 substring
+    dedup): per document, the maximal token intervals covered by
+    5-token grams occurring ≥ 2 times corpus-wide — the cut list a
+    training-data pipeline feeds back into the corpus (winnowing
+    matches say WHICH docs share text; this says WHERE to cut).
+    Postings-based plan — posexplode + lead-window grams (each token
+    read once), one gram-keyed count exchange, doc-keyed
+    gaps-and-islands merge; output LINEAR in corpus size (no pair
+    join, so template grams need no df cap). Oracle mirrors grams,
+    hash keys, the ≥2 count and the gap-≤ n interval merge."""
+    return TX.dup_token_spans(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=5
+    ).orderBy("doc_id", "start")

@@ -28,6 +28,7 @@ __all__ = [
     "winnowing_fingerprints",
     "winnowing_postings",
     "winnowing_matches",
+    "dup_token_spans",
 ]
 
 # deterministic English stopword marker set used by quality scoring and
@@ -260,3 +261,98 @@ def winnowing_matches(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
     )
     return pairs.filter(F.col("n_shared") >= min_shared)
+
+
+def dup_token_spans(
+    df,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+):
+    """EXACT duplicated-substring SPANS — the cut-list substring dedup
+    needs (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL'22: remove every substring that appears more
+    than once in the corpus, rather than dropping whole documents):
+    for each document, the maximal token intervals covered by n-token
+    grams that occur ≥ 2 times corpus-wide (across documents OR
+    repeated within one). Winnowing_matches tells you WHICH pairs
+    share text; this tells you WHERE to cut.
+
+    Semantics: a position p in a doc is *duplicated* iff the exact
+    n-token sequence starting at p occurs at ≥ 2 positions in the
+    corpus. The emitted spans are the maximal intervals of the union
+    of windows [p, p+n) over duplicated p — two duplicated positions
+    merge iff their gap ≤ n (overlapping or abutting coverage), the
+    same interval-merge Lee et al. apply to suffix-array hits. Output:
+    (id, start, length) with 0-based token ``start`` and ``length`` ≥
+    n; every emitted token range is verbatim-repeated in the corpus in
+    ≥ 1 other place, up to gram-hash collision (16 hex chars = 64
+    bits; ~1e-9 false-dup odds per 10^5-gram corpus — and the oracle
+    mirrors the same hash, so collisions are cross-engine identical).
+
+    Spark-first plan (suffix arrays don't distribute; gram postings
+    do): posexplode tokens once → n-gram per position via ``lead``
+    over the doc window (each token read once — the pitfall-16-safe
+    shape winnowing_postings established; NO slice-inside-transform)
+    → md5-prefix gram keys → ONE gram-keyed exchange where a count
+    window marks duplicated positions → doc-keyed gaps-and-islands
+    (lag + running sum) for the merge. Narrow (id, pos, 16-hex) rows
+    on every shuffle; document bodies never move.
+
+    100 TB shape: output is LINEAR in corpus size (each position
+    emits ≤ 1 dup-marked row and spans only merge them) — unlike the
+    pair-join matchers there is no df² fanout, so hot template grams
+    need no max_df cap: a gram shared by a million docs still costs
+    one count-window partition and marks each position once. The
+    count window's per-gram partition is bounded by gram frequency;
+    an adversarial single-gram corpus degrades to one fat partition,
+    the same bound as any groupBy on the key (AQE skew-split applies).
+    """
+    from pyspark.sql import Window as W
+
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(text_col)).alias("_pos", "_t"),
+    )
+    wdoc = W.partitionBy("_id").orderBy("_pos")
+    gram = F.concat_ws(
+        " ", F.col("_t"), *[F.lead("_t", j).over(wdoc) for j in range(1, n)]
+    )
+    # keep only FULL n-gram positions: the (n−1)-th lead exists ⟺
+    # pos ≤ n_tokens − n (tokens are non-empty strings, never NULL)
+    g = (
+        tok.select(
+            "_id",
+            "_pos",
+            gram.alias("_g"),
+            F.lead("_t", n - 1).over(wdoc).isNotNull().alias("_full"),
+        )
+        .filter("_full")
+        .select(
+            "_id",
+            "_pos",
+            F.substring(F.md5(F.concat(F.lit("s:"), F.col("_g"))), 1, 16).alias("_h"),
+        )
+    )
+    dup = (
+        g.withColumn("_cnt", F.count(F.lit(1)).over(W.partitionBy("_h")))
+        .filter(F.col("_cnt") >= 2)
+        .select("_id", "_pos")
+    )
+    # gaps-and-islands over the duplicated positions: windows [p, p+n)
+    # merge while the gap to the previous duplicated position is ≤ n
+    brk = F.when(
+        F.col("_pos") - F.lag("_pos").over(wdoc) <= n, F.lit(0)
+    ).otherwise(F.lit(1))  # first row: lag NULL → otherwise → new span
+    isl = dup.withColumn("_brk", brk).withColumn(
+        "_grp",
+        F.sum("_brk").over(wdoc.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("_id", "_grp")
+        .agg(
+            F.min("_pos").alias("start"),
+            (F.max("_pos") - F.min("_pos") + n).cast("int").alias("length"),
+        )
+        .select(F.col("_id").alias(id_col), "start", "length")
+    )

@@ -1320,3 +1320,85 @@ def test_append_ivfpq_codebook_drift_raises(spark, emb, tmp_path):
     other_pq = [[c + 1.0 for c in row] for row in pq_cents]
     with pytest.raises(ValueError, match="pq-codebook drift"):
         SIM.append_ivfpq_index(emb, path, coarse, other_pq)
+
+
+# ------------------------------------------------- duplicated substrings
+def _py_dup_spans(docs: dict[int, str], n: int) -> set[tuple[int, int, int]]:
+    """Plain-python reference for dup_token_spans: count every n-token
+    gram corpus-wide, mark positions whose gram repeats, merge windows
+    with gap <= n into maximal intervals."""
+    from collections import Counter
+
+    toks = {d: t.split() for d, t in docs.items()}
+    counts = Counter(
+        tuple(ts[p : p + n])
+        for ts in toks.values()
+        for p in range(len(ts) - n + 1)
+    )
+    spans = set()
+    for d, ts in toks.items():
+        dup_pos = [
+            p for p in range(len(ts) - n + 1)
+            if counts[tuple(ts[p : p + n])] >= 2
+        ]
+        run: list[int] = []
+        for p in dup_pos:
+            if run and p - run[-1] <= n:
+                run.append(p)
+            else:
+                if run:
+                    spans.add((d, run[0], run[-1] - run[0] + n))
+                run = [p]
+        if run:
+            spans.add((d, run[0], run[-1] - run[0] + n))
+    return spans
+
+
+def test_dup_token_spans_match_python_reference_on_planted_dups(spark):
+    # planted layout: docs 1/2 share a 7-token run (one maximal span
+    # each), doc 3 self-repeats a 5-gram (two merged windows), doc 4 is
+    # clean, doc 5 is shorter than n (excluded), docs 6/7 are exact
+    # dups (whole-doc span)
+    docs = {
+        1: "alpha beta gamma delta epsilon zeta eta unique1 filler1 filler2",
+        2: "pre1 pre2 alpha beta gamma delta epsilon zeta eta post1",
+        3: "x1 r1 r2 r3 r4 r5 mid1 mid2 r1 r2 r3 r4 r5 x2",
+        4: "clean1 clean2 clean3 clean4 clean5 clean6 clean7 clean8",
+        5: "tiny doc here",
+        6: "dupdoc w1 w2 w3 w4 w5 w6 w7",
+        7: "dupdoc w1 w2 w3 w4 w5 w6 w7",
+    }
+    n = 5
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["start"], r["length"])
+        for r in TX.dup_token_spans(df, "doc_id", "text", n=n).collect()
+    }
+    want = _py_dup_spans(docs, n)
+    assert got == want
+    # sanity of the plant: the shared run, the self-repeat merge, and
+    # the whole-doc dups are all present; clean/short docs are absent
+    assert (1, 0, 7) in want and (2, 2, 7) in want
+    assert (6, 0, 8) in want and (7, 0, 8) in want
+    assert not any(d in (4, 5) for d, _, _ in want)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_dup_token_spans_random_corpus_matches_reference(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(12)]  # small vocab → natural repeats
+    docs = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40)))
+        for d in range(1, 21)
+    }
+    n = 4
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["start"], r["length"])
+        for r in TX.dup_token_spans(df, "doc_id", "text", n=n).collect()
+    }
+    assert got == _py_dup_spans(docs, n)
