@@ -193,3 +193,42 @@ def streaming_minhash_index_match(spark, sf_dir):
         threshold=0.9,
     )
     return matches.orderBy("new_id", "base_id")
+
+
+@query("streaming_pq_index_append")  # rows-only: foreachBatch append loop
+def streaming_pq_index_append(spark, sf_dir):
+    """The ANN index's daily-crawl refresh as a live stream (the
+    streaming_minhash_index_match discipline, write side): the codes
+    index is written once from the base corpus (vec_id % 5 ≠ 0), the
+    embedding stream folds every micro-batch in via append_pq_codes
+    inside foreachBatch (first-writer-wins anti-join = the replay
+    guard, so checkpoint re-delivery appends nothing), and the entry
+    returns the post-refresh ADC top-10 — the production read after a
+    refresh. Deterministic codes ⇒ the final index equals a one-shot
+    build over the full corpus (stream ≡ batch asserted in
+    tests/test_streaming.py); the top-10 therefore matches
+    ann_pq_adc_topk's values even though this rows-only entry carries
+    no oracle (the append's value check lives in ann_pq_append_topk's
+    hash-green row)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators import similarity as SIM
+    from ..tables import load
+    from .similarity_ops import _centroids, _query_vec
+
+    cents = [list(c) for c in _centroids()[:4]]
+    run = uuid.uuid4().hex[:8]
+    base_dir = os.path.join(tempfile.gettempdir(), f"lrmr_stream_pq_{run}")
+    path = os.path.join(base_dir, "idx")
+    ck = os.path.join(base_dir, "ck")
+    emb = load(spark, sf_dir, "embeddings")
+    SIM.write_pq_codes(
+        emb.filter(F.col("vec_id") % 5 != 0), path, cents, num_sub=8
+    )
+    ST.run_pq_index_append_stream(
+        ST.stream_embeddings(spark, sf_dir), path, ck, cents
+    )
+    return SIM.pq_adc_topk_stored(spark, path, list(_query_vec()), cents, k=10)

@@ -48,6 +48,8 @@ __all__ = [
     "run_available_now",
     "stream_documents",
     "run_minhash_index_match_stream",
+    "stream_embeddings",
+    "run_pq_index_append_stream",
 ]
 
 def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
@@ -570,3 +572,70 @@ def run_minhash_index_match_stream(
             ]
         )
         return spark.createDataFrame([], schema)
+
+
+def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the embeddings parquet (one file = one
+    micro-batch locally; production reads Kafka/object-store drops —
+    only this function changes). Schema probed from the parquet footer
+    batch-side, like _events_raw_schema: streaming sources never
+    infer."""
+    batch = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def run_pq_index_append_stream(
+    emb_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    centroids: list[list[float]],
+    timeout_s: int = 300,
+) -> DataFrame:
+    """STREAMING refresh of the stored ANN codes index — the embedding
+    twin of run_minhash_index_match_stream's daily-crawl loop: each
+    micro-batch of incoming vectors is folded into the write-once PQ
+    codes table via operators.similarity.append_pq_codes inside
+    foreachBatch (codebook-fingerprint-checked per batch; a drifted
+    codebook fails the stream loudly instead of appending
+    wrong-codebook codes). Drains with Trigger.AvailableNow and
+    returns the resulting codes table as a batch DF.
+
+    Why foreachBatch: the append is a multi-step batch algorithm
+    (dimension/NULL filter → anti-join against stored ids → quantize →
+    parquet append) — per micro-batch it runs the identical batch
+    operator, so stream ≡ batch rebuild exactly (asserted in
+    tests/test_streaming.py).
+
+    Exactly-once WITHOUT epoch partitions: append_pq_codes'
+    first-writer-wins anti-join IS the replay guard — a micro-batch
+    re-delivered from the checkpoint finds its ids already stored and
+    appends nothing (and a torn append resumes with only the missing
+    rows), so the sink needs no overwrite discipline. That contract
+    holds because codes are deterministic in (vector, codebook) and
+    ids are the index's identity."""
+    spark = emb_stream.sparkSession
+
+    def _append_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..operators import similarity as SIM
+
+        SIM.append_pq_codes(batch_df, index_path, centroids)
+
+    q = (
+        emb_stream.writeStream.foreachBatch(_append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"availableNow pq-append stream did not drain in {timeout_s}s"
+            )
+    finally:
+        q.stop()
+    return spark.read.parquet(f"{index_path}/codes")

@@ -470,3 +470,34 @@ def test_minhash_index_match_stream_zero_matches_is_empty_df(
     )
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["new_id", "base_id", "jaccard"]
+
+
+def test_pq_index_append_stream_equals_batch_rebuild(spark, sf_dir, tmp_path):
+    # the foreachBatch append stream must leave the codes table exactly
+    # equal to a one-shot build over the full corpus (codes are
+    # deterministic in (vector, codebook); anti-join absorbs the base
+    # rows the stream re-delivers)
+    from pyspark.sql import functions as F
+
+    from lrmr_spark import streaming as ST
+    from lrmr_spark.operators import similarity as SIM
+    from lrmr_spark.tables import load
+
+    cents = [[float((i * 13 + j) % 7) for j in range(64)] for i in range(4)]
+    emb = load(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    SIM.write_pq_codes(
+        emb.filter(F.col("vec_id") % 5 != 0), path, cents, num_sub=8
+    )
+    got = sorted(
+        tuple(r)
+        for r in ST.run_pq_index_append_stream(
+            ST.stream_embeddings(spark, sf_dir), path, str(tmp_path / "ck"), cents
+        ).collect()
+    )
+    rebuilt = str(tmp_path / "reb")
+    SIM.write_pq_codes(emb, rebuilt, cents, num_sub=8)
+    want = sorted(
+        tuple(r) for r in spark.read.parquet(f"{rebuilt}/codes").collect()
+    )
+    assert got == want and len(want) == emb.count()
