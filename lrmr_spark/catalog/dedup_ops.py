@@ -587,13 +587,103 @@ def dedup_simhash_hamming_fast(spark, sf_dir):
     algorithm; this pins the fast path's plumbing). Not SQL-portable,
     so the driver records rows-only; the pair set is property-tested
     against the brute all-pairs Hamming scan in
-    tests/test_operators.py."""
+    tests/test_operators.py.
+
+    WHY NO fast-vs-twin VALUE ROW (the dedup_minhash_fast_vs_md5
+    pattern): that gate row worked because the md5 and xxhash64
+    MinHash paths run at an IDENTICAL config where both compute the
+    same candidate semantics and the md5 side is SQL-expressible —
+    the oracle states one side's pairs and equality makes the row
+    green. Here the two variants hash DIFFERENT bit widths (16-bit
+    md5-nibble votes vs 64-bit xxhash64 votes), so their signatures,
+    block keys, and pair sets differ LEGITIMATELY — there is no
+    config where the 64-bit path's pairs equal the portable twin's,
+    and DuckDB has no xxhash64 to state the 64-bit side directly.
+    The value check that IS possible — banded-vs-brute equality over
+    the same 64-bit signatures, i.e. the pigeonhole losslessness
+    claim checked on real corpus data — is the gate row
+    dedup_simhash_fast_banding_lossless below."""
     return (
         DD.simhash64_hamming_pairs(
             load(spark, sf_dir, "documents"), "doc_id", "text", k=3
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "dedup_simhash_fast_banding_lossless",
+    oracle="""
+    SELECT CAST(-1 AS BIGINT) AS id_a, CAST(-1 AS BIGINT) AS id_b,
+           CAST(0 AS INTEGER) AS hamming,
+           TRUE AS in_banded, TRUE AS in_brute
+    """,
+)
+def dedup_simhash_fast_banding_lossless(spark, sf_dir):
+    """The 64-bit fast path's VALUE CHECK, recorded per-round by the
+    driver: pigeonhole banding claims LOSSLESSNESS for Hamming ≤ k —
+    every qualifying pair shares ≥ 1 of k+1 blocks — and this entry
+    checks that claim on the real corpus by full-outer-joining the
+    banded pair set against a brute all-pairs popcount over the SAME
+    xxhash64 signatures, emitting one constant sentinel row plus any
+    DISAGREEING pairs with membership flags. The oracle is the
+    sentinel alone, so the row hash-matches IFF the two pair sets are
+    exactly equal — any banding bug (wrong block bounds, off-by-one
+    in the bit-field extract, a dropped rep) adds rows and turns the
+    gate red. This is the strongest value check available for a path
+    whose hash has no SQL twin (see dedup_simhash_hamming_fast's
+    docstring for why a fast-vs-twin equality row is impossible);
+    pair-level ground truth beyond it lives in the property tests.
+
+    The brute side is O(reps²) BY DESIGN — it exists to contradict
+    the banded side, and runs at validation scale (sf0.01/sf0.1:
+    ≤ ~25 M popcounts over 8-byte longs). It is a diagnostic harness,
+    never a production path; production traffic uses the banded entry
+    this row certifies."""
+    docs = load(spark, sf_dir, "documents")
+    banded = DD.simhash64_hamming_pairs(docs, "doc_id", "text", k=3)
+    sigs = DD.simhash64(docs, "doc_id", "text").select(
+        F.col("doc_id").alias("_id"), F.col("simhash").alias("_sig")
+    )
+    reps = sigs.groupBy("_sig").agg(F.min("_id").alias("_id"))
+    lft, rgt = reps.alias("l"), reps.alias("r")
+    brute = (
+        lft.crossJoin(rgt)  # diagnostic all-pairs: see docstring
+        .filter(F.col("l._id") < F.col("r._id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("l._sig").bitwiseXOR(F.col("r._sig"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select(
+            F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"), "hamming"
+        )
+    )
+    b_, x_ = banded.alias("b"), brute.alias("x")
+    diffs = (
+        b_.join(
+            x_,
+            (F.col("b.id_a") == F.col("x.id_a"))
+            & (F.col("b.id_b") == F.col("x.id_b")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("b.id_a"), F.col("x.id_a")).alias("id_a"),
+            F.coalesce(F.col("b.id_b"), F.col("x.id_b")).alias("id_b"),
+            F.coalesce(F.col("b.hamming"), F.col("x.hamming")).alias("hamming"),
+            F.col("b.id_a").isNotNull().alias("in_banded"),
+            F.col("x.id_a").isNotNull().alias("in_brute"),
+        )
+        .filter(~(F.col("in_banded") & F.col("in_brute")))
+    )
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("id_a"),
+        F.lit(-1).cast("long").alias("id_b"),
+        F.lit(0).cast("int").alias("hamming"),
+        F.lit(True).alias("in_banded"),
+        F.lit(True).alias("in_brute"),
+    )
+    return sentinel.unionAll(diffs).orderBy("id_a", "id_b")
 
 
 @query(
