@@ -70,92 +70,78 @@ def query(name: str, oracle: str | Callable[[], str] | None = None):
 # udtf_token_positions, graph_pagerank_parts, events_gapfill_daily,
 # events_watermark_lateness_audit.
 _PRIORITY = [
-    # ROTATION (r5): 4 load-bearing keeps (flagship; the production
-    # MinHash bench headliner and its rows-only contract; one events
-    # bench headliner; the streaming stateful pin) + 46 FIRST-TIME
-    # entries from the never-gated backlog — the r4 verdict's top
-    # task. All 46 verified green by tools/check_oracle.py at sf0.01
-    # AND sf0.1 before freezing the window. Everything rotated out is
-    # green in r1-r4 official rows and stays covered by check_oracle.
+    # ROTATION (r6) — THE FINAL BACKLOG ROTATION: 16 load-bearing
+    # keeps (the 11 bench-headline queries, the four remaining family
+    # pins — multimodal/skew/storage/corpus — and the streaming
+    # stateful pin) + the 34 FIRST-TIME entries that exhaust the
+    # never-gated backlog (29 carried from r5's candidate list + the
+    # 5 operators new this round). After this window every catalog
+    # entry has ≥ 1 official driver row. All 34 verified green by
+    # tools/check_oracle.py at sf0.01 AND sf0.1 before freezing.
+    # Everything rotated out is green in r1-r5 official rows and
+    # stays covered by check_oracle.
+    # --- keeps: bench headliners (the 11 queries bench.py times)
     "flagship_event_counts",
-    "dedup_minhash_lsh_fast",
-    "events_sessionization",
-    "streaming_sessionization",
-    # family pins (test_gate_window_covers_every_family: every catalog
-    # module keeps >= 1 window entry) — all green in prior rounds
+    "tpch_q1",
+    "tpch_q6_forecast_revenue",
+    "join_multiway_region_revenue",
     "window_topk_per_customer",
+    "events_sessionization",
+    "asof_last_purchase",
+    "dedup_tokenset",
+    "dedup_minhash_lsh_fast",  # rows-only by contract
+    "ann_cosine_topk",
+    "text_quality_features",
+    # --- keeps: family pins (test_gate_window_covers_every_family)
     "multimodal_frame_sample",
     "skew_salted_agg",
-    # --- the six ops queued at the end of r4 (built after the r4
-    # window froze), first in line per VERDICT r4 task 1
-    "dedup_containment",
-    "dedup_pipeline_containment",
-    "lang_mismatch_audit",
-    "embedding_pq_codes",
-    "ann_pq_adc_topk",
-    "text_winnowing_fingerprints",
-    # --- new in r5: winnowing consumer, simhash near-match, stored-PQ
-    # read path, fast-vs-md5 pair-set equality made value-checked
-    "text_winnowing_matches",
-    "dedup_simhash_hamming",
-    "ann_pq_stored_topk",
-    "dedup_minhash_fast_vs_md5",
-    # --- TPC-H: the 15 queries never officially gated (q1/q3-q7/q18
-    # et al. green in prior rounds)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_like",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_bracketed_revenue",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    # --- corpus / text backlog
-    "inverted_index_postings",
-    "source_mixture_weights",
-    "docs_chunk_windows",
-    "docs_lm_familiarity",
-    # --- storage backlog
     "zorder_locality_index",
-    "incremental_agg_maintenance",
-    "table_checksum_reconcile",
-    # --- relational / SQL-surface backlog
-    "join_full_outer_day_activity",
-    "profile_orders_columns",
-    "window_ntile_buckets",
-    "scalar_maps",
-    "scalar_arrays",
-    "schema_evolution_union",
-    "fuzzy_join_part_names",
-    "dq_constraint_audit",
-    # --- events backlog (first 2; the rest are r6 candidates)
-    "events_scd2_intervals",
-    "events_time_weighted_avg",
-    # --- streaming backlog (rows-only per the no-oracle contract)
-    "streaming_ewma",
+    "source_mixture_weights",
+    "streaming_sessionization",  # rows-only by contract
+    # --- new in r6: two-stage ANN re-rank, the ANN index append loop
+    # (batch + streaming twin), substring-dup spans, and the 64-bit
+    # simhash banding-losslessness value check
+    "ann_pq_rerank_topk",
+    "ann_pq_append_topk",
+    "streaming_pq_index_append",  # rows-only: foreachBatch loop
+    "text_dup_token_spans",
+    "dedup_simhash_fast_banding_lossless",
+    # --- r5-built ops that landed after the r5 window froze
+    "dedup_simhash_hamming_fast",  # rows-only: xxhash64 not in SQL
+    "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk",
+    "dedup_minhash_index_append",
+    "streaming_minhash_index_match",  # rows-only: foreachBatch loop
+    "text_winnowing_matches_capped",
+    # --- the events tail (last never-gated events entries)
+    "events_growth_accounting",
+    "events_time_pruned_rollup",
+    "events_json_props",
+    "events_value_moments",
+    "events_outliers_zscore",
+    "events_outliers_mad",
+    "events_heatmap_dow_hour",
+    "events_rolling_weekly_active",
+    "events_value_histogram_log2",
+    "events_multi_grain_rollup",
+    "events_variant_shredding",
+    "events_error_spike",
+    "events_histogram_quantiles",
+    "events_entry_paths",
+    "events_drift_report",
+    # --- the advanced-ops tail
+    "cogroup_click_purchase_profile",
+    "feature_store_pit_join",
+    # --- the streaming tail (rows-only per the no-oracle contract)
+    "streaming_static_enrich",
+    "streaming_interval_join",
+    "streaming_interval_join_left_outer",
+    "streaming_dropdup_watermark",
+    "streaming_mincount_sketch",
+    "streaming_backfill_available_now",
 ]
-# r6 rotation candidates (the still-never-gated entries):
-# dedup_simhash_hamming_fast, ann_ivfpq_topk, ann_ivfpq_residual_topk,
-# dedup_minhash_index_append, streaming_minhash_index_match,
-# text_winnowing_matches_capped (added after the r5 window froze),
-# events_growth_accounting, events_time_pruned_rollup,
-# streaming_interval_join,
-# events_json_props, events_value_moments, events_outliers_zscore,
-# events_outliers_mad, events_heatmap_dow_hour,
-# events_rolling_weekly_active, events_value_histogram_log2,
-# events_multi_grain_rollup, events_variant_shredding,
-# events_error_spike, events_histogram_quantiles, events_entry_paths,
-# events_drift_report, cogroup_click_purchase_profile,
-# feature_store_pit_join, streaming_static_enrich,
-# streaming_dropdup_watermark, streaming_mincount_sketch,
-# streaming_backfill_available_now, streaming_interval_join_left_outer
+# r6 clears the never-gated backlog: every catalog entry now appears
+# in at least one official CORRECTNESS_r{N}.json window (r1-r6).
 
 
 def _ordered(names: list[str]) -> list[str]:

@@ -46,6 +46,12 @@ WAIVERS = {
     "embedding_kmeans_iter": "fixed-iteration centroid updates",
     "dedup_pipeline_containment": "composed 4-stage pipeline counts",
     "corpus_curation_pipeline": "composed multi-stage pipeline",
+    # banded-vs-brute self-check: the brute all-pairs side exists to
+    # CONTRADICT the banded side, and the full-outer equality join
+    # stacks both pipelines' exchanges in one plan — a diagnostic
+    # harness run at validation SFs only, never a production path
+    # (the entry's docstring carries the O(reps²) warning)
+    "dedup_simhash_fast_banding_lossless": "diagnostic banded-vs-brute equality harness",
 }
 
 
