@@ -142,6 +142,8 @@ _PRIORITY = [
 ]
 # r6 clears the never-gated backlog: every catalog entry now appears
 # in at least one official CORRECTNESS_r{N}.json window (r1-r6).
+# r7 window candidates (built after the r6 window froze; verified by
+# check_oracle at sf0.01 + sf0.1): ann_ivfpq_rerank_topk.
 
 
 def _ordered(names: list[str]) -> list[str]:

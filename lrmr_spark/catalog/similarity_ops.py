@@ -1105,6 +1105,121 @@ def ann_ivfpq_residual_topk(spark, sf_dir):
     )
 
 
+def _ivfpq_rerank_oracle() -> str:
+    """_ivfpq_oracle's coarse-assignment + probe-pruning + ADC CTEs,
+    with the top-10 replaced by a LIMIT-50 shortlist re-ranked by the
+    _ann_topk_oracle exact-cosine arithmetic."""
+    import math
+
+    cents8 = _centroids()
+    pq_cents = _centroids()[:4]
+    q = _query_vec()
+
+    def py_cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        n = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return d / n if n else float("-inf")
+
+    probes = sorted(range(len(cents8)), key=lambda i: -py_cos(cents8[i], q))[:2]
+    score_cols = []
+    for i, c in enumerate(cents8):
+        cc = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+        dotc = _dot_sql("e.embedding", cc)
+        nrm = f"sqrt({_dot_sql('e.embedding', 'e.embedding')}) * sqrt({_dot_sql(cc, cc)})"
+        score_cols.append(f"{dotc} / ({nrm}) AS s{i}")
+    n = len(cents8)
+    gmax = "greatest(" + ", ".join(f"s{i}" for i in range(n)) + ")"
+    idx_case = (
+        "CASE "
+        + " ".join(f"WHEN s{i} >= {gmax} THEN {i}" for i in range(n))
+        + " END"
+    )
+    num_sub, sub_d = 8, 8
+    lut = [
+        [
+            sum((q[s * sub_d + j] - c[s * sub_d + j]) ** 2 for j in range(sub_d))
+            for c in pq_cents
+        ]
+        for s in range(num_sub)
+    ]
+
+    def dist_expr(s: int, c: int) -> str:
+        return " + ".join(
+            f"(CAST(embedding[{s * sub_d + j + 1}] AS DOUBLE) - {pq_cents[c][s * sub_d + j]!r})"
+            f" * (CAST(embedding[{s * sub_d + j + 1}] AS DOUBLE) - {pq_cents[c][s * sub_d + j]!r})"
+            for j in range(sub_d)
+        )
+
+    inner = ", ".join(
+        f"({dist_expr(s, c)}) AS d{s}_{c}" for s in range(num_sub) for c in range(4)
+    )
+    terms = []
+    for s in range(num_sub):
+        m = f"least({', '.join(f'd{s}_{c}' for c in range(4))})"
+        terms.append(
+            "(CASE "
+            + " ".join(
+                f"WHEN d{s}_{c} = {m} THEN CAST({lut[s][c]!r} AS DOUBLE)"
+                for c in range(4)
+            )
+            + " END)"
+        )
+    adist = " + ".join(terms)
+    qlit = _vec_sql_literal(q)
+    dot = _dot_sql("e.embedding", "q.qv")
+    norm_e = f"sqrt({_dot_sql('e.embedding', 'e.embedding')})"
+    norm_q = f"sqrt({_dot_sql('q.qv', 'q.qv')})"
+    return f"""
+    WITH scored AS (
+      SELECT e.vec_id, e.embedding, {", ".join(score_cols)} FROM embeddings e
+    ),
+    probed AS (
+      SELECT vec_id, embedding FROM (
+        SELECT vec_id, embedding, {idx_case} AS part FROM scored
+      ) WHERE part IN ({", ".join(str(p) for p in probes)})
+    ),
+    d AS (SELECT vec_id, {inner} FROM probed),
+    sl AS (
+      SELECT vec_id FROM (SELECT vec_id, {adist} AS adist FROM d)
+      ORDER BY adist, vec_id LIMIT 50
+    ),
+    q AS (SELECT {qlit} AS qv)
+    SELECT e.vec_id, round({dot} / ({norm_e} * {norm_q}), 6) AS score
+    FROM embeddings e JOIN sl USING (vec_id), q
+    ORDER BY score DESC, e.vec_id ASC
+    LIMIT 10
+    """
+
+
+# r7 window candidate (built after the r6 window froze; green in
+# check_oracle at sf0.01 and sf0.1)
+@query("ann_ivfpq_rerank_topk", oracle=_ivfpq_rerank_oracle)
+def ann_ivfpq_rerank_topk(spark, sf_dir):
+    """The COMPLETE production ANN query over the partitioned index:
+    IVF partition-directory pruning (n_probe=2 of 8) × codes-only ADC
+    scan → k′=50 shortlist → exact cosine re-rank over ONLY the
+    shortlist ids (pushed-In embeddings fetch) → exact top-10.
+    Composes the two read-path reductions ann_ivfpq_topk proves with
+    the recall repair ann_pq_rerank_topk proves — the full FAISS
+    search shape on plain parquet. Shortlist recall here is bounded
+    by the probe set as well as k′ (the IVF trade); the oracle
+    recomputes assignment, pruning, the ADC shortlist, and the exact
+    re-rank from the same literals."""
+    import os
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    coarse = [list(c) for c in _centroids()]
+    pq_cents = [list(c) for c in _centroids()[:4]]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"lrmr_ivfpq_{tag}")
+    SIM.write_ivfpq_index(emb, path, coarse, pq_cents, num_sub=8)
+    return SIM.ivfpq_rerank_topk(
+        emb, path, list(_query_vec()), coarse, pq_cents,
+        k=10, k_prime=50, n_probe=2,
+    )
+
+
 @query("ann_ivfpq_topk", oracle=_ivfpq_oracle)
 def ann_ivfpq_topk(spark, sf_dir):
     """The COMPOSED billion-scale ANN read path — IVF-PQ (Jégou et al.

@@ -38,6 +38,7 @@ __all__ = [
     "read_pq_codes_meta",
     "pq_adc_topk_stored",
     "pq_rerank_topk",
+    "ivfpq_rerank_topk",
     "append_pq_codes",
     "append_ivfpq_index",
     "write_ivfpq_index",
@@ -641,8 +642,51 @@ def pq_rerank_topk(
     id, same shape as cosine_topk."""
     spark = emb_df.sparkSession
     shortlist = pq_adc_topk_stored(spark, path, query, centroids, k=k_prime)
-    sid = shortlist.columns[0]
-    ids = [r[0] for r in shortlist.select(sid).collect()]
+    ids = [r[0] for r in shortlist.select(shortlist.columns[0]).collect()]
+    return _exact_rerank(emb_df, ids, query, k, id_col, vec_col)
+
+
+def ivfpq_rerank_topk(
+    emb_df: DataFrame,
+    path: str,
+    query: list[float],
+    coarse_centroids: list[list[float]],
+    pq_centroids: list[list[float]],
+    k: int = 10,
+    k_prime: int = 50,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """pq_rerank_topk over the partitioned IVF-PQ index — the full
+    FAISS-style production query: n_probe partition directories pruned
+    at storage level × codes-only ADC scan for the k′ shortlist, then
+    exact cosine on raw embeddings fetched for ONLY the shortlist ids
+    (the same pushed-In stage 2; see pq_rerank_topk for the recall and
+    pushdown story — here shortlist recall is additionally bounded by
+    the probe set, the standard IVF trade). Works over both raw and
+    residual encodings (the shortlist stage reads by_residual from the
+    stored _meta)."""
+    spark = emb_df.sparkSession
+    shortlist = ivfpq_adc_topk(
+        spark, path, query, coarse_centroids, pq_centroids,
+        k=k_prime, n_probe=n_probe,
+    )
+    ids = [r[0] for r in shortlist.select(shortlist.columns[0]).collect()]
+    return _exact_rerank(emb_df, ids, query, k, id_col, vec_col)
+
+
+def _exact_rerank(
+    emb_df: DataFrame,
+    ids: list,
+    query: list[float],
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Stage 2 shared by pq_rerank_topk / ivfpq_rerank_topk: exact
+    cosine over ONLY the shortlist ids (In-literal predicate → parquet
+    pushdown), exact top-k, empty-shortlist-safe."""
     if not ids:
         return emb_df.select(
             F.col(id_col), F.lit(None).cast("double").alias("score")
@@ -985,6 +1029,12 @@ def ivfpq_adc_topk(
     codes = spark.read.parquet(f"{path}/codes").filter(
         F.col("part").isin(probes) & F.col("code_0").isNotNull()
     )
+    # NOTE on n_probe growth: the by_residual branch builds one CASE
+    # arm per probed list per sub-space (num_sub × n_probe branches).
+    # Linear and negligible at realistic n_probe ≤ 32 (256 arms of
+    # literal indexing); if n_probe ever approaches n_coarse, switch
+    # to a broadcast (part → lut_s) map-literal lookup instead of the
+    # when-chain — same semantics, one element_at per term.
     adist: Column | None = None
     for s in range(num_sub):
         if by_residual:

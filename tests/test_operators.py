@@ -1402,3 +1402,26 @@ def test_dup_token_spans_random_corpus_matches_reference(spark, seed):
         for r in TX.dup_token_spans(df, "doc_id", "text", n=n).collect()
     }
     assert got == _py_dup_spans(docs, n)
+
+
+def test_ivfpq_rerank_is_exact_cosine_over_its_shortlist(spark, emb, tmp_path):
+    coarse = [[float((i * 11 + j) % 9) for j in range(64)] for i in range(8)]
+    pq_cents = [[float((i * 13 + j) % 7) for j in range(64)] for i in range(4)]
+    q = [float(j % 5) for j in range(64)]
+    path = str(tmp_path / "ivfpq_rr")
+    SIM.write_ivfpq_index(emb, path, coarse, pq_cents, num_sub=8)
+    kp = 30
+    shortlist = {
+        r[0]
+        for r in SIM.ivfpq_adc_topk(
+            spark, path, q, coarse, pq_cents, k=kp, n_probe=2
+        ).collect()
+    }
+    got = SIM.ivfpq_rerank_topk(
+        emb, path, q, coarse, pq_cents, k=10, k_prime=kp, n_probe=2
+    ).collect()
+    assert {r["vec_id"] for r in got} <= shortlist
+    want = SIM.cosine_topk(
+        emb.filter(F.col("vec_id").isin(list(shortlist))), q, k=10
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
