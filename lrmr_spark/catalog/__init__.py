@@ -143,7 +143,9 @@ _PRIORITY = [
 # r6 clears the never-gated backlog: every catalog entry now appears
 # in at least one official CORRECTNESS_r{N}.json window (r1-r6).
 # r7 window candidates (built after the r6 window froze; verified by
-# check_oracle at sf0.01 + sf0.1): ann_ivfpq_rerank_topk.
+# check_oracle at sf0.01 + sf0.1): ann_ivfpq_rerank_topk,
+# docs_dsir_weights, text_dup_span_removal, ann_pq_recall_at_k,
+# pq_train_codebook_iter, embedding_pq_distortion.
 
 
 def _ordered(names: list[str]) -> list[str]:

@@ -638,3 +638,99 @@ def corpus_curation_pipeline(spark, sf_dir):
         F.floor(cb / 256).cast("bigint").alias("chunk_id"),
         (cb % 256).cast("bigint").alias("offset_in_chunk"),
     ).orderBy("doc_id")
+
+
+@query(
+    "docs_dsir_weights",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, lang = 'en' AS is_tgt,
+             CAST(('0x' || substr(md5('dsir:' || b), 1, 4)) AS INTEGER)
+               % 4096 AS bucket
+      FROM (SELECT doc_id, lang, unnest({grams_expr("toks", 2)}) AS b
+            FROM raw WHERE len(toks) >= 2)),
+    stats AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS all_cnt,
+             CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT)
+               AS tgt_cnt
+      FROM bg GROUP BY bucket)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum((s.tgt_cnt + 1) * 1000000 // (s.all_cnt + 1)) AS BIGINT)
+             // count(*) AS dsir_score_ppm
+    FROM bg JOIN stats s USING (bucket)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def docs_dsir_weights(spark, sf_dir):
+    """DSIR importance-resampling score (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by how much its hashed-bigram profile looks like a
+    TARGET distribution (here the lang='en' slice — in production, the
+    curated high-quality corpus) relative to the raw corpus, then
+    resample by the weights. This is the standard pretraining
+    data-selection pass between dedup and mixture balancing.
+
+    Features are DSIR's hashed n-grams: each bigram hashes into one of
+    4096 buckets (16-bit md5 prefix mod 4096 — model size is bounded
+    at 4096 counters regardless of corpus size, the whole point of the
+    hashing trick). Per bucket the Laplace-smoothed target share
+    ``(tgt_cnt+1)·1e6 DIV (all_cnt+1)`` is an exact-integer ppm; a
+    document's score is the mean share over its bigram occurrences.
+    Rank-equivalence note: the true DSIR weight p(b)/q(b) equals this
+    share times the constant ``all_total/tgt_total`` — constant across
+    buckets, so ranking and any quantile cut are IDENTICAL with the
+    constant dropped, and no float log-prob ever crosses the oracle
+    (the docs_lm_familiarity discipline). Overflow bound: the summand
+    is ≤ 1e6, so the per-doc sum stays < 2^63 up to 9·10^12 tokens per
+    document — unreachable.
+
+    Scale shape (100 TB): bucket stats are a bounded-key agg (4096
+    rows — broadcast-joined back by AQE); the corpus ships only
+    (doc_id, is_tgt, int bucket) rows, text never rides a shuffle; the
+    join back is the same two-pass shape as docs_lm_familiarity except
+    the dimension side is FIXED-SIZE, so at any corpus scale this is
+    scan → agg(4096) → broadcast join → per-doc agg."""
+    d = load(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    bg = (
+        d.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            (F.col("lang") == "en").alias("is_tgt"),
+            F.explode(TX.shingles("text", 2)).alias("b"),
+        )
+        .select(
+            "doc_id",
+            "is_tgt",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("dsir:"), F.col("b"))), 1, 4
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 4096
+            ).alias("bucket"),
+        )
+    )
+    stats = bg.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("all_cnt"),
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("tgt_cnt"),
+    )
+    return (
+        bg.join(stats, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr(
+                "cast(sum((tgt_cnt + 1) * 1000000 DIV (all_cnt + 1)) as bigint)"
+                " DIV count(1)"
+            ).alias("dsir_score_ppm"),
+        )
+        .orderBy("doc_id")
+    )

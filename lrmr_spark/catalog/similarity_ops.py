@@ -697,9 +697,145 @@ def embedding_pq_codes(spark, sf_dir):
     return out.orderBy("vec_id")
 
 
-def _pq_adc_oracle() -> str:
-    """ADC mirror: codes via the same per-sub least() CASE as
-    _pq_oracle; the lookup table is the SAME driver-computed float64
+def _pq_train_oracle() -> str:
+    """Training mirror: assignment via the same least()/first-match
+    CASE over the _pq_oracle distance arithmetic (bit-equal doubles →
+    identical assignment), update via per-(sub, code, dim) avg over an
+    8-way UNION ALL fanout, rounded 5 (the _kmeans_oracle float
+    discipline)."""
+    cents = _centroids()[:4]
+    num_sub, sub_d = 8, 8
+
+    def dist_expr(s: int, c: int) -> str:
+        return " + ".join(
+            f"(CAST(embedding[{s * sub_d + j + 1}] AS DOUBLE) - {cents[c][s * sub_d + j]!r})"
+            f" * (CAST(embedding[{s * sub_d + j + 1}] AS DOUBLE) - {cents[c][s * sub_d + j]!r})"
+            for j in range(sub_d)
+        )
+
+    inner = ", ".join(
+        f"({dist_expr(s, c)}) AS d{s}_{c}"
+        for s in range(num_sub)
+        for c in range(4)
+    )
+    codes = []
+    for s in range(num_sub):
+        m = f"least({', '.join(f'd{s}_{c}' for c in range(4))})"
+        codes.append(
+            "CASE "
+            + " ".join(f"WHEN d{s}_{c} = {m} THEN {c + 1}" for c in range(4))
+            + f" END AS code_{s}"
+        )
+    fanout = "\n      UNION ALL ".join(
+        f"SELECT {s} AS sub, code_{s} AS code, embedding FROM a"
+        for s in range(num_sub)
+    )
+    return f"""
+    WITH d AS (SELECT vec_id, {inner}, embedding FROM embeddings),
+    a AS (SELECT vec_id, {', '.join(codes)}, embedding FROM d),
+    u AS ({fanout})
+    SELECT CAST(u.sub AS BIGINT) AS sub,
+           CAST(u.code AS BIGINT) AS code,
+           CAST(t.j AS BIGINT) AS dim,
+           round(avg(CAST(u.embedding[u.sub * {sub_d} + t.j] AS DOUBLE)), 5)
+             AS centroid_val,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM u, (SELECT unnest(range(1, {sub_d + 1})) AS j) t
+    GROUP BY u.sub, u.code, t.j
+    ORDER BY sub, code, dim
+    """
+
+
+@query("pq_train_codebook_iter", oracle=_pq_train_oracle)
+def pq_train_codebook_iter(spark, sf_dir):
+    """The TRAIN stage of the PQ lifecycle (FAISS
+    ``ProductQuantizer::train``): one Lloyd iteration of per-sub-space
+    k-means over the embedding corpus — assign each sub-vector to its
+    nearest current sub-centroid with the EXACT arithmetic pq_codes
+    encodes with, emit the per-(sub, code, dim) mean as the updated
+    codebook plus membership counts. A driver loop over this entry is
+    full codebook training; the catalog now covers train → encode
+    (embedding_pq_codes) → search (ann_pq_*) → evaluate
+    (ann_pq_recall_at_k, embedding_pq_distortion). ONE aggregation,
+    one scan, no explode (256 bounded conditional sums — the
+    embedding_kmeans_iter no-generator discipline); the stack fanout
+    runs on the single post-agg row."""
+    return SIM.pq_train_iter(
+        load(spark, sf_dir, "embeddings"),
+        [list(c) for c in _centroids()[:4]],
+        num_sub=8,
+    )
+
+
+def _pq_distortion_oracle() -> str:
+    """Distortion mirror: per-row per-sub min squared-L2 from the
+    _pq_oracle arithmetic, rounded 5 then scaled to exact-integer
+    micro-units (round-half-away on a value that is always ~10k from
+    a .5 boundary — round(x,5)*1e6 is integer×10 ± float dust), summed
+    as BIGINT (order-independent), floor-divided by the count."""
+    inner, _ = _adc_sql_parts()
+    sums = ", ".join(
+        f"sum(CAST(round(round(least(d{s}_0, d{s}_1, d{s}_2, d{s}_3), 5)"
+        f" * 1000000) AS BIGINT)) AS m{s}"
+        for s in range(8)
+    )
+    vals = ", ".join(f"t.m{s}" for s in range(8))
+    return f"""
+    WITH d AS (SELECT vec_id, {inner} FROM embeddings),
+    t AS (SELECT count(*) AS n, {sums} FROM d)
+    SELECT CAST(s.sub AS BIGINT) AS sub,
+           CAST(t.n AS BIGINT) AS n_vectors,
+           CAST(list_extract([{vals}], s.sub + 1) // t.n AS BIGINT) AS mse_e6
+    FROM t, (SELECT unnest(range(0, 8)) AS sub) s
+    ORDER BY sub
+    """
+
+
+@query("embedding_pq_distortion", oracle=_pq_distortion_oracle)
+def embedding_pq_distortion(spark, sf_dir):
+    """The EVALUATE half of codebook quality: per-sub-space mean
+    quantization error (squared L2 between each sub-vector and its
+    assigned sub-centroid, in exact-integer micro-units) — FAISS's
+    reconstruction-MSE diagnostic, the number an operator watches
+    across pq_train_codebook_iter rounds to decide when the codebook
+    has converged, and the companion to ann_pq_recall_at_k (recall
+    measures end-to-end search quality; distortion isolates codebook
+    quality from query distribution). Integer discipline throughout:
+    per-row errors become BIGINT micro-units before the sum, so no
+    order-dependent float accumulation crosses the oracle. ONE
+    aggregation over the pq_codes projection (dist_s IS the assigned
+    min distance — no recompute), stack on the single post-agg row."""
+    codes = SIM.pq_codes(
+        load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull()),
+        [list(c) for c in _centroids()[:4]],
+        num_sub=8,
+    )
+    sums = codes.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.round(F.col(f"dist_{s}") * 1000000).cast("bigint")
+            ).alias(f"m{s}")
+            for s in range(8)
+        ],
+    )
+    stack_args = ", ".join(f"{s}, m{s}" for s in range(8))
+    return (
+        sums.selectExpr("n", f"stack(8, {stack_args}) AS (sub, msum)")
+        .select(
+            F.col("sub").cast("bigint").alias("sub"),
+            F.col("n").cast("bigint").alias("n_vectors"),
+            F.expr("msum DIV n").cast("bigint").alias("mse_e6"),
+        )
+        .orderBy("sub")
+    )
+
+
+def _adc_sql_parts() -> tuple[str, str]:
+    """The shared ADC oracle machinery: ``(inner, adist)`` SQL
+    fragments — per-sub squared distances to each of the 4 centroids
+    (``inner``, for the codes CASE) and the lookup-table approximate
+    distance (``adist``), with the SAME driver-computed float64
     literals the Spark plan embeds (repr round-trips exactly), summed
     left-associated — so approximate distances are bit-equal."""
     cents = _centroids()[:4]
@@ -731,7 +867,13 @@ def _pq_adc_oracle() -> str:
             + " ".join(f"WHEN d{s}_{c} = {m} THEN CAST({lut[s][c]!r} AS DOUBLE)" for c in range(4))
             + " END)"
         )
-    adist = " + ".join(terms)
+    return inner, " + ".join(terms)
+
+
+def _pq_adc_oracle() -> str:
+    """ADC mirror: codes via the same per-sub least() CASE as
+    _pq_oracle; lookup-table arithmetic from _adc_sql_parts."""
+    inner, adist = _adc_sql_parts()
     return f"""
     WITH d AS (SELECT vec_id, {inner} FROM embeddings)
     SELECT vec_id, round(adist, 5) AS adist FROM (
@@ -789,40 +931,8 @@ def _pq_rerank_oracle() -> str:
     across engines so the shortlist SET is identical), then the
     _ann_topk_oracle exact-cosine arithmetic re-ranks only shortlist
     rows."""
-    cents = _centroids()[:4]
-    q = _query_vec()
-    num_sub, sub_d = 8, 8
-    lut = [
-        [
-            sum((q[s * sub_d + j] - c[s * sub_d + j]) ** 2 for j in range(sub_d))
-            for c in cents
-        ]
-        for s in range(num_sub)
-    ]
-
-    def dist_expr(s: int, c: int) -> str:
-        return " + ".join(
-            f"(CAST(embedding[{s * sub_d + j + 1}] AS DOUBLE) - {cents[c][s * sub_d + j]!r})"
-            f" * (CAST(embedding[{s * sub_d + j + 1}] AS DOUBLE) - {cents[c][s * sub_d + j]!r})"
-            for j in range(sub_d)
-        )
-
-    inner = ", ".join(
-        f"({dist_expr(s, c)}) AS d{s}_{c}" for s in range(num_sub) for c in range(4)
-    )
-    terms = []
-    for s in range(num_sub):
-        m = f"least({', '.join(f'd{s}_{c}' for c in range(4))})"
-        terms.append(
-            "(CASE "
-            + " ".join(
-                f"WHEN d{s}_{c} = {m} THEN CAST({lut[s][c]!r} AS DOUBLE)"
-                for c in range(4)
-            )
-            + " END)"
-        )
-    adist = " + ".join(terms)
-    qlit = _vec_sql_literal(q)
+    inner, adist = _adc_sql_parts()
+    qlit = _vec_sql_literal(_query_vec())
     dot = _dot_sql("e.embedding", "q.qv")
     norm_e = f"sqrt({_dot_sql('e.embedding', 'e.embedding')})"
     norm_q = f"sqrt({_dot_sql('q.qv', 'q.qv')})"
@@ -866,6 +976,58 @@ def ann_pq_rerank_topk(spark, sf_dir):
     SIM.write_pq_codes(emb, path, cents, num_sub=8)
     return SIM.pq_rerank_topk(
         emb, path, list(_query_vec()), cents, k=10, k_prime=50
+    )
+
+
+def _pq_recall_oracle() -> str:
+    """Recall-sweep mirror: ADC ranks from the _adc_sql_parts
+    arithmetic (row_number over (adist, vec_id) — bit-equal distances
+    make the rank IDENTICAL across engines), the exact top-10 from the
+    _ann_topk_oracle arithmetic, hits counted per k′ by a theta join
+    on rank."""
+    inner, adist = _adc_sql_parts()
+    qlit = _vec_sql_literal(_query_vec())
+    dot = _dot_sql("e.embedding", "q.qv")
+    norm_e = f"sqrt({_dot_sql('e.embedding', 'e.embedding')})"
+    norm_q = f"sqrt({_dot_sql('q.qv', 'q.qv')})"
+    return f"""
+    WITH d AS (SELECT vec_id, {inner} FROM embeddings),
+    a AS (
+      SELECT vec_id, row_number() OVER (ORDER BY adist, vec_id) AS ra
+      FROM (SELECT vec_id, {adist} AS adist FROM d)
+    ),
+    q AS (SELECT {qlit} AS qv),
+    ex AS (
+      SELECT e.vec_id FROM embeddings e, q
+      ORDER BY round({dot} / ({norm_e} * {norm_q}), 6) DESC, e.vec_id
+      LIMIT 10
+    ),
+    hit AS (SELECT a.ra FROM a JOIN ex USING (vec_id)),
+    ks AS (SELECT unnest([10, 25, 50, 100, 200]) AS k_prime)
+    SELECT CAST(ks.k_prime AS BIGINT) AS k_prime,
+           CAST(count(hit.ra) AS BIGINT) AS hits
+    FROM ks LEFT JOIN hit ON hit.ra <= ks.k_prime
+    GROUP BY ks.k_prime ORDER BY k_prime
+    """
+
+
+@query("ann_pq_recall_at_k", oracle=_pq_recall_oracle)
+def ann_pq_recall_at_k(spark, sf_dir):
+    """The k′ tuning curve for the two-stage ANN read path: recall@10
+    of the ADC shortlist at k′ ∈ {10, 25, 50, 100, 200} — the sweep an
+    operator runs ONCE per codebook to pick the production shortlist
+    size before pinning ann_pq_rerank_topk's k′ (re-ranked recall@k ≡
+    shortlist recall, argued in pq_recall_at_k's docstring and
+    asserted monotone in tests). At sf0.01 with the deliberately
+    coarse 4×8 codebook the curve is 2/10 → 8/10 across the sweep;
+    every point is VALUE-checked against the oracle, so a drift in
+    either the ADC arithmetic or the exact-cosine arithmetic anywhere
+    in the sweep turns this row red. Post-limit work (rank window, hit
+    join, k′ fanout) touches ≤ 210 rows at ANY corpus scale."""
+    return SIM.pq_recall_at_k(
+        load(spark, sf_dir, "embeddings"),
+        list(_query_vec()),
+        [list(c) for c in _centroids()[:4]],
     )
 
 

@@ -896,3 +896,63 @@ def text_dup_token_spans(spark, sf_dir):
     return TX.dup_token_spans(
         load(spark, sf_dir, "documents"), "doc_id", "text", n=5
     ).orderBy("doc_id", "start")
+
+
+def _dup_span_removal_oracle(n: int = 5) -> str:
+    """Mirror of operators.text.dup_span_removal at n=5: the
+    _dup_spans_oracle duplication marking (same 's:'-md5-16 gram keys,
+    corpus-wide count ≥ 2), coverage via the identical
+    n−1-PRECEDING rows window over the contiguous position stream, and
+    the kept tokens re-joined in position order (string_agg ignores
+    the NULLed removed positions, exactly as collect_list does)."""
+    return f"""
+    WITH raw AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), tokp AS (
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS t
+      FROM raw, unnest(range(1, len(toks) + 1)) AS r(i)
+    ), g AS (
+      SELECT doc_id,
+             list_transform({grams_expr("toks", n)},
+                            x -> substr(md5('s:' || x), 1, 16)) AS hs
+      FROM raw WHERE len(toks) >= {n}
+    ), pos AS (
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, hs[i] AS h
+      FROM g, unnest(range(1, len(hs) + 1)) AS t(i)
+    ), dup AS (
+      SELECT doc_id, pos, 1 AS isdup FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM pos
+      ) WHERE cnt >= 2
+    ), f AS (
+      SELECT tk.doc_id, tk.pos, tk.t, coalesce(d.isdup, 0) AS isdup
+      FROM tokp tk LEFT JOIN dup d USING (doc_id, pos)
+    ), cov AS (
+      SELECT doc_id, pos, t,
+             max(isdup) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN {n - 1} PRECEDING
+                              AND CURRENT ROW) AS c
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(c) AS BIGINT) AS n_removed,
+           coalesce(string_agg(CASE WHEN c = 0 THEN t END, ' '
+                               ORDER BY pos), '') AS clean_text
+    FROM cov GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("text_dup_span_removal", oracle=_dup_span_removal_oracle)
+def text_dup_span_removal(spark, sf_dir):
+    """Substring-dedup APPLIED (Lee et al. ACL'22, the removal half):
+    every token covered by a corpus-duplicated 5-gram is cut and the
+    surviving tokens re-joined — the entry emits the cleaned corpus
+    plus per-doc removal accounting (n_tokens, n_removed, clean_text).
+    text_dup_token_spans is the audit view of the same coverage; this
+    is the curation step that feeds training. Linear plan (no pair
+    join): one gram-keyed count exchange + one doc-keyed rebuild
+    exchange; the oracle mirrors gram keys, the ≥2 count, the
+    rows-window coverage and the position-ordered rejoin."""
+    return TX.dup_span_removal(
+        load(spark, sf_dir, "documents"), "doc_id", "text", n=5
+    ).orderBy("doc_id")

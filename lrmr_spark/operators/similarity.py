@@ -340,6 +340,119 @@ def semdedup(
     return out
 
 
+def _sub_dists(
+    vec_col: str, centroids: list[list[float]], s: int, sub_d: int
+) -> list[Column]:
+    """Per-centroid squared-L2 distance expressions for sub-space ``s``:
+    unrolled left-associated double arithmetic over ``element_at`` —
+    the exact association order the oracle SQL mirrors, so distances
+    are bit-equal across engines. Shared by pq_codes (encode) and
+    pq_train_iter (train), which must agree on assignment."""
+    dists = []
+    for cent in centroids:
+        acc: Column | None = None
+        for j in range(sub_d):
+            idx = s * sub_d + j + 1  # element_at is 1-based
+            diff = F.element_at(F.col(vec_col), idx).cast("double") - F.lit(
+                float(cent[s * sub_d + j])
+            )
+            sq = diff * diff
+            acc = sq if acc is None else acc + sq
+        dists.append(acc)
+    return dists
+
+
+def pq_train_iter(
+    df: DataFrame,
+    centroids: list[list[float]],
+    num_sub: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd iteration of PRODUCT-QUANTIZER codebook training (the
+    FAISS ``ProductQuantizer::train`` step, Jégou et al. 2011 §III):
+    independently in each of ``num_sub`` sub-spaces, assign every
+    vector's sub-vector to its nearest current sub-centroid (squared
+    L2, first-min-wins — the IDENTICAL `_sub_dists` arithmetic
+    pq_codes encodes with, so train and encode can never disagree on
+    assignment), then recompute each sub-centroid as the per-dimension
+    mean of its members. Full training = a driver loop over this
+    operator feeding the updated codebook back in — the
+    embedding_kmeans_iter shape, once per sub-space. This completes
+    the PQ lifecycle: train (here) → encode (pq_codes) → search
+    (pq_adc_topk) → evaluate (pq_recall_at_k / distortion).
+
+    Output: (sub, code, dim, centroid_val, n_members) — code 1-based
+    as everywhere in the PQ family, dim 1-based WITHIN the sub-space,
+    centroid_val rounded 5; (sub, code) pairs with zero members are
+    omitted (their centroid is undefined — production training
+    reseeds them from a random member, a driver-side policy).
+
+    Scale shape: ONE aggregation over one scan — the assignment is
+    pure codegen'd column expressions and the update is
+    num_sub × k × sub_d conditional sums (256 bounded agg columns at
+    the 8×4×8 default) with map-side partial aggregation; NO explode
+    (a posexplode formulation would re-evaluate the assignment per
+    generated row — ARCHITECTURE pitfall 12 — and multiply scan rows
+    ×num_sub before the combine). The post-agg stack runs on ONE row.
+    """
+    dim = len(centroids[0])
+    if num_sub <= 0 or dim % num_sub != 0:
+        raise ValueError(
+            f"num_sub={num_sub} must evenly divide the embedding "
+            f"dimension {dim} (assignment would silently truncate)"
+        )
+    sub_d = dim // num_sub
+    k = len(centroids)
+    src = df.filter(F.col(vec_col).isNotNull())
+    code_cols = []
+    for s in range(num_sub):
+        arr = F.array(*_sub_dists(vec_col, centroids, s, sub_d))
+        code_cols.append(
+            F.array_position(arr, F.array_min(arr)).cast("int").alias(f"_c{s}")
+        )
+    assigned = src.select(F.col(vec_col), *code_cols)
+    aggs = []
+    for s in range(num_sub):
+        for c in range(k):
+            hit = F.col(f"_c{s}") == c + 1
+            aggs.append(
+                F.count(F.when(hit, F.lit(1))).alias(f"n{s}_{c}")
+            )
+            for j in range(sub_d):
+                aggs.append(
+                    F.sum(
+                        F.when(
+                            hit,
+                            F.element_at(F.col(vec_col), s * sub_d + j + 1).cast(
+                                "double"
+                            ),
+                        )
+                    ).alias(f"m{s}_{c}_{j}")
+                )
+    one = assigned.agg(*aggs)
+    stack_args = ", ".join(
+        f"{s}, {c + 1}, {j + 1}, m{s}_{c}_{j}, n{s}_{c}"
+        for s in range(num_sub)
+        for c in range(k)
+        for j in range(sub_d)
+    )
+    stacked = one.selectExpr(
+        f"stack({num_sub * k * sub_d}, {stack_args}) "
+        "AS (sub, code, dim, msum, n)"
+    )
+    return (
+        stacked.filter(F.col("n") > 0)
+        .select(
+            F.col("sub").cast("bigint").alias("sub"),
+            F.col("code").cast("bigint").alias("code"),
+            F.col("dim").cast("bigint").alias("dim"),
+            F.round(F.col("msum") / F.col("n"), 5).alias("centroid_val"),
+            F.col("n").cast("bigint").alias("n_members"),
+        )
+        .orderBy("sub", "code", "dim")
+    )
+
+
 def pq_codes(
     df: DataFrame,
     centroids: list[list[float]],
@@ -380,23 +493,114 @@ def pq_codes(
     sub_d = dim // num_sub
     cols: list[Column] = [F.col(id_col)]
     for s in range(num_sub):
-        dists = []
-        for cent in centroids:
-            acc: Column | None = None
-            for j in range(sub_d):
-                idx = s * sub_d + j + 1  # element_at is 1-based
-                diff = F.element_at(F.col(vec_col), idx).cast("double") - F.lit(
-                    float(cent[s * sub_d + j])
-                )
-                sq = diff * diff
-                acc = sq if acc is None else acc + sq
-            dists.append(acc)
-        arr = F.array(*dists)
+        arr = F.array(*_sub_dists(vec_col, centroids, s, sub_d))
         cols.append(
             F.array_position(arr, F.array_min(arr)).cast("int").alias(f"code_{s}")
         )
         cols.append(F.round(F.array_min(arr), 5).alias(f"dist_{s}"))
     return df.select(*cols)
+
+
+def _adc_dist_col(
+    query: list[float],
+    centroids: list[list[float]],
+    num_sub: int,
+    sub_d: int,
+) -> Column:
+    """The ADC approximate-distance expression over ``code_{s}``
+    columns: the query's lookup table of squared sub-distances —
+    lut[s][c] = ||query_s − centroid_c,s||², computed ONCE driver-side
+    in exact float64 (the same literals the oracle SQL embeds) — summed
+    left-associated via ``num_sub`` element_at indexings. Shared by
+    pq_adc_topk and pq_recall_at_k so the two rank with bit-identical
+    arithmetic."""
+    lut = [
+        [
+            sum(
+                (query[s * sub_d + j] - c[s * sub_d + j]) ** 2
+                for j in range(sub_d)
+            )
+            for c in centroids
+        ]
+        for s in range(num_sub)
+    ]
+    adist: Column | None = None
+    for s in range(num_sub):
+        term = F.element_at(
+            F.array(*[F.lit(float(x)) for x in lut[s]]), F.col(f"code_{s}")
+        )
+        adist = term if adist is None else adist + term
+    return adist
+
+
+def pq_recall_at_k(
+    df: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    ks: tuple[int, ...] = (10, 25, 50, 100, 200),
+    k: int = 10,
+    num_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The recall@k evaluation sweep for the two-stage PQ read path:
+    for each shortlist size k′ in ``ks``, how many of the exact cosine
+    top-k land in the ADC top-k′ shortlist? Because any true-top-k
+    member that survives into the shortlist necessarily survives the
+    exact re-rank (at most k−1 others can outscore it), re-ranked
+    recall@k EQUALS shortlist recall — so this one number is the k′
+    tuning curve an operator reads before fixing the production
+    shortlist size (the FAISS nprobe/k′ sweep, run corpus-side).
+
+    Output: (k_prime, hits) — one row per k′, hits ∈ [0, k],
+    monotonically non-decreasing in k′ by construction.
+
+    Scale shape: ADC ranking is the pq_adc_topk scan (LUT literals,
+    per-partition top-max(k′) heap via orderBy+limit →
+    TakeOrderedAndProject — never a global sort); the exact top-k is
+    the cosine_topk scan. Everything after the two limits — the
+    row_number window, the hit join, the k′ fanout — runs on
+    ≤ max(k′) + k rows, driver-scale regardless of corpus size.
+    """
+    from pyspark.sql import Window as W
+
+    dim = len(centroids[0])
+    if num_sub <= 0 or dim % num_sub != 0:
+        raise ValueError(
+            f"num_sub={num_sub} must evenly divide the embedding "
+            f"dimension {dim} (pq_codes would silently truncate)"
+        )
+    codes = pq_codes(
+        df.filter(F.col(vec_col).isNotNull()), centroids, num_sub, id_col, vec_col
+    )
+    adist = _adc_dist_col(query, centroids, num_sub, dim // num_sub)
+    shortlist = (
+        codes.select(F.col(id_col), adist.alias("_ad"))
+        .orderBy(F.asc_nulls_last("_ad"), F.asc(id_col))
+        .limit(max(ks))
+    )
+    # the rank window runs AFTER the limit: ≤ max(k′) rows, so the
+    # single-partition global window is bounded, not a scale hazard
+    ranked = shortlist.withColumn(
+        "_ra",
+        F.row_number().over(
+            W.orderBy(F.asc_nulls_last("_ad"), F.asc(id_col))
+        ),
+    )
+    exact = cosine_topk(df, query, k=k, id_col=id_col, vec_col=vec_col).select(
+        id_col
+    )
+    hit = ranked.join(exact, id_col).select("_ra")
+    kdf = df.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(int(x)) for x in sorted(ks)])).alias("k_prime")
+    )
+    return (
+        kdf.join(hit, F.col("_ra") <= F.col("k_prime"), "left")
+        .groupBy("k_prime")
+        .agg(F.count("_ra").cast("bigint").alias("hits"))
+        .select(F.col("k_prime").cast("bigint").alias("k_prime"), "hits")
+        .orderBy("k_prime")
+    )
 
 
 def pq_adc_topk(
@@ -430,18 +634,6 @@ def pq_adc_topk(
             f"dimension {dim} (pq_codes would silently truncate)"
         )
     sub_d = dim // num_sub
-    # driver-side lookup table: lut[s][c] = ||query_s - centroid_c,s||²
-    # (exact float64 — the same literals the oracle SQL embeds)
-    lut = [
-        [
-            sum(
-                (query[s * sub_d + j] - c[s * sub_d + j]) ** 2
-                for j in range(sub_d)
-            )
-            for c in centroids
-        ]
-        for s in range(num_sub)
-    ]
     # NULL embeddings are EXCLUDED, not ranked last: their codes are
     # NULL, and Spark 4's element_at treats a NULL column index like -1
     # (returns the LAST array element, not NULL — verified on 4.1.2),
@@ -449,12 +641,7 @@ def pq_adc_topk(
     codes = pq_codes(
         df.filter(F.col(vec_col).isNotNull()), centroids, num_sub, id_col, vec_col
     )
-    adist: Column | None = None
-    for s in range(num_sub):
-        term = F.element_at(
-            F.array(*[F.lit(float(x)) for x in lut[s]]), F.col(f"code_{s}")
-        )
-        adist = term if adist is None else adist + term
+    adist = _adc_dist_col(query, centroids, num_sub, sub_d)
     return (
         codes.select(F.col(id_col), adist.alias("_ad"))
         .orderBy(F.asc_nulls_last("_ad"), F.asc(id_col))

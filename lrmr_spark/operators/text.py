@@ -356,3 +356,102 @@ def dup_token_spans(
         )
         .select(F.col("_id").alias(id_col), "start", "length")
     )
+
+
+def dup_span_removal(
+    df,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+):
+    """APPLY the substring-dedup cut list (the second half of Lee et
+    al. ACL'22: having found every duplicated span, REMOVE it and keep
+    the unique remainder — the corpus that actually ships to training):
+    for each document, drop every token covered by some n-token gram
+    that occurs ≥ 2 times corpus-wide, and re-join the surviving tokens
+    in order. Output: (id, n_tokens, n_removed, clean_text) — the
+    removal accounting plus the cleaned body. dup_token_spans emits the
+    cut list for audit; this emits the cut corpus.
+
+    Coverage semantics match dup_token_spans exactly: token position q
+    is removed iff some duplicated gram start p satisfies
+    p ≤ q < p + n — i.e. q's row-window of the previous n−1 positions
+    contains a duplicated start. Because posexplode emits every
+    position 0..len−1 contiguously, that value-range test IS a
+    rows-window test: max(is_dup) over rowsBetween(−(n−1), 0).
+
+    Spark-first plan: one posexplode of the tokens → the
+    pitfall-16-safe lead-window grams (each token read once) → ONE
+    gram-keyed count exchange marks duplicated starts → flags rejoin
+    the token stream on (id, pos) → a doc-keyed coverage window and a
+    conditional collect_list rebuild the text (collect_list skips the
+    NULLs the removed positions map to; array_sort restores token
+    order by position). Docs with zero tokens cannot appear (posexplode
+    of an empty array emits nothing); the oracle applies the same
+    len ≥ 1 guard.
+
+    100 TB shape: like dup_token_spans the work is LINEAR — no pair
+    join, no df² fanout, hot template grams cost one bounded count
+    partition. The rebuilt text rides exactly one doc-keyed exchange
+    (the final groupBy); every earlier shuffle carries only
+    (id, pos, 16-hex) rows.
+    """
+    from pyspark.sql import Window as W
+
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(text_col)).alias("_pos", "_t"),
+    )
+    wdoc = W.partitionBy("_id").orderBy("_pos")
+    gram = F.concat_ws(
+        " ", F.col("_t"), *[F.lead("_t", j).over(wdoc) for j in range(1, n)]
+    )
+    g = (
+        tok.select(
+            "_id",
+            "_pos",
+            gram.alias("_g"),
+            F.lead("_t", n - 1).over(wdoc).isNotNull().alias("_full"),
+        )
+        .filter("_full")
+        .select(
+            "_id",
+            "_pos",
+            F.substring(F.md5(F.concat(F.lit("s:"), F.col("_g"))), 1, 16).alias("_h"),
+        )
+    )
+    dup = (
+        g.withColumn("_cnt", F.count(F.lit(1)).over(W.partitionBy("_h")))
+        .filter(F.col("_cnt") >= 2)
+        .select("_id", "_pos", F.lit(1).alias("_isdup"))
+    )
+    flagged = tok.join(dup, ["_id", "_pos"], "left").withColumn(
+        "_cov",
+        F.max(F.coalesce(F.col("_isdup"), F.lit(0))).over(
+            wdoc.rowsBetween(-(n - 1), 0)
+        ),
+    )
+    return (
+        flagged.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("_cov").cast("bigint").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_cov") == 0,
+                                F.struct(F.col("_pos"), F.col("_t")),
+                            )
+                        )
+                    ),
+                    lambda x: x["_t"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col("_id").alias(id_col), "n_tokens", "n_removed", "clean_text"
+        )
+    )

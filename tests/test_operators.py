@@ -1425,3 +1425,165 @@ def test_ivfpq_rerank_is_exact_cosine_over_its_shortlist(spark, emb, tmp_path):
         emb.filter(F.col("vec_id").isin(list(shortlist))), q, k=10
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+# ------------------------------------------- recall sweep + span removal
+def test_pq_recall_at_k_matches_shortlist_intersection(spark, emb):
+    # hits(k') must equal |ADC-top-k' ∩ exact-top-10| computed
+    # independently via the two public ops, and be monotone in k'
+    cents = [[float((i * 13 + j) % 7) for j in range(64)] for i in range(4)]
+    q = [float(j % 5) for j in range(64)]
+    ks = (10, 25, 50)
+    got = {
+        r["k_prime"]: r["hits"]
+        for r in SIM.pq_recall_at_k(emb, q, cents, ks=ks).collect()
+    }
+    brute = {r[0] for r in SIM.cosine_topk(emb, q, k=10).collect()}
+    prev = -1
+    for kp in ks:
+        short = {r[0] for r in SIM.pq_adc_topk(emb, q, cents, k=kp).collect()}
+        assert got[kp] == len(short & brute)
+        assert got[kp] >= prev
+        prev = got[kp]
+    assert sorted(got) == list(ks)
+
+
+def _py_dup_removal(docs: dict[int, str], n: int) -> dict[int, tuple]:
+    """Plain-python reference for dup_span_removal: drop every token
+    covered by a corpus-duplicated n-gram, rejoin the rest."""
+    from collections import Counter
+
+    toks = {d: t.split() for d, t in docs.items()}
+    counts = Counter(
+        tuple(ts[p : p + n])
+        for ts in toks.values()
+        for p in range(len(ts) - n + 1)
+    )
+    out = {}
+    for d, ts in toks.items():
+        if not ts:
+            continue
+        covered = set()
+        for p in range(len(ts) - n + 1):
+            if counts[tuple(ts[p : p + n])] >= 2:
+                covered.update(range(p, p + n))
+        kept = [t for q_, t in enumerate(ts) if q_ not in covered]
+        out[d] = (len(ts), len(covered), " ".join(kept))
+    return out
+
+
+def test_dup_span_removal_matches_python_reference_on_planted_dups(spark):
+    docs = {
+        1: "alpha beta gamma delta epsilon zeta eta unique1 filler1 filler2",
+        2: "pre1 pre2 alpha beta gamma delta epsilon zeta eta post1",
+        3: "x1 r1 r2 r3 r4 r5 mid1 mid2 r1 r2 r3 r4 r5 x2",
+        4: "clean1 clean2 clean3 clean4 clean5 clean6 clean7 clean8",
+        5: "tiny doc here",
+        6: "dupdoc w1 w2 w3 w4 w5 w6 w7",
+        7: "dupdoc w1 w2 w3 w4 w5 w6 w7",
+    }
+    n = 5
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in TX.dup_span_removal(df, "doc_id", "text", n=n).collect()
+    }
+    want = _py_dup_removal(docs, n)
+    assert got == want
+    # sanity of the plant: whole-doc dups empty out; clean doc intact
+    assert got[6][2] == "" and got[7][2] == ""
+    assert got[4] == (8, 0, docs[4])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_dup_span_removal_random_corpus_matches_reference(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(12)]
+    docs = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40)))
+        for d in range(1, 21)
+    }
+    n = 4
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in TX.dup_span_removal(df, "doc_id", "text", n=n).collect()
+    }
+    assert got == _py_dup_removal(docs, n)
+
+
+def test_dsir_weights_bounds_and_target_uplift(spark, sf_dir):
+    # score is an exact-integer ppm in [0, 1e6]; the target slice
+    # (lang='en') must score higher ON AVERAGE than the rest — the
+    # defining property of importance weights toward the en target
+    from lrmr_spark.catalog.corpus_ops import docs_dsir_weights
+
+    w = docs_dsir_weights(spark, sf_dir)
+    rows = w.collect()
+    assert rows and all(0 <= r["dsir_score_ppm"] <= 1_000_000 for r in rows)
+    assert all(r["n_bigrams"] >= 1 for r in rows)
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in load(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    }
+    en = [r["dsir_score_ppm"] for r in rows if langs[r["doc_id"]] == "en"]
+    rest = [r["dsir_score_ppm"] for r in rows if langs[r["doc_id"]] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+# ------------------------------------------------- PQ codebook training
+def test_pq_train_iter_matches_numpy_reference(spark, emb):
+    import numpy as np
+
+    cents = [[float((i * 13 + j) % 7) for j in range(64)] for i in range(4)]
+    got = {
+        (r["sub"], r["code"], r["dim"]): (r["centroid_val"], r["n_members"])
+        for r in SIM.pq_train_iter(emb, cents, num_sub=8).collect()
+    }
+    X = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    C = np.array(cents, dtype=np.float64)
+    want = {}
+    for s in range(8):
+        xs, cs = X[:, s * 8 : (s + 1) * 8], C[:, s * 8 : (s + 1) * 8]
+        d = ((xs[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # numpy argmin = first-min-wins, same rule
+        for c in range(4):
+            members = xs[assign == c]
+            if len(members):
+                for j in range(8):
+                    want[(s, c + 1, j + 1)] = (
+                        round(float(members[:, j].mean()), 5),
+                        len(members),
+                    )
+    assert set(got) == set(want)
+    for key, (v, n) in want.items():
+        gv, gn = got[key]
+        assert gn == n
+        assert abs(gv - v) < 1e-4, (key, gv, v)
+
+
+def test_pq_train_iter_reduces_distortion(spark, emb):
+    # Lloyd monotonicity: re-encoding with the trained codebook must not
+    # increase total quantization error vs the starting codebook
+    cents = [[float((i * 13 + j) % 7) for j in range(64)] for i in range(4)]
+
+    def total_err(cb):
+        codes = SIM.pq_codes(emb, cb, num_sub=8)
+        row = codes.agg(
+            *[F.sum(F.col(f"dist_{s}")).alias(f"d{s}") for s in range(8)]
+        ).collect()[0]
+        return sum(row[f"d{s}"] for s in range(8))
+
+    before = total_err(cents)
+    trained = SIM.pq_train_iter(emb, cents, num_sub=8).collect()
+    new_cents = [list(c) for c in cents]  # empty clusters keep old position
+    for r in trained:
+        new_cents[r["code"] - 1][r["sub"] * 8 + (r["dim"] - 1)] = r["centroid_val"]
+    after = total_err(new_cents)
+    assert after <= before * (1 + 1e-9)
+    assert after < before  # the synthetic start is far from converged
