@@ -942,6 +942,75 @@ def _dup_span_removal_oracle(n: int = 5) -> str:
     """
 
 
+def _decon_span_removal_oracle(n: int = 4) -> str:
+    """Mirror of operators.text.decontaminate_span_removal at n=4 over
+    the doc_id%50 eval split: same 'd:'-md5-16 gram keys, a gram is
+    contaminated iff max(is_eval) over its key is 1, coverage and
+    rebuild identical to _dup_span_removal_oracle."""
+    return f"""
+    WITH raw AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), tokp AS (
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS t
+      FROM raw, unnest(range(1, len(toks) + 1)) AS r(i)
+      WHERE doc_id % 50 <> 0
+    ), g AS (
+      SELECT doc_id,
+             list_transform({grams_expr("toks", n)},
+                            x -> substr(md5('d:' || x), 1, 16)) AS hs
+      FROM raw WHERE len(toks) >= {n}
+    ), pos AS (
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, hs[i] AS h
+      FROM g, unnest(range(1, len(hs) + 1)) AS t(i)
+    ), mk AS (
+      SELECT doc_id, pos, 1 AS isdup FROM (
+        SELECT doc_id, pos,
+               CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END AS is_ev,
+               max(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY h) AS anyev
+        FROM pos
+      ) WHERE anyev = 1 AND is_ev = 0
+    ), f AS (
+      SELECT tk.doc_id, tk.pos, tk.t, coalesce(m.isdup, 0) AS isdup
+      FROM tokp tk LEFT JOIN mk m USING (doc_id, pos)
+    ), cov AS (
+      SELECT doc_id, pos, t,
+             max(isdup) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN {n - 1} PRECEDING
+                              AND CURRENT ROW) AS c
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(c) AS BIGINT) AS n_removed,
+           coalesce(string_agg(CASE WHEN c = 0 THEN t END, ' '
+                               ORDER BY pos), '') AS clean_text
+    FROM cov GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("decontaminate_span_removal", oracle=_decon_span_removal_oracle)
+def decontaminate_span_removal(spark, sf_dir):
+    """Benchmark decontamination APPLIED (GPT-3 §B apply-step): every
+    token of a TRAINING document covered by a 4-gram that appears
+    anywhere in the eval set (doc_id%50 stands in for the benchmark
+    suite, as in decontaminate_ngram_overlap) is cut and the remainder
+    re-joined — per-doc accounting plus the decontaminated corpus,
+    training docs only. Single-pass: the eval gram set never
+    materializes (window-max over the gram key marks train positions
+    directly — the formulation the audit entry measured ~2× faster);
+    coverage + rebuild share `_removal_rebuild` with
+    text_dup_span_removal, so the two removal semantics cannot drift.
+    Linear plan: one gram exchange of (id, pos, hash, flag), one
+    doc-keyed rebuild exchange."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "_is_eval", F.col("doc_id") % 50 == 0
+    )
+    return TX.decontaminate_span_removal(
+        d, "doc_id", "text", "_is_eval", n=4
+    ).orderBy("doc_id")
+
+
 @query("text_dup_span_removal", oracle=_dup_span_removal_oracle)
 def text_dup_span_removal(spark, sf_dir):
     """Substring-dedup APPLIED (Lee et al. ACL'22, the removal half):

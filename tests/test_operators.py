@@ -1587,3 +1587,83 @@ def test_pq_train_iter_reduces_distortion(spark, emb):
     after = total_err(new_cents)
     assert after <= before * (1 + 1e-9)
     assert after < before  # the synthetic start is far from converged
+
+
+def _py_decon_removal(
+    docs: dict[int, str], eval_ids: set[int], n: int
+) -> dict[int, tuple]:
+    """Plain-python reference for decontaminate_span_removal: drop every
+    train-doc token covered by an n-gram present in any eval doc."""
+    toks = {d: t.split() for d, t in docs.items()}
+    eval_grams = {
+        tuple(ts[p : p + n])
+        for d, ts in toks.items()
+        if d in eval_ids
+        for p in range(len(ts) - n + 1)
+    }
+    out = {}
+    for d, ts in toks.items():
+        if d in eval_ids or not ts:
+            continue
+        covered = set()
+        for p in range(len(ts) - n + 1):
+            if tuple(ts[p : p + n]) in eval_grams:
+                covered.update(range(p, p + n))
+        kept = [t for q_, t in enumerate(ts) if q_ not in covered]
+        out[d] = (len(ts), len(covered), " ".join(kept))
+    return out
+
+
+def test_decontaminate_span_removal_matches_python_reference(spark):
+    # eval doc 100 donates two grams; doc 1 leaks one of them mid-text,
+    # doc 2 leaks at the start, doc 3 is clean, doc 4 shares a gram with
+    # doc 3 (train-train dup — must NOT be cut), doc 5 is shorter than n
+    docs = {
+        100: "leak1 leak2 leak3 leak4 pad1 other1 other2 other3 other4",
+        1: "a1 a2 leak1 leak2 leak3 leak4 a3 a4",
+        2: "other1 other2 other3 other4 b1 b2 b3",
+        3: "c1 c2 c3 c4 c5 c6",
+        4: "c1 c2 c3 c4 d5 d6",
+        5: "tiny doc",
+    }
+    n = 4
+    df = spark.createDataFrame(
+        [(d, t, d == 100) for d, t in docs.items()],
+        "doc_id long, text string, is_eval boolean",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in TX.decontaminate_span_removal(
+            df, "doc_id", "text", "is_eval", n=n
+        ).collect()
+    }
+    want = _py_decon_removal(docs, {100}, n)
+    assert got == want
+    assert 100 not in got  # eval docs are not emitted
+    assert got[3] == (6, 0, docs[3]) and got[4] == (6, 0, docs[4])
+    assert got[1][1] == 4 and got[2][1] == 4
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_decontaminate_span_removal_random_corpus(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(10)]
+    docs = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30)))
+        for d in range(1, 25)
+    }
+    eval_ids = {d for d in docs if d % 5 == 0}
+    n = 3
+    df = spark.createDataFrame(
+        [(d, t, d in eval_ids) for d, t in docs.items()],
+        "doc_id long, text string, is_eval boolean",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in TX.decontaminate_span_removal(
+            df, "doc_id", "text", "is_eval", n=n
+        ).collect()
+    }
+    assert got == _py_decon_removal(docs, eval_ids, n)
