@@ -734,3 +734,67 @@ def docs_dsir_weights(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS w FROM documents),
+    wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY w),
+    pairs AS (
+      SELECT substr(w, i, 1) || ' ' || substr(w, i + 1, 1) AS pair, n
+      FROM wc, unnest(range(1, length(w))) AS t(i)
+      WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair ASC LIMIT 20
+    """,
+)
+def bpe_pair_counts(spark, sf_dir):
+    """The decision table of one BPE tokenizer-training step (Sennrich
+    et al. ACL'16): corpus-weighted adjacent character-pair frequencies
+    over the word vocabulary — the argmax row IS the next merge; a
+    driver loop that applies the merge to the symbol sequences and
+    re-runs this count is full BPE training (the kmeans-iter shape).
+    Emits the top 20 pairs (count desc, pair asc — deterministic under
+    ties) so the whole candidate frontier is value-checked, not just
+    the winner.
+
+    Scale shape: pair counting runs over the DISTINCT word vocabulary
+    weighted by word counts — the corpus collapses to (word, n) in one
+    exchange BEFORE any character work (a 100 TB corpus has a bounded
+    vocabulary, so the per-character explode touches vocab-sized data,
+    not corpus-sized); the pair agg is bounded by alphabet², and the
+    top-20 is TakeOrderedAndProject. The in-word pair extraction
+    guards length < 2 explicitly: Spark's sequence(1, 0) would COUNT
+    DOWN (auto-negative step) and emit phantom pairs — the same class
+    of silent wrong-output the pitfall catalogue tracks.
+
+    Reference: lrmr's flagship Count reducer (test/counter.go:16-32)
+    counts whitespace tokens per key; this is the same explode→agg
+    dataflow taken one level deeper (chars within words) to train the
+    tokenizer itself."""
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(TX.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = F.col("w")
+    pair_arr = F.when(
+        F.length(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(w) - 1),
+            lambda i: F.concat(
+                w.substr(i, F.lit(1)), F.lit(" "), w.substr(i + 1, F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        wc.select(F.explode(pair_arr).alias("pair"), "n")
+        .groupBy("pair")
+        .agg(F.sum("n").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(20)
+    )
