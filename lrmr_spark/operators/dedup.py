@@ -1055,23 +1055,32 @@ def simhash16(text_col: Column | str) -> Column:
     Production fast path: 64-bit variant over xxhash64 bits (same
     aggregate shape, JVM hash). 16 bits keeps the oracle SQL tractable
     while exercising the identical plan."""
-    toks = distinct_tokens(text_col)
+    # md5 each token ONCE, then vote all 16 bits over the hash array
+    # as an outer-lambda variable: aggregating over the raw
+    # distinct_tokens subtree 16 times (one per bit) re-ran the whole
+    # tokenize+md5 chain per bit — the constant-factor cousin of
+    # ARCHITECTURE pitfall 16 (16× tokenization + 16× md5/token,
+    # value-identical so invisible to the oracle).
+    hashes = F.transform(distinct_tokens(text_col), lambda t: F.md5(t))
 
     def voter(j: int):
         # factory, not a default-arg lambda: a 3-parameter lambda would
         # be dispatched to the wrong higher-order-function variant
-        def v(acc: Column, t: Column) -> Column:
+        def v(acc: Column, h: Column) -> Column:
             return acc + F.when(
-                F.substring(F.md5(t), j, 1).isin(*"89abcdef"), 1
+                F.substring(h, j, 1).isin(*"89abcdef"), 1
             ).otherwise(-1)
 
         return v
 
-    bits = []
-    for j in range(1, 17):
-        vote = F.aggregate(toks, F.lit(0), voter(j))
-        bits.append(F.when(vote > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    def _build(hv):
+        bits = []
+        for j in range(1, 17):
+            vote = F.aggregate(hv, F.lit(0), voter(j))
+            bits.append(F.when(vote > 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    return F.transform(F.array(hashes), _build)[0]
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

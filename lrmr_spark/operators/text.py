@@ -141,28 +141,30 @@ def winnowing_fingerprints(col: Column | str, k: int = 3, w: int = 4) -> Column:
     strings is a valid min-hash). Pure per-row JVM transforms, zero
     shuffles; returns the SORTED DISTINCT fingerprint array.
 
-    PERFORMANCE CAVEAT — this Column form is O(n²) per document: the
-    ``slice(hashes, i, w)`` inside the window lambda re-evaluates its
-    ``hashes`` subtree (the whole md5 gram chain) once per window
-    invocation — interpreted HOFs don't CSE their children (measured
-    224 s for 5000 × ~200-token docs). Fine for short rows, tests and
-    composition inside other per-row expressions; for TABLE-scale
-    fingerprinting use ``winnowing_postings`` — the same selection as
-    a posexplode + sliding window-min plan that computes each gram
-    hash exactly once.
+    The window sweep runs inside ``transform(array(hashes), ...)`` so
+    the inner lambda slices an outer-lambda VARIABLE: slicing the
+    ``hashes`` subtree directly would re-run the whole md5 gram chain
+    per window — interpreted HOFs don't CSE their children
+    (ARCHITECTURE pitfall 16, the r4 O(n²) shape measured at 224 s for
+    5000 × ~200-token docs; the wrapper makes this linear). For
+    TABLE-scale fingerprinting still prefer ``winnowing_postings`` —
+    the posexplode + sliding window-min plan whose WindowExec shares
+    one sorted pass across all positions.
     """
     grams = shingles(col, k)
     hashes = F.transform(
         grams, lambda g: F.substring(F.md5(F.concat(F.lit("w:"), g)), 1, 8)
     )
-    n_windows = F.greatest(F.size(hashes) - w + 1, F.lit(1))
-    return F.array_sort(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n_windows),
-                lambda i: F.array_min(F.slice(hashes, i, w)),
-            )
+
+    def _select(hv):
+        n_windows = F.greatest(F.size(hv) - w + 1, F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(hv, i, w)),
         )
+
+    return F.array_sort(
+        F.array_distinct(F.transform(F.array(hashes), _select)[0])
     )
 
 
