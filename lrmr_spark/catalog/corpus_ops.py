@@ -810,3 +810,114 @@ def bpe_pair_counts(spark, sf_dir):
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(20)
     )
+
+
+def _bpe_top_pair() -> tuple[str, str]:
+    """The argmax adjacent character pair (count desc, pair asc — the
+    bpe_pair_counts ranking) over the oracle SF dir's word vocabulary,
+    computed driver-side the way _centroids()/_query_vec() derive
+    their literals: the merge decision enters BOTH the Spark plan and
+    the oracle SQL as the same literal, so the two engines apply the
+    identical merge."""
+    import os
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    t = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["text"])
+    wc: Counter = Counter()
+    for txt in t["text"].to_pylist():
+        for w in (txt or "").split():
+            wc[w] += 1
+    cnt: Counter = Counter()
+    for w, n in wc.items():
+        for i in range(len(w) - 1):
+            cnt[w[i] + " " + w[i + 1]] += n
+    best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    a, b = best.split(" ")
+    return a, b
+
+
+_BPE_SENT = "\x01"
+
+
+def _bpe_merge_oracle() -> str:
+    a, b = _bpe_top_pair()
+    merged = (a + b).replace("'", "''")
+    sym = (
+        lambda pos: f"(CASE WHEN substr(w2, {pos}, 1) = chr(1) "
+        f"THEN '{merged}' ELSE substr(w2, {pos}, 1) END)"
+    )
+    return f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS w FROM documents),
+    wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY w),
+    m AS (SELECT replace(w, '{merged}', chr(1)) AS w2, n FROM wc),
+    pairs AS (
+      SELECT {sym('i')} || ' ' || {sym('i + 1')} AS pair, n
+      FROM m, unnest(range(1, length(w2))) AS t(i)
+      WHERE length(w2) >= 2
+    )
+    SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair ASC LIMIT 20
+    """
+
+
+@query("bpe_merge_apply", oracle=_bpe_merge_oracle)
+def bpe_merge_apply(spark, sf_dir):
+    """The SECOND BPE training iteration: apply the argmax merge from
+    bpe_pair_counts (driver-derived literal, the _centroids
+    discipline) to every vocabulary word, then re-count adjacent
+    SYMBOL pairs — where a symbol is now either a single character or
+    the merged pair. Together with bpe_pair_counts this demonstrates
+    the full count → merge → re-count training loop; N merges = a
+    driver loop re-deriving the argmax each round (the kmeans-iter
+    shape; symbol sequences stay strings with sentinel compression,
+    so each iteration is one scan + two bounded aggs).
+
+    Merge application is string replace of the merged pair with a
+    one-char sentinel — replace() is left-to-right non-overlapping in
+    both engines, which IS the BPE merge order on a symbol stream.
+    Pair extraction runs inside transform(array(w2), …) so the inner
+    lambda indexes a lambda variable, not the replace() subtree
+    (pitfall-16 discipline — constant-size here, but the shape is the
+    rule). Scale: identical to bpe_pair_counts — corpus collapses to
+    (word, n) first; everything after is vocabulary-sized."""
+    a, b = _bpe_top_pair()
+    merged = a + b
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(TX.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w2 = F.replace(F.col("w"), F.lit(merged), F.lit(_BPE_SENT))
+
+    def _pairs(s):
+        # ``s`` is the outer transform's lambda VARIABLE (the merged
+        # word), so the substr/length probes index a free reference,
+        # not the replace() subtree
+        def sym(c):
+            return F.when(c == _BPE_SENT, F.lit(merged)).otherwise(c)
+
+        return F.when(
+            F.length(s) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - 1),
+                lambda i: F.concat(
+                    sym(s.substr(i, F.lit(1))),
+                    F.lit(" "),
+                    sym(s.substr(i + 1, F.lit(1))),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    pair_arr = F.transform(F.array(w2), _pairs)[0]
+    return (
+        wc.select(F.explode(pair_arr).alias("pair"), "n")
+        .groupBy("pair")
+        .agg(F.sum("n").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(20)
+    )
