@@ -1667,3 +1667,53 @@ def test_decontaminate_span_removal_random_corpus(spark, seed):
         ).collect()
     }
     assert got == _py_decon_removal(docs, eval_ids, n)
+
+
+# ------------------------------------------------------- BPE training
+def _py_pair_counts(texts, merged=None):
+    from collections import Counter
+
+    wc = Counter()
+    for t in texts:
+        for w in (t or "").split():
+            wc[w] += 1
+    cnt = Counter()
+    SENT = "\x01"
+    for w, n in wc.items():
+        if merged:
+            w = w.replace(merged, SENT)
+        syms = [merged if c == SENT else c for c in w]
+        for i in range(len(syms) - 1):
+            cnt[syms[i] + " " + syms[i + 1]] += n
+    return sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+
+def test_bpe_pair_counts_matches_python_reference(spark, sf_dir):
+    from lrmr_spark.catalog.corpus_ops import bpe_pair_counts
+
+    texts = [
+        r["text"]
+        for r in load(spark, sf_dir, "documents").select("text").collect()
+    ]
+    got = [(r["pair"], r["cnt"]) for r in bpe_pair_counts(spark, sf_dir).collect()]
+    assert got == _py_pair_counts(texts)
+
+
+def test_bpe_merge_apply_matches_python_reference_and_retires_pair(spark, sf_dir):
+    from lrmr_spark.catalog.corpus_ops import (
+        _bpe_top_pair,
+        bpe_merge_apply,
+        bpe_pair_counts,
+    )
+
+    a, b = _bpe_top_pair()
+    merged = a + b
+    texts = [
+        r["text"]
+        for r in load(spark, sf_dir, "documents").select("text").collect()
+    ]
+    got = [(r["pair"], r["cnt"]) for r in bpe_merge_apply(spark, sf_dir).collect()]
+    assert got == _py_pair_counts(texts, merged=merged)
+    # the merged char pair cannot survive as a pair of single chars —
+    # every adjacent occurrence was compressed into one symbol
+    assert all(p != f"{a} {b}" for p, _ in got)
