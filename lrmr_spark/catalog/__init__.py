@@ -146,7 +146,8 @@ _PRIORITY = [
 # check_oracle at sf0.01 + sf0.1): ann_ivfpq_rerank_topk,
 # docs_dsir_weights, text_dup_span_removal, ann_pq_recall_at_k,
 # pq_train_codebook_iter, embedding_pq_distortion,
-# decontaminate_span_removal, bpe_pair_counts, bpe_merge_apply.
+# decontaminate_span_removal, bpe_pair_counts, bpe_merge_apply,
+# mixture_temperature_weights.
 
 
 def _ordered(names: list[str]) -> list[str]:

@@ -921,3 +921,74 @@ def bpe_merge_apply(spark, sf_dir):
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(20)
     )
+
+
+@query(
+    "mixture_temperature_weights",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    x AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(max(n_tokens) OVER () AS BIGINT) AS n_max
+      FROM per_src)
+    SELECT source, n_docs, n_tokens,
+           CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / n_max) * 1000000)
+             AS BIGINT) AS target_rel_ppm,
+           CAST(floor(sqrt(CAST(n_max AS DOUBLE) / n_tokens) * 1000000)
+             AS BIGINT) AS upsample_ppm
+    FROM x ORDER BY source
+    """,
+)
+def mixture_temperature_weights(spark, sf_dir):
+    """Temperature-scaled mixture weights at α = 0.5 (the multilingual
+    / Pile-style compromise between natural sampling α=1 and the
+    uniform target source_mixture_weights computes): the target share
+    is ∝ n_tokens^α, so the resampling multiplier vs natural is
+    ∝ n^(α−1) — small sources are boosted by sqrt(n_max/n_s), anchored
+    so the LARGEST source keeps multiplier 1. Emits both the relative
+    target share and the boost, in ppm.
+
+    Cross-engine float discipline for the irrational α: no ratio ever
+    crosses an aggregation — sqrt and division are IEEE
+    correctly-rounded scalar ops over EXACT integer operands
+    (token counts ≪ 2^53), so both engines compute bit-identical
+    doubles, and floor(x·1e6) avoids the engines' differing rounding
+    tie conventions entirely. A Σ-normalized share (sqrt(n)/Σ sqrt)
+    would float-sum over sources in engine-specific order — that
+    normalization belongs driver-side, on this bounded table.
+
+    Scale shape: identical to source_mixture_weights — one scan into a
+    source-keyed agg; the max window runs over the bounded per-source
+    table."""
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(TX.token_count("text")).cast("bigint").alias("n_tokens"),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_src.withColumn("n_max", F.max("n_tokens").over(w_all))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.floor(
+                F.sqrt(F.col("n_tokens").cast("double") / F.col("n_max"))
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("target_rel_ppm"),
+            F.floor(
+                F.sqrt(F.col("n_max").cast("double") / F.col("n_tokens"))
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("upsample_ppm"),
+        )
+        .orderBy("source")
+    )
