@@ -923,6 +923,181 @@ def bpe_merge_apply(spark, sf_dir):
     )
 
 
+_BPE_N_MERGES = 4
+
+
+def _bpe_merge_seq(n_merges: int = _BPE_N_MERGES):
+    """The first ``n_merges`` BPE merges, derived driver-side from the
+    oracle SF dir (the ``_bpe_top_pair`` discipline extended to the full
+    training loop): each round counts adjacent SYMBOL pairs over the
+    compressed word vocabulary, picks the argmax (count desc, expanded
+    display asc — a stable total order), and compresses the winner to a
+    one-char sentinel ``chr(k)``. Returns ``[(compressed_pair,
+    sentinel, expansion)]`` in merge order; both engines receive the
+    identical merge table as literals, so the value check verifies the
+    ENGINES' merge application + re-count, not the driver's argmax.
+
+    Compression keys stay unique across rounds: every key is the image
+    of a distinct raw word under the (invertible — expand the
+    sentinels) merge function, but counts are summed on insert anyway
+    so a collision would only coarsen the grouping identically to what
+    both engines do downstream."""
+    import os
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    t = pq.read_table(os.path.join(sf, "documents.parquet"), columns=["text"])
+    wc: Counter = Counter()
+    for txt in t["text"].to_pylist():
+        for w in (txt or "").split():
+            wc[w] += 1
+    expand: dict[str, str] = {}
+
+    def exp(c: str) -> str:
+        return expand.get(c, c)
+
+    merges: list[tuple[str, str, str]] = []
+    for k in range(1, n_merges + 1):
+        cnt: Counter = Counter()
+        for w, n in wc.items():
+            for i in range(len(w) - 1):
+                cnt[(w[i], w[i + 1])] += n
+        (a, b), _ = min(
+            cnt.items(),
+            key=lambda kv: (-kv[1], exp(kv[0][0]) + " " + exp(kv[0][1])),
+        )
+        s = chr(k)
+        expand[s] = exp(a) + exp(b)
+        merges.append((a + b, s, expand[s]))
+        wc2: Counter = Counter()
+        for w, n in wc.items():
+            wc2[w.replace(a + b, s)] += n
+        wc = wc2
+    return merges
+
+
+def _sql_chr_str(s: str) -> str:
+    """A DuckDB string expression for a literal that may contain the
+    control-char sentinels (chr(1)..chr(N) can't ride inside a quoted
+    SQL literal)."""
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        if ord(ch) < 32:
+            if buf:
+                parts.append("'" + buf.replace("'", "''") + "'")
+                buf = ""
+            parts.append(f"chr({ord(ch)})")
+        else:
+            buf += ch
+    if buf:
+        parts.append("'" + buf.replace("'", "''") + "'")
+    return " || ".join(parts) if parts else "''"
+
+
+def _bpe_train_oracle() -> str:
+    merges = _bpe_merge_seq()
+    w2 = "w"
+    for pair, sent, _ in merges:
+        w2 = f"replace({w2}, {_sql_chr_str(pair)}, chr({ord(sent)}))"
+    whens = " ".join(
+        f"WHEN chr({ord(sent)}) THEN '{expansion}'"
+        for _, sent, expansion in merges
+    )
+    sym = (
+        lambda pos: f"(CASE substr(w2, {pos}, 1) {whens} "
+        f"ELSE substr(w2, {pos}, 1) END)"
+    )
+    return f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS w FROM documents),
+    wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY w),
+    m AS (SELECT {w2} AS w2, n FROM wc),
+    pairs AS (
+      SELECT {sym('i')} || ' ' || {sym('i + 1')} AS pair, n
+      FROM m, unnest(range(1, length(w2))) AS t(i)
+      WHERE length(w2) >= 2
+    )
+    SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair ASC LIMIT 20
+    """
+
+
+@query("bpe_train_merges", oracle=_bpe_train_oracle)
+def bpe_train_merges(spark, sf_dir):
+    """FULL BPE tokenizer training, N = 4 merge iterations (Sennrich
+    et al. ACL'16 algorithm 1): the count → argmax → merge → re-count
+    driver loop that bpe_pair_counts (iteration 1) and bpe_merge_apply
+    (iteration 2) demonstrate one step of, run to depth 4. The merge
+    TABLE is derived driver-side by a plain-python model (the
+    _centroids / kmeans-iter discipline: the per-round argmax is a
+    driver decision, like the kmeans centroid update) and enters both
+    engines as literals; what the value check verifies is the engines'
+    merge APPLICATION — four chained left-to-right non-overlapping
+    string replaces, which IS the BPE merge order on a symbol stream —
+    and the resulting symbol-pair frequency table, emitted as the
+    top-20 frontier with every sentinel expanded back to its readable
+    symbol text (count desc, pair asc — deterministic under ties).
+
+    Each merged symbol is one sentinel CHAR (chr(1)..chr(4)), so a
+    later merge whose side is an earlier merge ("ab" + "c" → "abc")
+    is still a plain 2-char replace — the symbol stream never grows.
+    Pair extraction runs inside transform(array(w2), …) so the inner
+    lambda indexes a lambda variable, not the 4-replace subtree
+    (pitfall-16 discipline).
+
+    Scale shape: identical to bpe_pair_counts — the corpus collapses
+    to the (word, n) vocabulary in ONE exchange before any character
+    work; each training round is then vocabulary-sized (one scan of
+    the cached vocab + a bounded pair agg), which is why production
+    BPE trainers run on word counts, never the raw corpus. A deeper
+    vocab (N in the thousands) keeps the same shape: the per-round
+    cost is O(vocab · word_len), driver memory O(alphabet + N)."""
+    merges = _bpe_merge_seq()
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(TX.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w2 = F.col("w")
+    for pair, sent, _ in merges:
+        w2 = F.replace(w2, F.lit(pair), F.lit(sent))
+
+    def _pairs(s):
+        # ``s`` is the outer transform's lambda VARIABLE (the fully
+        # merged word), so the substr/length probes index a free
+        # reference, not the chained-replace subtree
+        def sym(c):
+            e = F.when(c == merges[0][1], F.lit(merges[0][2]))
+            for _, sent, expansion in merges[1:]:
+                e = e.when(c == sent, F.lit(expansion))
+            return e.otherwise(c)
+
+        return F.when(
+            F.length(s) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - 1),
+                lambda i: F.concat(
+                    sym(s.substr(i, F.lit(1))),
+                    F.lit(" "),
+                    sym(s.substr(i + 1, F.lit(1))),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    pair_arr = F.transform(F.array(w2), _pairs)[0]
+    return (
+        wc.select(F.explode(pair_arr).alias("pair"), "n")
+        .groupBy("pair")
+        .agg(F.sum("n").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(20)
+    )
+
+
 @query(
     "mixture_temperature_weights",
     oracle=f"""

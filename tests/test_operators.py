@@ -1717,3 +1717,73 @@ def test_bpe_merge_apply_matches_python_reference_and_retires_pair(spark, sf_dir
     # the merged char pair cannot survive as a pair of single chars —
     # every adjacent occurrence was compressed into one symbol
     assert all(p != f"{a} {b}" for p, _ in got)
+
+
+def _py_train_counts(texts, merges):
+    """Pair-count frontier after applying a [(pair, sentinel,
+    expansion)] merge table — an INDEPENDENT model of the engines'
+    chained-replace + expand-and-count dataflow (list-of-symbols, no
+    string replace)."""
+    from collections import Counter
+
+    expand = {s: x for _, s, x in merges}
+    wc = Counter()
+    for t in texts:
+        for w in (t or "").split():
+            wc[w] += 1
+    cnt = Counter()
+    for w, n in wc.items():
+        syms = list(w)
+        for pair, sent, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == pair[0]
+                    and syms[i + 1] == pair[1]
+                ):
+                    out.append(sent)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        disp = [expand.get(c, c) for c in syms]
+        for i in range(len(disp) - 1):
+            cnt[disp[i] + " " + disp[i + 1]] += n
+    return sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+
+def test_bpe_train_merges_matches_python_reference(spark, sf_dir):
+    from lrmr_spark.catalog.corpus_ops import (
+        _bpe_merge_seq,
+        _bpe_top_pair,
+        bpe_train_merges,
+    )
+
+    merges = _bpe_merge_seq()
+    assert len(merges) == 4
+    # round 1 of the loop must agree with the single-step helper
+    a, b = _bpe_top_pair()
+    assert merges[0][2] == a + b
+    # sentinels are assigned in order and expansions are cumulative:
+    # every expansion is built only from raw chars (sentinels resolved)
+    for _, sent, expansion in merges:
+        assert all(ord(c) >= 32 for c in expansion)
+    got = [
+        (r["pair"], r["cnt"]) for r in bpe_train_merges(spark, sf_dir).collect()
+    ]
+    texts = [
+        r["text"]
+        for r in load(spark, sf_dir, "documents").select("text").collect()
+    ]
+    assert got == _py_train_counts(texts, merges)
+    # no merged pair survives in the final frontier: each round's
+    # winner was compressed to a single symbol in every word
+    retired = set()
+    expand = {s: x for _, s, x in merges}
+    for pair, _, _ in merges:
+        retired.add(
+            expand.get(pair[0], pair[0]) + " " + expand.get(pair[1], pair[1])
+        )
+    assert all(p not in retired for p, _ in got)
