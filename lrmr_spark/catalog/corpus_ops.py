@@ -1099,6 +1099,138 @@ def bpe_train_merges(spark, sf_dir):
 
 
 @query(
+    "mixture_unimax_weights",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    x AS (
+      SELECT source, n_tokens,
+             CAST(2 * n_tokens AS BIGINT) AS capacity,
+             CAST((sum(n_tokens) OVER ()) * 19 // 10 AS BIGINT) AS budget,
+             CAST(count(*) OVER () AS BIGINT) AS n_src,
+             CAST(row_number() OVER (ORDER BY 2 * n_tokens ASC, source ASC)
+               AS BIGINT) AS rn,
+             CAST(coalesce(sum(2 * n_tokens) OVER (
+               ORDER BY 2 * n_tokens ASC, source ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_prev
+      FROM per_src),
+    y AS (
+      SELECT *, CASE WHEN capacity * (n_src - rn + 1) <= budget - cum_prev
+                     THEN 1 ELSE 0 END AS capped
+      FROM x),
+    z AS (
+      SELECT *,
+             CAST(sum(CASE WHEN capped = 1 THEN capacity ELSE 0 END)
+               OVER () AS BIGINT) AS capped_sum,
+             CAST(sum(1 - capped) OVER () AS BIGINT) AS n_uncapped
+      FROM y),
+    a AS (
+      SELECT *, CAST(CASE WHEN capped = 1 THEN capacity
+                          ELSE (budget - capped_sum) // n_uncapped END
+               AS BIGINT) AS alloc_tokens
+      FROM z)
+    SELECT source, n_tokens, capacity,
+           CAST(capped AS BIGINT) AS is_capped, alloc_tokens,
+           CAST(alloc_tokens * 1000000 // n_tokens AS BIGINT) AS epochs_ppm
+    FROM a ORDER BY source
+    """,
+)
+def mixture_unimax_weights(spark, sf_dir):
+    """UniMax mixture weights (Chung et al., ICLR'23): allocate a token
+    budget across sources as uniformly as possible subject to a
+    per-source epoch cap — small sources are repeated up to E epochs
+    but never more, and the budget they can't absorb waterfills
+    uniformly over the larger sources. Constants: E = 2 epochs; budget
+    = 95% of total capacity (19·Σn DIV 10), chosen so the fill level
+    lands strictly inside the capacity spread — both branches (capped
+    and waterfilled) appear at every test SF.
+
+    The sequential waterfilling loop becomes one window pass via the
+    classic prefix lemma: processing sources by ascending capacity,
+    the capped set is a prefix, and source i is capped iff
+    c_i · (S − i + 1) ≤ B − Σ_{{j<i}} c_j — the exact-rational form of
+    "capacity below the current fair share", as a pure BIGINT
+    comparison (no division, no floats; token counts ≪ 2^31 keep the
+    product ≪ 2^63). Uncapped sources each get the identical floored
+    share (B − capped_sum) DIV n_uncapped. The last-ascending source
+    can never satisfy the cap test while B < Σc, so n_uncapped ≥ 1 and
+    the division is total. Property-tested against a sequential
+    Fraction-arithmetic waterfiller.
+
+    Scale shape: one scan → source-keyed agg; every window runs over
+    the bounded per-source table (the single-partition WindowExec is
+    over ≤ n_sources rows, the same waiver as source_mixture_weights).
+    """
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(TX.token_count("text")).cast("bigint").alias("n_tokens")
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_asc = Window.partitionBy().orderBy(
+        F.asc("capacity"), F.asc("source")
+    )
+    w_prev = w_asc.rowsBetween(Window.unboundedPreceding, -1)
+    x = (
+        per_src.withColumn(
+            "capacity", (F.lit(2) * F.col("n_tokens")).cast("bigint")
+        )
+        .withColumn(
+            "budget",
+            F.expr("sum(n_tokens) over () * 19 DIV 10").cast("bigint"),
+        )
+        .withColumn("n_src", F.count(F.lit(1)).over(w_all).cast("bigint"))
+        .withColumn("rn", F.row_number().over(w_asc).cast("bigint"))
+        .withColumn(
+            "cum_prev",
+            F.coalesce(F.sum("capacity").over(w_prev), F.lit(0)).cast(
+                "bigint"
+            ),
+        )
+    )
+    y = x.withColumn(
+        "capped",
+        F.when(
+            F.col("capacity") * (F.col("n_src") - F.col("rn") + 1)
+            <= F.col("budget") - F.col("cum_prev"),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    z = y.withColumn(
+        "capped_sum",
+        F.sum(
+            F.when(F.col("capped") == 1, F.col("capacity")).otherwise(0)
+        )
+        .over(w_all)
+        .cast("bigint"),
+    ).withColumn(
+        "n_uncapped",
+        F.sum(F.lit(1) - F.col("capped")).over(w_all).cast("bigint"),
+    )
+    a = z.withColumn(
+        "alloc_tokens",
+        F.when(F.col("capped") == 1, F.col("capacity"))
+        .otherwise(
+            F.expr("(budget - capped_sum) DIV n_uncapped")
+        )
+        .cast("bigint"),
+    )
+    return a.select(
+        "source",
+        "n_tokens",
+        "capacity",
+        F.col("capped").cast("bigint").alias("is_capped"),
+        "alloc_tokens",
+        F.expr("alloc_tokens * 1000000 DIV n_tokens")
+        .cast("bigint")
+        .alias("epochs_ppm"),
+    ).orderBy("source")
+
+
+@query(
     "mixture_temperature_weights",
     oracle=f"""
     WITH per_src AS (

@@ -1719,6 +1719,50 @@ def test_bpe_merge_apply_matches_python_reference_and_retires_pair(spark, sf_dir
     assert all(p != f"{a} {b}" for p, _ in got)
 
 
+def test_unimax_matches_sequential_fraction_waterfiller(spark, sf_dir):
+    """The windowed prefix-lemma form must agree with the textbook
+    SEQUENTIAL waterfiller run in exact rational arithmetic: same
+    capped set, and every uncapped source gets floor() of the exact
+    fractional share."""
+    from fractions import Fraction
+
+    from lrmr_spark.catalog.corpus_ops import mixture_unimax_weights
+
+    rows = {
+        r["source"]: r
+        for r in mixture_unimax_weights(spark, sf_dir).collect()
+    }
+    n_by_src = {s: r["n_tokens"] for s, r in rows.items()}
+    caps = {s: 2 * n for s, n in n_by_src.items()}
+    budget = sum(n_by_src.values()) * 19 // 10
+    order = sorted(caps, key=lambda s: (caps[s], s))
+    remaining = Fraction(budget)
+    capped, share = set(), None
+    for i, s in enumerate(order):
+        fair = remaining / (len(order) - i)
+        if caps[s] <= fair:
+            capped.add(s)
+            remaining -= caps[s]
+        else:
+            share = fair  # every later source sees the same share
+            remaining -= fair
+    got_capped = {s for s, r in rows.items() if r["is_capped"] == 1}
+    assert got_capped == capped
+    # both branches must actually appear (the budget constant was
+    # chosen to guarantee this at every SF)
+    assert capped and len(capped) < len(order)
+    # capped prefix property in ascending capacity order
+    ranks = {s: i for i, s in enumerate(order)}
+    assert max(ranks[s] for s in capped) == len(capped) - 1
+    for s, r in rows.items():
+        if s in capped:
+            assert r["alloc_tokens"] == caps[s]
+        else:
+            assert r["alloc_tokens"] == share.numerator // share.denominator
+        assert r["epochs_ppm"] == r["alloc_tokens"] * 1000000 // r["n_tokens"]
+    assert sum(r["alloc_tokens"] for r in rows.values()) <= budget
+
+
 def _py_train_counts(texts, merges):
     """Pair-count frontier after applying a [(pair, sentinel,
     expansion)] merge table — an INDEPENDENT model of the engines'
