@@ -1411,3 +1411,145 @@ def ann_ivfpq_topk(spark, sf_dir):
     return SIM.ivfpq_adc_topk(
         spark, path, list(_query_vec()), coarse, pq_cents, k=10, n_probe=2
     )
+
+
+@lru_cache(maxsize=None)
+def _sq8_params(sf_dir: str = _SF_ORACLE) -> tuple[tuple[float, ...], tuple[float, ...]]:
+    """Per-dimension (min, scale) for 8-bit scalar quantization,
+    derived driver-side from the oracle SF dir (the _centroids
+    discipline: the trained parameters are driver literals in BOTH
+    engines; what the value check verifies is the engines'
+    quantization APPLICATION, not the min/max derivation).
+    scale_j = 255/(max_j − min_j), or 0.0 for a constant dimension."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    vecs = [[float(x) for x in e] for e in t["embedding"].to_pylist()]
+    dim = len(vecs[0])
+    mins = [min(v[j] for v in vecs) for j in range(dim)]
+    maxs = [max(v[j] for v in vecs) for j in range(dim)]
+    scales = [
+        (255.0 / (mx - mn)) if mx > mn else 0.0 for mn, mx in zip(mins, maxs)
+    ]
+    return tuple(mins), tuple(scales)
+
+
+def _sq8_qcodes(sf_dir: str = _SF_ORACLE) -> list[int]:
+    """The query vector (vec_id=0) quantized driver-side with the same
+    (min, scale) literals and the same IEEE-double formula the engines
+    apply — python floats ARE doubles, so the driver's codes equal
+    what either engine would compute for the same vector."""
+    import math
+
+    mins, scales = _sq8_params(sf_dir)
+    return [
+        max(0, min(255, math.floor((x - mn) * sc)))
+        for x, mn, sc in zip(_query_vec(sf_dir), mins, scales)
+    ]
+
+
+def _exact_double_list_sql(vals) -> str:
+    """A DuckDB DOUBLE[] literal that is EXACT per element: a bare
+    decimal list (``[0.1, ...]::DOUBLE[]``) is first unified into one
+    shared DECIMAL type whose precision depends on the SIBLING
+    elements, so an element can land 1 ULP off its nearest double —
+    found when embedding_sq8_codes flipped a boundary code 255→254.
+    CAST('…' AS DOUBLE) parses each element directly to the nearest
+    double (exact repr roundtrip), independent of its neighbours."""
+    return (
+        "[" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in vals) + "]"
+    )
+
+
+def _sq8_codes_sql() -> str:
+    mins, scales = _sq8_params()
+    mn = _exact_double_list_sql(mins)
+    sc = _exact_double_list_sql(scales)
+    return (
+        f"list_transform(range(1, 65), i -> CAST(greatest(0, least(255, "
+        f"CAST(floor((CAST(embedding[i] AS DOUBLE) - ({mn})[i]) * ({sc})[i]) "
+        f"AS BIGINT))) AS BIGINT))"
+    )
+
+
+def _sq8_oracle() -> str:
+    return f"""
+    SELECT vec_id, {_sq8_codes_sql()} AS codes,
+           CAST(list_sum({_sq8_codes_sql()}) AS BIGINT) AS code_sum
+    FROM embeddings ORDER BY vec_id
+    """
+
+
+@query("embedding_sq8_codes", oracle=_sq8_oracle)
+def embedding_sq8_codes(spark, sf_dir):
+    """8-bit scalar quantization of every embedding (the FAISS
+    ScalarQuantizer QT_8bit design): one byte per dimension via
+    per-dim (min, scale) parameters trained driver-side on the corpus
+    — 4× compression with no codebook, the standard first rung of the
+    ANN memory ladder (raw → SQ8 → PQ). Emits the 64-byte code array
+    plus its sum (a cheap per-row checksum).
+
+    ZERO shuffles: quantization is a per-row projection (three
+    zip_with/transform passes over literal arrays, entirely inside
+    whole-stage codegen); the orderBy is the gate's presentation sort.
+    At 100 TB this is a map-only rewrite of the embedding column —
+    the same shape as embedding_pq_codes, trading 8× vs 4×
+    compression for zero training and exact per-dim reconstruction
+    bounds. Codes are exact-integer cross-engine (floor of
+    bit-identical doubles)."""
+    mins, scales = _sq8_params()
+    emb = load(spark, sf_dir, "embeddings")
+    codes = SIM.sq8_codes_col(F.col("embedding"), list(mins), list(scales))
+    return (
+        emb.select(
+            "vec_id",
+            codes.alias("codes"),
+            F.aggregate(
+                codes, F.lit(0).cast("bigint"), lambda acc, v: acc + v
+            ).alias("code_sum"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _sq8_sdc_oracle() -> str:
+    q = "[" + ", ".join(str(c) for c in _sq8_qcodes()) + "]::BIGINT[]"
+    return f"""
+    WITH c AS (SELECT vec_id, {_sq8_codes_sql()} AS codes FROM embeddings)
+    SELECT vec_id,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, 65),
+               i -> (codes[i] - ({q})[i]) * (codes[i] - ({q})[i]))),
+             (acc, v) -> acc + v) AS BIGINT) AS sdc_dist
+    FROM c ORDER BY sdc_dist ASC, vec_id ASC LIMIT 10
+    """
+
+
+@query("ann_sq8_sdc_topk", oracle=_sq8_sdc_oracle)
+def ann_sq8_sdc_topk(spark, sf_dir):
+    """ANN top-10 over SQ8 codes with symmetric distance: the query is
+    quantized ONCE driver-side with the same (min, scale) literals,
+    then every candidate costs 64 integer subtract-square-adds — no
+    floats anywhere in the hot loop (FAISS's SDC mode for scalar
+    quantizers, which is also the SIMD-friendly form a codegen engine
+    vectorizes). Distance is exact BIGINT, so the gate hash needs no
+    tolerance; ties break by vec_id.
+
+    Scale shape: linear scan → per-partition top-k →
+    TakeOrderedAndProject driver merge, identical to ann_cosine_topk
+    but touching 64 bytes + 64 int ops per row instead of 256 bytes +
+    128 double ops — on a stored-codes table (ann_pq_stored_topk
+    precedent) the scan would read ONLY (vec_id, codes)."""
+    mins, scales = _sq8_params()
+    emb = load(spark, sf_dir, "embeddings")
+    codes = SIM.sq8_codes_col(F.col("embedding"), list(mins), list(scales))
+    return (
+        emb.select(
+            "vec_id",
+            SIM.sq8_sdc_dist_col(codes, _sq8_qcodes()).alias("sdc_dist"),
+        )
+        .orderBy(F.asc("sdc_dist"), F.asc("vec_id"))
+        .limit(10)
+    )

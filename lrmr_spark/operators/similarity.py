@@ -43,6 +43,8 @@ __all__ = [
     "append_ivfpq_index",
     "write_ivfpq_index",
     "ivfpq_adc_topk",
+    "sq8_codes_col",
+    "sq8_sdc_dist_col",
 ]
 
 
@@ -1247,4 +1249,46 @@ def ivfpq_adc_topk(
         .orderBy(F.asc_nulls_last("_ad"), F.asc(id_col))
         .limit(k)
         .select(id_col, F.round("_ad", 5).alias("adist"))
+    )
+
+
+def sq8_codes_col(vec_col: Column, mins: list[float], scales: list[float]) -> Column:
+    """Per-dimension 8-bit scalar quantization (the open-source FAISS
+    ScalarQuantizer QT_8bit layout): ``code_j = clamp(floor((x_j −
+    min_j) · scale_j), 0, 255)`` with ``scale_j = 255 / (max_j −
+    min_j)`` supplied as driver literals (a degenerate constant
+    dimension gets scale 0 → code 0). One byte per dimension — 4×
+    smaller than float32 with no codebook training, the standard
+    middle ground between raw vectors and PQ.
+
+    Float discipline: subtraction and multiply are IEEE double ops on
+    (float32→double value, double literal) — bit-identical across
+    engines — and floor/clamp are exact, so codes hash-match without
+    tolerance. All three lambdas reference only their lambda variables
+    and literal arrays (pitfall-16-safe: no computed subtree is
+    re-evaluated per element)."""
+    mins_arr = F.array(*[F.lit(float(m)) for m in mins])
+    sc_arr = F.array(*[F.lit(float(s)) for s in scales])
+    shifted = F.zip_with(vec_col, mins_arr, lambda x, mn: x.cast("double") - mn)
+    raw = F.zip_with(shifted, sc_arr, lambda v, sc: F.floor(v * sc))
+    return F.transform(
+        raw,
+        lambda c: F.greatest(F.lit(0), F.least(F.lit(255), c)).cast("bigint"),
+    )
+
+
+def sq8_sdc_dist_col(codes_col: Column, qcodes: list[int]) -> Column:
+    """Symmetric (code-to-code) squared-L2 distance between a stored
+    SQ8 code array and the pre-quantized query codes — pure BIGINT
+    arithmetic (max 64 · 255² < 2^23), so cross-engine equality is
+    exact with no float tolerance. This is FAISS's SDC scoring for
+    scalar quantizers; the asymmetric variant would reconstruct
+    ``min_j + (code_j + 0.5)/scale_j`` floats — SDC keeps the entire
+    hot loop in integers, which is also what a SIMD/codegen engine
+    wants at scale."""
+    q_arr = F.array(*[F.lit(int(c)) for c in qcodes])
+    return F.aggregate(
+        F.zip_with(codes_col, q_arr, lambda c, q: (c - q) * (c - q)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
     )

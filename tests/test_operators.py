@@ -1719,6 +1719,58 @@ def test_bpe_merge_apply_matches_python_reference_and_retires_pair(spark, sf_dir
     assert all(p != f"{a} {b}" for p, _ in got)
 
 
+def test_sq8_codes_match_independent_python_model(spark, sf_dir):
+    """SQ8 quantization + SDC top-k vs a from-scratch python model
+    (plain loops, no Spark/DuckDB expressions shared)."""
+    import math
+
+    from lrmr_spark.catalog.similarity_ops import (
+        _sq8_params,
+        _sq8_qcodes,
+        ann_sq8_sdc_topk,
+        embedding_sq8_codes,
+    )
+
+    mins, scales = _sq8_params()
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    model = {}
+    for r in rows:
+        codes = [
+            max(0, min(255, math.floor((float(x) - mn) * sc)))
+            for x, mn, sc in zip(r["embedding"], mins, scales)
+        ]
+        model[r["vec_id"]] = codes
+    got = embedding_sq8_codes(spark, sf_dir).collect()
+    assert len(got) == len(model)
+    for r in got:
+        assert list(r["codes"]) == model[r["vec_id"]]
+        assert r["code_sum"] == sum(model[r["vec_id"]])
+        assert all(0 <= c <= 255 for c in r["codes"])
+    # SDC top-10 vs the model's exact integer distances
+    q = _sq8_qcodes()
+    dists = sorted(
+        (sum((c - qc) ** 2 for c, qc in zip(codes, q)), vid)
+        for vid, codes in model.items()
+    )[:10]
+    got_top = [
+        (r["sdc_dist"], r["vec_id"])
+        for r in ann_sq8_sdc_topk(spark, sf_dir).collect()
+    ]
+    assert got_top == dists
+    # driver-side query quantization agrees with the model's formula
+    # on the oracle dir's query vector (the literals both engines get)
+    from lrmr_spark.catalog.similarity_ops import _query_vec
+
+    assert q == [
+        max(0, min(255, math.floor((x - mn) * sc)))
+        for x, mn, sc in zip(_query_vec(), mins, scales)
+    ]
+
+
 def test_unimax_matches_sequential_fraction_waterfiller(spark, sf_dir):
     """The windowed prefix-lemma form must agree with the textbook
     SEQUENTIAL waterfiller run in exact rational arithmetic: same
