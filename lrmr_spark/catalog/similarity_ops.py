@@ -1553,3 +1553,120 @@ def ann_sq8_sdc_topk(spark, sf_dir):
         .orderBy(F.asc("sdc_dist"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+def _ivf_recall_oracle() -> str:
+    """Recall-sweep mirror over the _ivf_oracle machinery: one scored
+    CTE (assignment CASE + rounded query cosine), the exact top-10,
+    and a per-n_probe UNION ALL of probe-restricted top-10s, hits
+    counted by LEFT JOIN so every sweep point emits a row even at 0
+    hits."""
+    import math
+
+    cents = _centroids()
+    q = _query_vec()
+
+    def py_cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        n = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return d / n if n else float("-inf")
+
+    order = sorted(range(len(cents)), key=lambda i: -py_cos(cents[i], q))
+    score_cols = []
+    for i, c in enumerate(cents):
+        cc = "[" + ", ".join(repr(x) for x in c) + "]::DOUBLE[]"
+        dot = _dot_sql("e.embedding", cc)
+        nrm = f"sqrt({_dot_sql('e.embedding', 'e.embedding')}) * sqrt({_dot_sql(cc, cc)})"
+        score_cols.append(f"{dot} / ({nrm}) AS s{i}")
+    n = len(cents)
+    gmax = "greatest(" + ", ".join(f"s{i}" for i in range(n)) + ")"
+    idx_case = (
+        "CASE "
+        + " ".join(f"WHEN s{i} >= {gmax} THEN {i}" for i in range(n))
+        + " END"
+    )
+    qv = _vec_sql_literal(_query_vec())
+    qdot = _dot_sql("e.embedding", "q.qv")
+    qn = f"sqrt({_dot_sql('e.embedding', 'e.embedding')}) * sqrt({_dot_sql('q.qv', 'q.qv')})"
+    sweeps = []
+    for p in (1, 2, 4, 8):
+        plist = ", ".join(str(i) for i in order[:p])
+        sweeps.append(
+            f"(SELECT {p} AS n_probe, vec_id FROM assigned "
+            f"WHERE part IN ({plist}) ORDER BY score DESC, vec_id LIMIT 10)"
+        )
+    cand = " UNION ALL ".join(sweeps)
+    return f"""
+    WITH q AS (SELECT {qv} AS qv),
+    scored AS (
+      SELECT e.vec_id, {", ".join(score_cols)},
+             round({qdot} / ({qn}), 6) AS score
+      FROM embeddings e, q
+    ),
+    assigned AS (SELECT vec_id, score, {idx_case} AS part FROM scored),
+    ex AS (SELECT vec_id FROM assigned ORDER BY score DESC, vec_id LIMIT 10),
+    cand AS ({cand})
+    SELECT CAST(cand.n_probe AS BIGINT) AS n_probe,
+           CAST(count(ex.vec_id) AS BIGINT) AS hits
+    FROM cand LEFT JOIN ex USING (vec_id)
+    GROUP BY cand.n_probe ORDER BY n_probe
+    """
+
+
+@query("ann_ivf_recall_at_nprobe", oracle=_ivf_recall_oracle)
+def ann_ivf_recall_at_nprobe(spark, sf_dir):
+    """The n_probe tuning curve for the IVF read path: recall@10 at
+    n_probe ∈ {1, 2, 4, 8} over the 8-centroid coarse quantizer — the
+    companion to ann_pq_recall_at_k (that sweep tunes the PQ
+    shortlist; this one tunes how many inverted lists a query visits,
+    the other production ANN knob). n_probe = 8 scans every list, so
+    the curve ends at 10/10 by construction — a cheap built-in sanity
+    row — and is monotone nondecreasing in between (asserted in
+    pytest, with the probe ORDER fixed by query-to-centroid cosine).
+
+    One scored projection (assignment argmax + rounded query cosine)
+    feeds all five top-10s; each sweep point is a
+    TakeOrderedAndProject over a probe-restricted filter, and the hit
+    count joins 40 candidate rows against 10 exact ids — post-limit
+    work is O(sweep·k) at ANY corpus scale. At 100 TB the scored
+    projection is the one full scan (a tuning job runs it once and
+    caches; the pruned-layout twin ann_ivf_pruned_topk shows the
+    per-query physical form where each sweep point reads only its
+    probe directories)."""
+    import math
+    from functools import reduce
+
+    cents = [list(c) for c in _centroids()]
+    q = list(_query_vec())
+
+    def py_cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        n = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return d / n if n else float("-inf")
+
+    order = sorted(range(len(cents)), key=lambda i: -py_cos(cents[i], q))
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    scored = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        SIM.ivf_assign(F.col("embedding"), cents).alias("part"),
+        F.round(SIM.cosine(F.col("embedding"), qcol), 6).alias("score"),
+    )
+    exact = (
+        scored.orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.lit(1).alias("hit"))
+    )
+    sweeps = [
+        scored.filter(F.col("part").isin(order[:p]))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+        .select(F.lit(p).cast("bigint").alias("n_probe"), "vec_id")
+        for p in (1, 2, 4, 8)
+    ]
+    cand = reduce(lambda a, b: a.unionAll(b), sweeps)
+    return (
+        cand.join(exact, "vec_id", "left")
+        .groupBy("n_probe")
+        .agg(F.count("hit").cast("bigint").alias("hits"))
+        .orderBy("n_probe")
+    )

@@ -1719,6 +1719,21 @@ def test_bpe_merge_apply_matches_python_reference_and_retires_pair(spark, sf_dir
     assert all(p != f"{a} {b}" for p, _ in got)
 
 
+def test_ivf_recall_curve_monotone_and_exact_at_full_probe(spark, sf_dir):
+    """The n_probe recall sweep: monotone nondecreasing (widening the
+    probe set can only add candidates ranked by the same score), and
+    exact recall 10/10 at n_probe = n_centroids (full scan ≡ brute
+    force)."""
+    from lrmr_spark.catalog.similarity_ops import ann_ivf_recall_at_nprobe
+
+    rows = ann_ivf_recall_at_nprobe(spark, sf_dir).collect()
+    assert [r["n_probe"] for r in rows] == [1, 2, 4, 8]
+    hits = [r["hits"] for r in rows]
+    assert all(a <= b for a, b in zip(hits, hits[1:]))
+    assert hits[-1] == 10
+    assert all(0 <= h <= 10 for h in hits)
+
+
 def test_sq8_codes_match_independent_python_model(spark, sf_dir):
     """SQ8 quantization + SDC top-k vs a from-scratch python model
     (plain loops, no Spark/DuckDB expressions shared)."""
