@@ -85,3 +85,56 @@ def multimodal_frame_sample(spark, sf_dir):
     ASCII (1 char = 1 byte); the Spark path slices raw bytes."""
     media = MM.attach_binary_payload(load(spark, sf_dir, "documents"), "doc_id", "text")
     return MM.sample_frames(media, fake=True).orderBy("media_id", "frame_no")
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id AS media_id, text,
+             CAST(octet_length(encode(text)) AS BIGINT) AS L,
+             CAST(list_sum(list_transform(range(1, length(text) + 1),
+               j -> ascii(substr(text, j, 1)))) AS BIGINT) AS tot,
+             CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT) AS bs
+      FROM documents),
+    h AS (
+      SELECT media_id,
+             CASE WHEN L = 0 THEN 0 ELSE CAST(list_sum(
+               list_transform(range(0, 16), i -> CASE WHEN
+                 least((i + 1) * bs, L) - i * bs > 0 AND
+                 coalesce(list_sum(list_transform(
+                   range(i * bs + 1, least((i + 1) * bs, L) + 1),
+                   j -> ascii(substr(text, j, 1)))), 0) * L
+                   >= tot * (least((i + 1) * bs, L) - i * bs)
+                 THEN 1 << i ELSE 0 END)) AS BIGINT) END AS phash
+      FROM b),
+    reps AS (SELECT phash, min(media_id) AS media_id FROM h GROUP BY phash)
+    SELECT l.media_id AS media_id_a, r.media_id AS media_id_b,
+           CAST(bit_count(xor(l.phash, r.phash)) AS BIGINT) AS hamming
+    FROM reps l JOIN reps r ON l.media_id < r.media_id
+    WHERE bit_count(xor(l.phash, r.phash)) <= 1
+    """,
+)
+def multimodal_phash_dedup(spark, sf_dir):
+    """Perceptual-hash near-duplicate detection for media blobs: the
+    image-dedup pipeline a multimodal training corpus runs — decode →
+    16-bit average-hash (aHash; the open pHash family) → banded
+    Hamming-≤1 pair join. The decode is the deterministic byte-stats
+    fake (real codecs env-gated, the decode_media contract); the hash
+    construction (block-mean bits via exact integer
+    cross-multiplication), the Arrow batch plumbing, the identical-
+    hash rep collapse, the integer block-key banding, and the
+    xor+bit_count verify are all real and value-checked.
+
+    Oracle: brute-force all-pairs over the collapsed hash table in
+    SQL (banding is lossless for ≤ k, so banded == brute force — the
+    same claim dedup_simhash_fast_banding_lossless pins for 64-bit
+    simhash), byte stats via ascii() (valid: the corpus is pure
+    ASCII; the Spark path reads raw bytes). Scale: payloads are
+    touched once in the decode pass; the join ships only 8-byte
+    hashes + ids, candidate fanout bounded by hash entropy per
+    block."""
+    media = MM.attach_binary_payload(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return MM.phash_hamming_pairs(MM.phash_media(media), k=1)

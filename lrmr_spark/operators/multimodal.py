@@ -251,3 +251,100 @@ def _sample_frames_ffmpeg(pdf: pd.DataFrame, max_frames: int) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["media_id", "frame_no", "frame_bytes", "frame_md5"]
     )
+
+
+PHASH_SCHEMA = "media_id bigint, n_bytes bigint, phash bigint"
+
+
+def phash_media(df: DataFrame) -> DataFrame:
+    """Perceptual-hash the media payloads: a 16-bit average-hash
+    (aHash — the simplest of the open pHash family: dHash/pHash/aHash)
+    over the DECODED signal, here the deterministic byte-statistics
+    fake decode (real codecs are env-gated, see decode_media): split
+    the payload into 16 contiguous blocks, set bit i when block i's
+    mean ≥ the whole payload's mean. The comparison is exact integer
+    cross-multiplication (block_sum · L ≥ total_sum · block_len) — no
+    float means anywhere, so the oracle twin reproduces every bit.
+
+    Same Arrow mapInPandas shape as decode_media: at scale this is
+    the one decode pass a media-dedup pipeline runs, emitting an
+    8-byte fingerprint per blob; everything downstream (banding,
+    Hamming verify) touches fingerprints only, never payload bytes."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                L = len(b)
+                h = 0
+                if L:
+                    bs = -(-L // 16)  # ceil
+                    tot = sum(b)
+                    for i in range(16):
+                        blk = b[i * bs : (i + 1) * bs]
+                        if blk and sum(blk) * L >= tot * len(blk):
+                            h |= 1 << i
+                rows.append(
+                    {"media_id": media_id, "n_bytes": L, "phash": h}
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_bytes", "phash"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        extract, schema=PHASH_SCHEMA
+    )
+
+
+def phash_hamming_pairs(hashes: DataFrame, k: int = 1) -> DataFrame:
+    """Near-duplicate media pairs at Hamming distance ≤ k over the
+    16-bit perceptual hashes — the simhash_hamming_pairs algorithm
+    (Manku WWW'07 pigeonhole banding) on INTEGER block keys: identical
+    hashes collapse to a min-id representative first (exact-dup
+    cliques never re-meet in buckets), then each rep emits k+1 block
+    keys ((block_idx, block_bits) ints — no strings on the shuffle),
+    candidates share a key, and the verify is one xor + bit_count.
+    Lossless for ≤ k; output pairs are between DISTINCT hashes, so
+    hamming ≥ 1 (hamming-0 cliques are the collapse groups
+    themselves, the simhash_clusters contract). 100 TB shape: only
+    (block_key, id, 8-byte hash) rows shuffle, candidate fanout is
+    bounded by hash entropy per block."""
+    from .dedup import _block_bounds
+
+    reps = hashes.groupBy("phash").agg(F.min("media_id").alias("media_id"))
+    blocks = k + 1
+    banded = reps.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        (
+                            F.shiftright(F.col("phash"), start)
+                            % F.lit(1 << length)
+                        ).alias("v"),
+                    )
+                    for b, (start, length) in enumerate(
+                        _block_bounds(16, blocks)
+                    )
+                ]
+            )
+        ).alias("_blk"),
+    )
+    return (
+        banded.alias("l")
+        .join(banded.alias("r"), on="_blk")
+        .filter(F.col("l.media_id") < F.col("r.media_id"))
+        .select(
+            F.col("l.media_id").alias("media_id_a"),
+            F.col("r.media_id").alias("media_id_b"),
+            F.bit_count(
+                F.col("l.phash").bitwiseXOR(F.col("r.phash"))
+            ).cast("bigint").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= k)
+    )

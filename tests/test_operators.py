@@ -1719,6 +1719,56 @@ def test_bpe_merge_apply_matches_python_reference_and_retires_pair(spark, sf_dir
     assert all(p != f"{a} {b}" for p, _ in got)
 
 
+def test_phash_matches_python_model_and_banding_is_lossless(spark, sf_dir):
+    """phash_media vs a from-scratch python aHash model, and the
+    banded Hamming-≤1 pair set vs brute force over the collapsed
+    hashes (pigeonhole losslessness)."""
+    import math as _math
+    from itertools import combinations
+
+    from lrmr_spark.operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents")
+    media = MM.attach_binary_payload(docs, "doc_id", "text")
+
+    def py_phash(s):
+        b = s.encode()
+        L = len(b)
+        if not L:
+            return 0
+        bs = _math.ceil(L / 16)
+        tot = sum(b)
+        h = 0
+        for i in range(16):
+            blk = b[i * bs : (i + 1) * bs]
+            if blk and sum(blk) * L >= tot * len(blk):
+                h |= 1 << i
+        return h
+
+    model = {
+        r["doc_id"]: py_phash(r["text"])
+        for r in docs.select("doc_id", "text").collect()
+    }
+    got = {
+        r["media_id"]: r["phash"] for r in MM.phash_media(media).collect()
+    }
+    assert got == model
+    reps = {}
+    for mid in sorted(model):
+        reps.setdefault(model[mid], mid)
+    brute = sorted(
+        (min(a, b), max(a, b), bin(ha ^ hb).count("1"))
+        for (ha, a), (hb, b) in combinations(reps.items(), 2)
+        if bin(ha ^ hb).count("1") <= 1
+    )
+    got_pairs = sorted(
+        (r["media_id_a"], r["media_id_b"], r["hamming"])
+        for r in MM.phash_hamming_pairs(MM.phash_media(media), k=1).collect()
+    )
+    assert got_pairs == brute
+    assert all(h == 1 for _, _, h in got_pairs)  # reps are distinct hashes
+
+
 def test_ivf_recall_curve_monotone_and_exact_at_full_probe(spark, sf_dir):
     """The n_probe recall sweep: monotone nondecreasing (widening the
     probe set can only add candidates ranked by the same score), and
