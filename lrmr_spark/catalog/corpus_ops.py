@@ -1299,3 +1299,79 @@ def mixture_temperature_weights(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+def _bpe_encode_oracle() -> str:
+    merges = _bpe_merge_seq()
+    w2 = "w"
+    for pair, sent, _ in merges:
+        w2 = f"replace({w2}, {_sql_chr_str(pair)}, chr({ord(sent)}))"
+    return f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(coalesce(list_sum(list_transform(toks,
+               w -> length(w))), 0) AS BIGINT) AS n_chars,
+             CAST(coalesce(list_sum(list_transform(toks,
+               w -> length({w2}))), 0) AS BIGINT) AS n_bpe_symbols
+      FROM d)
+    SELECT doc_id, n_tokens, n_chars, n_bpe_symbols,
+           CAST((n_chars - n_bpe_symbols) * 1000000
+             // greatest(n_chars, 1) AS BIGINT) AS saved_ppm
+    FROM s ORDER BY doc_id
+    """
+
+
+@query("bpe_encode_corpus", oracle=_bpe_encode_oracle)
+def bpe_encode_corpus(spark, sf_dir):
+    """The ENCODE half of the tokenizer lifecycle: apply the trained
+    4-merge BPE table (bpe_train_merges) to every document and emit
+    per-doc sequence lengths — whitespace tokens, raw characters
+    (= symbols at zero merges), and BPE symbols after the 4 merges —
+    plus the compression in ppm. This is the number that decides
+    whether a vocabulary is worth its size (bits-per-symbol /
+    sequence-length tradeoff), and together with the train entries
+    closes the loop: count → argmax → merge → re-count → ENCODE.
+
+    Encoding a word = the same chained left-to-right replaces the
+    trainer used (each merged symbol is one sentinel char), so the
+    symbol count is just length() of the compressed string — the
+    whole encode is three scalar expressions per word inside one
+    transform over the token array (lambda references its own
+    variable: pitfall-16-safe). ZERO shuffles beyond the scan: this
+    is a map-only pass at any corpus scale; a production N-thousand
+    merge vocab would swap the replace chain for a trie-split
+    mapInPandas but keep the identical dataflow."""
+    merges = _bpe_merge_seq()
+    d = load(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+
+    def enc_len(w):
+        e = w
+        for pair, sent, _ in merges:
+            e = F.replace(e, F.lit(pair), F.lit(sent))
+        return F.length(e)
+
+    zero = F.lit(0).cast("bigint")
+    s = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.coalesce(
+            F.aggregate(toks, zero, lambda acc, w: acc + F.length(w)), zero
+        ).alias("n_chars"),
+        F.coalesce(
+            F.aggregate(toks, zero, lambda acc, w: acc + enc_len(w)), zero
+        ).alias("n_bpe_symbols"),
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        "n_bpe_symbols",
+        F.expr(
+            "(n_chars - n_bpe_symbols) * 1000000 DIV greatest(n_chars, 1)"
+        )
+        .cast("bigint")
+        .alias("saved_ppm"),
+    ).orderBy("doc_id")

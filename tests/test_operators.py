@@ -1719,6 +1719,47 @@ def test_bpe_merge_apply_matches_python_reference_and_retires_pair(spark, sf_dir
     assert all(p != f"{a} {b}" for p, _ in got)
 
 
+def test_bpe_encode_corpus_matches_python_model(spark, sf_dir):
+    """Per-doc BPE symbol counts vs a list-of-symbols python encoder
+    (no string replace — independent of the engines' formulation)."""
+    from lrmr_spark.catalog.corpus_ops import _bpe_merge_seq, bpe_encode_corpus
+
+    merges = _bpe_merge_seq()
+
+    def enc_count(w):
+        syms = list(w)
+        for pair, sent, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == pair[0]
+                    and syms[i + 1] == pair[1]
+                ):
+                    out.append(sent)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    for r in bpe_encode_corpus(spark, sf_dir).collect():
+        words = (docs[r["doc_id"]] or "").split()
+        assert r["n_tokens"] == len(words)
+        assert r["n_chars"] == sum(len(w) for w in words)
+        assert r["n_bpe_symbols"] == sum(enc_count(w) for w in words)
+        assert r["n_bpe_symbols"] <= r["n_chars"]
+        assert (
+            r["saved_ppm"]
+            == (r["n_chars"] - r["n_bpe_symbols"]) * 1000000 // max(r["n_chars"], 1)
+        )
+
+
 def test_phash_matches_python_model_and_banding_is_lossless(spark, sf_dir):
     """phash_media vs a from-scratch python aHash model, and the
     banded Hamming-≤1 pair set vs brute force over the collapsed
