@@ -147,7 +147,9 @@ _PRIORITY = [
 # docs_dsir_weights, text_dup_span_removal, ann_pq_recall_at_k,
 # pq_train_codebook_iter, embedding_pq_distortion,
 # decontaminate_span_removal, bpe_pair_counts, bpe_merge_apply,
-# mixture_temperature_weights.
+# mixture_temperature_weights, bpe_train_merges, bpe_encode_corpus,
+# mixture_unimax_weights, embedding_sq8_codes, ann_sq8_sdc_topk,
+# ann_ivf_recall_at_nprobe, multimodal_phash_dedup.
 
 
 def _ordered(names: list[str]) -> list[str]:

@@ -312,7 +312,15 @@ def phash_hamming_pairs(hashes: DataFrame, k: int = 1) -> DataFrame:
     bounded by hash entropy per block."""
     from .dedup import _block_bounds
 
-    reps = hashes.groupBy("phash").agg(F.min("media_id").alias("media_id"))
+    # barrier: the self-join references the rep table twice, and AQE's
+    # broadcast conversion defeats ReusedExchange — without this the
+    # Arrow DECODE pass runs twice (seen in the plan: two MapInPandas
+    # branches). The checkpoint materializes the tiny (hash, id) table
+    # once; payload bytes are touched exactly once, as the scale
+    # contract promises (the write_ivfpq_index pitfall-12 precedent).
+    reps = hashes.groupBy("phash").agg(
+        F.min("media_id").alias("media_id")
+    ).localCheckpoint(eager=False)
     blocks = k + 1
     banded = reps.select(
         "media_id",
