@@ -149,7 +149,8 @@ _PRIORITY = [
 # decontaminate_span_removal, bpe_pair_counts, bpe_merge_apply,
 # mixture_temperature_weights, bpe_train_merges, bpe_encode_corpus,
 # mixture_unimax_weights, embedding_sq8_codes, ann_sq8_sdc_topk,
-# ann_ivf_recall_at_nprobe, multimodal_phash_dedup.
+# ann_ivf_recall_at_nprobe, multimodal_phash_dedup,
+# token_diversity_index.
 
 
 def _ordered(names: list[str]) -> list[str]:

@@ -1375,3 +1375,61 @@ def bpe_encode_corpus(spark, sf_dir):
         .cast("bigint")
         .alias("saved_ppm"),
     ).orderBy("doc_id")
+
+
+@query(
+    "token_diversity_index",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents) x
+      GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(1000000 - sum(cnt * cnt) * 1000000
+             // greatest(sum(cnt) * sum(cnt), 1) AS BIGINT)
+             AS gini_simpson_ppm
+    FROM tf GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def token_diversity_index(spark, sf_dir):
+    """Per-document lexical diversity as the Gini–Simpson index
+    1 − Σ pᵢ² over the doc's token distribution — the
+    entropy-family quality signal that, unlike Shannon entropy, needs
+    NO logarithm: Σ cnt² and (Σ cnt)² are exact BIGINTs, so the index
+    is pure integer ppm arithmetic. (ln/log2 are deliberately avoided:
+    libm transcendentals are not correctly-rounded and differ between
+    JVM and DuckDB, so an entropy column could not be hash-checked —
+    the same reasoning that kept Σ-normalization driver-side in
+    mixture_temperature_weights; sqrt is the one IEEE-exact
+    transcendental the catalog permits.) Low diversity ≅ high
+    repetition — the filter complements text_repetition_signals'
+    duplicate-fraction view with a whole-distribution one (boilerplate
+    with MANY repeated tokens scores low here even when no single
+    bigram dominates).
+
+    Overflow: cnt ≤ n_tokens and Σcnt² ≤ n², so the ppm numerator is
+    ≤ n²·10⁶ — safe up to ~3·10⁶ tokens per document; a pathological
+    longer doc would need the decomposition (Σcnt²·10⁶ DIV n) DIV n.
+    Scale shape: one explode into a (doc_id, tok) count agg, then a
+    doc-keyed agg — both map-side-combinable; nothing wider than
+    (doc_id, tok) ever shuffles."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.expr(
+                "cast(1000000 - sum(cnt * cnt) * 1000000"
+                " DIV greatest(sum(cnt) * sum(cnt), 1) as bigint)"
+            ).alias("gini_simpson_ppm"),
+        )
+        .orderBy("doc_id")
+    )

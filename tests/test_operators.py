@@ -1719,6 +1719,33 @@ def test_bpe_merge_apply_matches_python_reference_and_retires_pair(spark, sf_dir
     assert all(p != f"{a} {b}" for p, _ in got)
 
 
+def test_token_diversity_matches_python_model(spark, sf_dir):
+    from collections import Counter
+
+    from lrmr_spark.catalog.corpus_ops import token_diversity_index
+
+    docs = {
+        r["doc_id"]: (r["text"] or "").split()
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    got = {r["doc_id"]: r for r in token_diversity_index(spark, sf_dir).collect()}
+    assert set(got) == {d for d, toks in docs.items() if toks}
+    for d, toks in docs.items():
+        if not toks:
+            continue
+        c = Counter(toks)
+        n = len(toks)
+        r = got[d]
+        assert r["n_tokens"] == n
+        assert r["n_distinct"] == len(c)
+        assert r["gini_simpson_ppm"] == 1000000 - sum(
+            v * v for v in c.values()
+        ) * 1000000 // (n * n)
+        # all-same-token doc would score 0; all-distinct scores
+        # 1e6·(1−1/n) — bounds hold for every doc
+        assert 0 <= r["gini_simpson_ppm"] < 1000000
+
+
 def test_bpe_encode_corpus_matches_python_model(spark, sf_dir):
     """Per-doc BPE symbol counts vs a list-of-symbols python encoder
     (no string replace — independent of the engines' formulation)."""
