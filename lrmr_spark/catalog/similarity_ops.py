@@ -1670,3 +1670,28 @@ def ann_ivf_recall_at_nprobe(spark, sf_dir):
         .agg(F.count("hit").cast("bigint").alias("hits"))
         .orderBy("n_probe")
     )
+
+
+@query("ann_sq8_stored_topk", oracle=_sq8_sdc_oracle)
+def ann_sq8_stored_topk(spark, sf_dir):
+    """The SQ8 production read path: write the codes table once
+    (write_sq8_codes — torn-write-guarded _meta with the quantizer
+    fingerprint), then answer the query from the STORED codes only —
+    the scan reads (vec_id, codes), 64 bytes + id per row, never the
+    raw embeddings (plan-pinned). SHARES ann_sq8_sdc_topk's oracle:
+    the storage layout must not change the answer — a single flipped
+    code anywhere in the write path turns this row red. Completes the
+    SQ8 lifecycle the PQ family already has: params (driver train) →
+    encode → STORE → search; quantizer drift between write and read
+    raises via the stored fingerprint."""
+    import os
+    import tempfile
+
+    mins, scales = _sq8_params()
+    emb = load(spark, sf_dir, "embeddings")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"lrmr_sq8_{tag}")
+    SIM.write_sq8_codes(emb, path, list(mins), list(scales))
+    return SIM.sq8_sdc_topk_stored(
+        spark, path, _sq8_qcodes(), list(mins), list(scales), k=10
+    )

@@ -45,6 +45,8 @@ __all__ = [
     "ivfpq_adc_topk",
     "sq8_codes_col",
     "sq8_sdc_dist_col",
+    "write_sq8_codes",
+    "sq8_sdc_topk_stored",
 ]
 
 
@@ -1291,4 +1293,79 @@ def sq8_sdc_dist_col(codes_col: Column, qcodes: list[int]) -> Column:
         F.zip_with(codes_col, q_arr, lambda c, q: (c - q) * (c - q)),
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
+    )
+
+
+def _sq8_fingerprint(mins: list[float], scales: list[float]) -> str:
+    """md5 over the exact per-dim (min, scale) reprs — the SQ8 analogue
+    of _centroid_fingerprint: codes are meaningless outside their
+    quantization parameters."""
+    import hashlib
+
+    payload = ";".join(f"{m!r},{s!r}" for m, s in zip(mins, scales))
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
+def write_sq8_codes(
+    df: DataFrame,
+    path: str,
+    mins: list[float],
+    scales: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the SQ8 codes table ONCE: ``path/codes`` holds
+    (id, codes array<bigint> of 64 bytes-worth) — the write half of
+    the write_pq_codes discipline, including the torn-write guard
+    (_meta invalidated before codes overwrite) and the NULL-embedding
+    write filter. ``path/_meta`` persists dim + the parameter
+    fingerprint so reads raise on quantizer drift."""
+    spark = df.sparkSession
+    _invalidate_meta(spark, path)
+    df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        sq8_codes_col(F.col(vec_col), mins, scales).alias("codes"),
+    ).write.mode("overwrite").parquet(f"{path}/codes")
+    spark.range(1).select(
+        F.lit(int(len(mins))).cast("int").alias("dim"),
+        F.lit(_sq8_fingerprint(mins, scales)).alias("params_md5"),
+        F.lit(id_col).alias("id_col"),
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+
+
+def sq8_sdc_topk_stored(
+    spark,
+    path: str,
+    qcodes: list[int],
+    mins: list[float],
+    scales: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Symmetric-distance top-k over a STORED SQ8 codes table — the
+    production read path: the scan touches ONLY (id, codes); raw
+    embeddings are never read (plan-pinned like pq_adc_topk_stored).
+    The stored _meta's parameter fingerprint must match the supplied
+    quantizer or the read raises (codes index into THIS quantizer's
+    grid). Distance stays exact BIGINT; NULL-code rows (pre-filter
+    legacy writes) are dropped defensively."""
+    row = spark.read.json(f"{path}/_meta").collect()[0]
+    fp = _sq8_fingerprint(mins, scales)
+    if fp != row["params_md5"]:
+        raise ValueError(
+            f"quantizer drift: stored SQ8 codes at {path!r} were "
+            f"written with params {row['params_md5']} but the query "
+            f"supplied {fp}"
+        )
+    if len(qcodes) != int(row["dim"]):
+        raise ValueError(f"query dim {len(qcodes)} != stored {row['dim']}")
+    id_col = row["id_col"]
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("codes").isNotNull()
+    )
+    return (
+        codes.select(
+            F.col(id_col), sq8_sdc_dist_col(F.col("codes"), qcodes).alias("sdc_dist")
+        )
+        .orderBy(F.asc_nulls_last("sdc_dist"), F.asc(id_col))
+        .limit(k)
     )

@@ -1837,6 +1837,44 @@ def test_phash_matches_python_model_and_banding_is_lossless(spark, sf_dir):
     assert all(h == 1 for _, _, h in got_pairs)  # reps are distinct hashes
 
 
+def test_sq8_stored_matches_inline_and_raises_on_drift(spark, sf_dir, tmp_path):
+    """write → stored-scan must equal the inline SDC top-k, and a
+    quantizer-parameter drift between write and read must raise."""
+    import pytest as _pytest
+
+    from lrmr_spark.catalog.similarity_ops import _sq8_params, _sq8_qcodes
+    from lrmr_spark.operators import similarity as SIM
+
+    mins, scales = _sq8_params()
+    emb = load(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "sq8")
+    SIM.write_sq8_codes(emb, path, list(mins), list(scales))
+    q = _sq8_qcodes()
+    stored = [
+        (r["vec_id"], r["sdc_dist"])
+        for r in SIM.sq8_sdc_topk_stored(
+            spark, path, q, list(mins), list(scales), k=10
+        ).collect()
+    ]
+    inline = [
+        (r["vec_id"], r["sdc_dist"])
+        for r in emb.select(
+            "vec_id",
+            SIM.sq8_sdc_dist_col(
+                SIM.sq8_codes_col(F.col("embedding"), list(mins), list(scales)),
+                q,
+            ).alias("sdc_dist"),
+        )
+        .orderBy(F.asc("sdc_dist"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    ]
+    assert stored == inline
+    drifted = [s * 1.0000001 if s else 0.0 for s in scales]
+    with _pytest.raises(ValueError, match="quantizer drift"):
+        SIM.sq8_sdc_topk_stored(spark, path, q, list(mins), drifted, k=10)
+
+
 def test_ivf_recall_curve_monotone_and_exact_at_full_probe(spark, sf_dir):
     """The n_probe recall sweep: monotone nondecreasing (widening the
     probe set can only add candidates ranked by the same score), and

@@ -467,3 +467,13 @@ def test_ivfpq_residual_scan_prunes_partitions_and_reads_codes_only(spark):
     assert "embedding" not in cols
     assert set(cols) == {"vec_id"} | {f"code_{s}" for s in range(8)}
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sq8_stored_scan_reads_codes_only(spark):
+    # the SQ8 production read path must scan the stored codes table
+    # (vec_id + one 64-byte array column) and never raw embeddings
+    df = queries()["ann_sq8_stored_topk"](spark, SF)
+    cols = read_schema_columns(df)
+    assert "embedding" not in cols
+    assert set(cols) == {"vec_id", "codes"}
+    assert "TakeOrderedAndProject" in physical_plan(df)
