@@ -1837,6 +1837,16 @@ def test_phash_matches_python_model_and_banding_is_lossless(spark, sf_dir):
     assert all(h == 1 for _, _, h in got_pairs)  # reps are distinct hashes
 
 
+def test_sq8_recall_curve_monotone_and_bounded(spark, sf_dir):
+    from lrmr_spark.catalog.similarity_ops import ann_sq8_recall_at_k
+
+    rows = ann_sq8_recall_at_k(spark, sf_dir).collect()
+    assert [r["k_prime"] for r in rows] == [10, 25, 50, 100]
+    hits = [r["hits"] for r in rows]
+    assert all(a <= b for a, b in zip(hits, hits[1:]))
+    assert all(0 <= h <= 10 for h in hits)
+
+
 def test_sq8_stored_matches_inline_and_raises_on_drift(spark, sf_dir, tmp_path):
     """write → stored-scan must equal the inline SDC top-k, and a
     quantizer-parameter drift between write and read must raise."""
