@@ -150,7 +150,8 @@ _PRIORITY = [
 # mixture_temperature_weights, bpe_train_merges, bpe_encode_corpus,
 # mixture_unimax_weights, embedding_sq8_codes, ann_sq8_sdc_topk,
 # ann_ivf_recall_at_nprobe, multimodal_phash_dedup,
-# token_diversity_index, ann_sq8_stored_topk, ann_sq8_recall_at_k.
+# token_diversity_index, ann_sq8_stored_topk, ann_sq8_recall_at_k,
+# mixture_unimax_sample.
 
 
 def _ordered(names: list[str]) -> list[str]:

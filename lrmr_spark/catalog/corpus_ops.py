@@ -1433,3 +1433,114 @@ def token_diversity_index(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "mixture_unimax_sample",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    x AS (
+      SELECT source, n_tokens,
+             CAST(2 * n_tokens AS BIGINT) AS capacity,
+             CAST((sum(n_tokens) OVER ()) * 19 // 10 AS BIGINT) AS budget,
+             CAST(count(*) OVER () AS BIGINT) AS n_src,
+             CAST(row_number() OVER (ORDER BY 2 * n_tokens ASC, source ASC)
+               AS BIGINT) AS rn,
+             CAST(coalesce(sum(2 * n_tokens) OVER (
+               ORDER BY 2 * n_tokens ASC, source ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_prev
+      FROM per_src),
+    y AS (
+      SELECT *, CASE WHEN capacity * (n_src - rn + 1) <= budget - cum_prev
+                     THEN 1 ELSE 0 END AS capped
+      FROM x),
+    z AS (
+      SELECT *,
+             CAST(sum(CASE WHEN capped = 1 THEN capacity ELSE 0 END)
+               OVER () AS BIGINT) AS capped_sum,
+             CAST(sum(1 - capped) OVER () AS BIGINT) AS n_uncapped
+      FROM y),
+    w AS (
+      SELECT source,
+             CAST((CASE WHEN capped = 1 THEN capacity
+                        ELSE (budget - capped_sum) // n_uncapped END)
+               * 1000000 // n_tokens AS BIGINT) AS epochs_ppm
+      FROM z),
+    c AS (
+      SELECT d.doc_id, d.source,
+             CAST(w.epochs_ppm // 1000000
+               + CASE WHEN list_reduce(list_transform(range(1, 9),
+                   i -> CAST(strpos('0123456789abcdef', substr(
+                     md5('unimax:' || CAST(d.doc_id AS VARCHAR)), i, 1))
+                     - 1 AS BIGINT)), (a, v) -> a * 16 + v) % 1000000
+                   < w.epochs_ppm % 1000000 THEN 1 ELSE 0 END
+               AS BIGINT) AS n_copies
+      FROM documents d JOIN w USING (source))
+    SELECT doc_id, source, CAST(t.i AS BIGINT) AS copy_idx, n_copies
+    FROM c, unnest(range(0, n_copies)) AS t(i)
+    WHERE n_copies > 0
+    ORDER BY doc_id, copy_idx
+    """,
+)
+def mixture_unimax_sample(spark, sf_dir):
+    """APPLY the UniMax allocation (mixture_unimax_weights): emit each
+    document ⌈or⌋ floor(epochs) + Bernoulli(frac(epochs)) times, with
+    the Bernoulli decided by a deterministic content hash — the
+    materialized repeated-epochs corpus a training pipeline actually
+    writes. Capped sources (epochs exactly 2.0) emit every doc twice;
+    waterfilled sources emit floor + a hash-thresholded extra copy, so
+    the expected per-source token total equals the integer allocation.
+    Deterministic end-to-end: same corpus, same copies, every run —
+    the md5-ppm threshold is the mixture_weighted_sample discipline
+    (that entry DOWN-samples toward uniform; this one UP-samples to
+    the epoch-capped budget — the two directions a mixture rebalancer
+    needs).
+
+    Scale shape: the weights table is one row per source, broadcast
+    back by AQE; the copy explode is a per-row generator bounded by
+    the epoch cap E = 2 (never data-dependent blowup: n_copies ≤
+    ⌈E⌉ + 1). The explode guards n_copies > 0 BEFORE sequence():
+    Spark's sequence(0, -1) would COUNT DOWN and emit phantom copies
+    (the bpe_pair_counts pitfall)."""
+    weights = mixture_unimax_weights(spark, sf_dir).select(
+        "source", "epochs_ppm"
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    hash_ppm = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("unimax:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast("bigint")
+        % 1000000
+    )
+    c = (
+        d.join(weights, "source")
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.expr("epochs_ppm DIV 1000000")
+                + F.when(hash_ppm < F.expr("epochs_ppm % 1000000"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 0)
+    )
+    return (
+        c.select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)).alias(
+                "_ci"
+            ),
+            "n_copies",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("_ci").cast("bigint").alias("copy_idx"),
+            "n_copies",
+        )
+        .orderBy("doc_id", "copy_idx")
+    )

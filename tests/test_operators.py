@@ -1996,6 +1996,43 @@ def test_unimax_matches_sequential_fraction_waterfiller(spark, sf_dir):
     assert sum(r["alloc_tokens"] for r in rows.values()) <= budget
 
 
+def test_unimax_sample_matches_hash_model(spark, sf_dir):
+    """The materialized copies must equal the hash-threshold model
+    applied to the weights entry's epochs_ppm — and capped sources
+    (epochs exactly 2.0) must emit exactly 2 copies per doc."""
+    import hashlib
+
+    from lrmr_spark.catalog.corpus_ops import (
+        mixture_unimax_sample,
+        mixture_unimax_weights,
+    )
+
+    w = {
+        r["source"]: (r["epochs_ppm"], r["is_capped"])
+        for r in mixture_unimax_weights(spark, sf_dir).collect()
+    }
+    docs = [
+        (r["doc_id"], r["source"])
+        for r in load(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    ]
+    expect = {}
+    for doc_id, src in docs:
+        ppm, capped = w[src]
+        h = int(hashlib.md5(f"unimax:{doc_id}".encode()).hexdigest()[:8], 16)
+        n = ppm // 1000000 + (1 if h % 1000000 < ppm % 1000000 else 0)
+        if capped:
+            assert ppm == 2000000 and n == 2
+        if n > 0:
+            expect[doc_id] = n
+    got = {}
+    for r in mixture_unimax_sample(spark, sf_dir).collect():
+        got.setdefault(r["doc_id"], []).append(r["copy_idx"])
+        assert r["n_copies"] == expect[r["doc_id"]]
+    assert {d: len(c) for d, c in got.items()} == expect
+    for d, cs in got.items():
+        assert sorted(cs) == list(range(len(cs)))
+
+
 def _py_train_counts(texts, merges):
     """Pair-count frontier after applying a [(pair, sentinel,
     expansion)] merge table — an INDEPENDENT model of the engines'
