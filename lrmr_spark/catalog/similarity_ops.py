@@ -1475,8 +1475,13 @@ def _sq8_codes_sql() -> str:
 
 
 def _sq8_oracle() -> str:
+    # codes ride as a comma-joined string: the driver's value hash is
+    # type-sensitive and its portable scalar set has no ARRAY type
+    # (test_oracle_duckdb_types_are_portable) — the CSV form keeps
+    # every byte value-checked
     return f"""
-    SELECT vec_id, {_sq8_codes_sql()} AS codes,
+    SELECT vec_id,
+           array_to_string({_sq8_codes_sql()}, ',') AS codes_csv,
            CAST(list_sum({_sq8_codes_sql()}) AS BIGINT) AS code_sum
     FROM embeddings ORDER BY vec_id
     """
@@ -1505,7 +1510,7 @@ def embedding_sq8_codes(spark, sf_dir):
     return (
         emb.select(
             "vec_id",
-            codes.alias("codes"),
+            F.array_join(codes, ",").alias("codes_csv"),
             F.aggregate(
                 codes, F.lit(0).cast("bigint"), lambda acc, v: acc + v
             ).alias("code_sum"),

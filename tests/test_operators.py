@@ -1928,9 +1928,10 @@ def test_sq8_codes_match_independent_python_model(spark, sf_dir):
     got = embedding_sq8_codes(spark, sf_dir).collect()
     assert len(got) == len(model)
     for r in got:
-        assert list(r["codes"]) == model[r["vec_id"]]
+        codes = [int(c) for c in r["codes_csv"].split(",")]
+        assert codes == model[r["vec_id"]]
         assert r["code_sum"] == sum(model[r["vec_id"]])
-        assert all(0 <= c <= 255 for c in r["codes"])
+        assert all(0 <= c <= 255 for c in codes)
     # SDC top-10 vs the model's exact integer distances
     q = _sq8_qcodes()
     dists = sorted(
@@ -1994,6 +1995,19 @@ def test_unimax_matches_sequential_fraction_waterfiller(spark, sf_dir):
             assert r["alloc_tokens"] == share.numerator // share.denominator
         assert r["epochs_ppm"] == r["alloc_tokens"] * 1000000 // r["n_tokens"]
     assert sum(r["alloc_tokens"] for r in rows.values()) <= budget
+
+
+def test_dedup_threshold_sweep_monotone(spark, sf_dir):
+    """Raising τ can only shrink the verified pair set."""
+    from lrmr_spark.catalog.dedup_ops import dedup_threshold_sweep
+
+    rows = dedup_threshold_sweep(spark, sf_dir).collect()
+    assert [r["threshold_ppm"] for r in rows] == [
+        500000, 600000, 700000, 800000, 900000,
+    ]
+    counts = [r["n_pairs"] for r in rows]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert all(c >= 0 for c in counts)
 
 
 def test_unimax_sample_matches_hash_model(spark, sf_dir):
