@@ -1544,3 +1544,97 @@ def mixture_unimax_sample(spark, sf_dir):
         )
         .orderBy("doc_id", "copy_idx")
     )
+
+
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH sg AS (
+      SELECT DISTINCT source, g FROM (
+        SELECT source, unnest({_grams_sql(3)}) AS g
+        FROM (SELECT source, {_TOKS} AS toks FROM documents) t) x),
+    per_src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+                FROM sg GROUP BY source),
+    shared AS (
+      SELECT l.source AS src_a, r.source AS src_b,
+             CAST(count(*) AS BIGINT) AS shared_grams
+      FROM sg l JOIN sg r ON l.g = r.g AND l.source < r.source
+      GROUP BY l.source, r.source)
+    SELECT s.src_a, s.src_b, s.shared_grams,
+           a.n_grams AS n_grams_a, b.n_grams AS n_grams_b,
+           CAST(s.shared_grams * 1000000
+             // least(a.n_grams, b.n_grams) AS BIGINT) AS containment_ppm
+    FROM shared s
+    JOIN per_src a ON s.src_a = a.source
+    JOIN per_src b ON s.src_b = b.source
+    ORDER BY src_a, src_b
+    """,
+)
+def source_overlap_matrix(spark, sf_dir):
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct 3-gram shingles they share, with containment in ppm
+    (shared / smaller side) — the audit a mixture designer reads
+    before weighting sources (two crawls of the same site look like
+    independent data to per-source stats but light up here; the
+    source-level companion to cross_doc_ngram_exposure's doc-level
+    view and decontaminate_ngram_overlap's train-vs-eval view).
+
+    Scale shape: the corpus collapses to DISTINCT (source, gram) in
+    one exchange — the explode is doc-local, the distinct is
+    gram-keyed with map-side combine. The self-join fans each gram
+    out to at most C(n_sources, 2) pairs (n_sources is bounded and
+    small: 20 here, hundreds at worst in production), so the join
+    output is grams × a small constant, and the final matrix is
+    C(n_sources, 2) rows. Document bodies never shuffle — only
+    (source, 3-gram) pairs."""
+    d = load(spark, sf_dir, "documents")
+    sg = (
+        d.select("source", F.explode(TX.shingles("text", 3)).alias("g"))
+        .distinct()
+    )
+    per_src = sg.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    left = sg.alias("l")
+    right = sg.alias("r")
+    shared = (
+        left.join(
+            right,
+            (F.col("l.g") == F.col("r.g"))
+            & (F.col("l.source") < F.col("r.source")),
+        )
+        .groupBy(
+            F.col("l.source").alias("src_a"),
+            F.col("r.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_grams"))
+    )
+    return (
+        shared.join(
+            per_src.select(
+                F.col("source").alias("src_a"),
+                F.col("n_grams").alias("n_grams_a"),
+            ),
+            "src_a",
+        )
+        .join(
+            per_src.select(
+                F.col("source").alias("src_b"),
+                F.col("n_grams").alias("n_grams_b"),
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "shared_grams",
+            "n_grams_a",
+            "n_grams_b",
+            F.expr(
+                "shared_grams * 1000000 DIV least(n_grams_a, n_grams_b)"
+            )
+            .cast("bigint")
+            .alias("containment_ppm"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -1997,6 +1997,32 @@ def test_unimax_matches_sequential_fraction_waterfiller(spark, sf_dir):
     assert sum(r["alloc_tokens"] for r in rows.values()) <= budget
 
 
+def test_source_overlap_matrix_matches_python_model(spark, sf_dir):
+    from lrmr_spark.catalog.corpus_ops import source_overlap_matrix
+
+    per_src = {}
+    for r in load(spark, sf_dir, "documents").select("source", "text").collect():
+        toks = (r["text"] or "").split()
+        n = len(toks)
+        k = min(3, n) if n else 0
+        grams = (
+            {" ".join(toks[i : i + k]) for i in range(max(n - k, 0) + 1)}
+            if k
+            else set()
+        )
+        per_src.setdefault(r["source"], set()).update(grams)
+    rows = source_overlap_matrix(spark, sf_dir).collect()
+    srcs = sorted(per_src)
+    assert len(rows) == len(srcs) * (len(srcs) - 1) // 2
+    for r in rows:
+        a, b = per_src[r["src_a"]], per_src[r["src_b"]]
+        assert r["src_a"] < r["src_b"]
+        assert r["n_grams_a"] == len(a) and r["n_grams_b"] == len(b)
+        shared = len(a & b)
+        assert r["shared_grams"] == shared
+        assert r["containment_ppm"] == shared * 1000000 // min(len(a), len(b))
+
+
 def test_dedup_threshold_sweep_monotone(spark, sf_dir):
     """Raising τ can only shrink the verified pair set."""
     from lrmr_spark.catalog.dedup_ops import dedup_threshold_sweep
