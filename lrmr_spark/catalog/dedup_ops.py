@@ -1063,7 +1063,9 @@ def dedup_pipeline_containment(spark, sf_dir):
 
 
 def _threshold_sweep_oracle() -> str:
-    pairs = _minhash_oracle(num_hashes=16, bands=8, threshold=0.5)
+    pairs = _minhash_oracle(
+        num_hashes=16, bands=8, threshold=0.5, items_sql=_SHINGLE_ITEMS_SQL
+    )
     return f"""
     WITH pairs AS ({pairs}),
     ks AS (SELECT unnest([500000, 600000, 700000, 800000, 900000])
@@ -1086,14 +1088,22 @@ def dedup_threshold_sweep(spark, sf_dir):
     from ONE permissive banding shared by every sweep point — 8 bands
     × 2 rows, candidate probability 1 − (1−j²)^8: 90.0 % at the
     τ = 0.5 floor, 97.2 % at 0.6, ≥ 99.5 % from 0.7 — each verified
-    by EXACT multiset Jaccard (re-banding per τ would change recall
-    under the curve; the floor recall is the documented price of a
-    bounded candidate set). Single-row bands (bands = num_hashes) were
-    measured and REJECTED: the min of ONE hash concentrates on
-    globally-frequent items, so a single band key collected ~1,300 of
-    5,000 docs at sf0.1 — 22.5 M candidate pairs, 16× the rows=2
-    banding (180 s vs ~18 s measured), and the bucket skew grows with
-    corpus size — the bucket-entropy bound requires ≥ 2 rows per band.
+    by EXACT shingle-set Jaccard (re-banding per τ would change
+    recall under the curve; the floor recall is the documented price
+    of a bounded candidate set).
+
+    The item unit and band width were MEASURED, not guessed, because a
+    permissive sweep banding is exactly where LSH degenerates: with
+    multiset items (this corpus's ~50-word vocabulary) single-row
+    bands collected ~1,300 of 5,000 sf0.1 docs under one band key —
+    22.5 M candidate pairs, 180 s; rows=2 cut that to 1.4 M/17 s but
+    still grew quadratically with corpus size (the sf1 rehearsal ran
+    away); 3-gram SHINGLE items at rows=2 give 2,861 candidates with
+    a max bucket of 13 — shingle min-hashes are high-entropy where
+    multiset min-hashes concentrate on globally-frequent tokens.
+    Shingles are also the standard web-dedup unit
+    (dedup_minhash_shingles), so the sweep tunes the configuration
+    production actually runs.
 
     Scale: one LSH pass (rep collapse → 8 two-hash band keys →
     candidate join → exact verify on candidates only — the
@@ -1108,6 +1118,7 @@ def dedup_threshold_sweep(spark, sf_dir):
         num_hashes=16,
         bands=8,
         threshold=0.5,
+        unit="shingles",
     ).select("id_a", "jaccard")
     ks = spark.range(1).select(
         F.explode(
