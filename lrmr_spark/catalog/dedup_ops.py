@@ -1110,7 +1110,11 @@ def dedup_threshold_sweep(spark, sf_dir):
     minhash_lsh_pairs plan); the τ fanout joins the bounded verified
     pair list against 5 threshold rows. Both engines compare the same
     round-4 jaccard doubles against the same τ division, so counts
-    hash-match exactly."""
+    hash-match exactly. sf1→sf10 rehearsal: 17.6 s → 253 s (14.4× for
+    10× data — candidate/pair-bound like the rest of the md5-minhash
+    family, whose sf10 ratios span 7–15×: the scaled corpus densifies
+    near-dup clusters, so verified-pair work grows faster than the
+    scan; BENCH_r6_sessionops2.json)."""
     pairs = DD.minhash_lsh_pairs(
         load(spark, sf_dir, "documents"),
         "doc_id",
