@@ -151,7 +151,8 @@ _PRIORITY = [
 # mixture_unimax_weights, embedding_sq8_codes, ann_sq8_sdc_topk,
 # ann_ivf_recall_at_nprobe, multimodal_phash_dedup,
 # token_diversity_index, ann_sq8_stored_topk, ann_sq8_recall_at_k,
-# mixture_unimax_sample, dedup_threshold_sweep, source_overlap_matrix.
+# mixture_unimax_sample, dedup_threshold_sweep, source_overlap_matrix,
+# multimodal_curation_pipeline.
 
 
 def _ordered(names: list[str]) -> list[str]:

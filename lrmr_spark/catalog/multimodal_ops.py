@@ -138,3 +138,147 @@ def multimodal_phash_dedup(spark, sf_dir):
         load(spark, sf_dir, "documents"), "doc_id", "text"
     )
     return MM.phash_hamming_pairs(MM.phash_media(media), k=1)
+
+
+_PHASH_H_SQL = """
+    b AS (
+      SELECT doc_id AS media_id, text,
+             CAST(octet_length(encode(text)) AS BIGINT) AS L,
+             CAST(list_sum(list_transform(range(1, length(text) + 1),
+               j -> ascii(substr(text, j, 1)))) AS BIGINT) AS tot,
+             CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT) AS bs
+      FROM documents),
+    h AS (
+      SELECT media_id, L AS n_bytes,
+             CASE WHEN L = 0 THEN 0 ELSE CAST(list_sum(
+               list_transform(range(0, 16), i -> CASE WHEN
+                 least((i + 1) * bs, L) - i * bs > 0 AND
+                 coalesce(list_sum(list_transform(
+                   range(i * bs + 1, least((i + 1) * bs, L) + 1),
+                   j -> ascii(substr(text, j, 1)))), 0) * L
+                   >= tot * (least((i + 1) * bs, L) - i * bs)
+                 THEN 1 << i ELSE 0 END)) AS BIGINT) END AS phash
+      FROM b)
+"""
+
+
+@query(
+    "multimodal_curation_pipeline",
+    oracle=f"""
+    WITH {_PHASH_H_SQL},
+    meta AS (SELECT doc_id AS media_id, md5(text) AS content_md5
+             FROM documents),
+    exact_keep AS (SELECT content_md5, min(media_id) AS keep_id
+                   FROM meta GROUP BY content_md5),
+    e AS (
+      SELECT m.media_id, k.keep_id AS exact_rep
+      FROM meta m JOIN exact_keep k USING (content_md5)),
+    ph AS (
+      SELECT h.media_id, h.n_bytes, h.phash
+      FROM h JOIN e ON h.media_id = e.media_id
+      WHERE h.media_id = e.exact_rep),
+    phash_keep AS (SELECT phash, min(media_id) AS keep_id
+                   FROM ph GROUP BY phash),
+    reps AS (SELECT p.phash, p.media_id FROM ph p
+             JOIN phash_keep k ON p.media_id = k.keep_id),
+    near_drop AS (
+      SELECT DISTINCT r.media_id
+      FROM reps l JOIN reps r ON l.media_id < r.media_id
+      WHERE bit_count(xor(l.phash, r.phash)) <= 1)
+    SELECT h.media_id, h.n_bytes, h.phash,
+           CASE WHEN e.media_id <> e.exact_rep THEN 'exact_dup'
+                WHEN pk.keep_id <> h.media_id THEN 'phash_dup'
+                WHEN nd.media_id IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS stage
+    FROM h
+    JOIN e ON h.media_id = e.media_id
+    LEFT JOIN phash_keep pk ON h.phash = pk.phash
+      AND h.media_id = e.exact_rep
+    LEFT JOIN near_drop nd ON h.media_id = nd.media_id
+    ORDER BY h.media_id
+    """,
+)
+def multimodal_curation_pipeline(spark, sf_dir):
+    """The composed media-curation pass a multimodal training corpus
+    runs end-to-end, with a per-blob verdict: (1) exact dedup on the
+    content hash (pure JVM metadata, payload bytes untouched),
+    (2) perceptual-hash collapse — identical aHash among exact reps,
+    (3) near-dup drop — an exact-rep phash rep is dropped when a
+    SMALLER-id rep sits within Hamming ≤ 1 (the deterministic greedy
+    keep rule; banding finds the pairs, losslessness argued at
+    multimodal_phash_dedup). Every blob gets a stage label
+    ('kept' / 'exact_dup' / 'phash_dup' / 'near_dup'), the audit
+    column a curation run ships to its provenance log — the
+    multimodal twin of corpus_curation_pipeline.
+
+    Decode runs ONCE (the phash_media Arrow pass; everything
+    downstream joins 8-byte hashes + ids); exact dedup never decodes
+    at all. Stage precedence matters and is pinned by the pytest:
+    an exact-dup follower is 'exact_dup' even when its rep is later
+    dropped as a near-dup — provenance records WHY each blob left,
+    not the transitive closure."""
+    media = MM.attach_binary_payload(
+        load(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    from pyspark.sql import functions as F
+
+    meta = MM.binary_metadata(media).select("media_id", "content_md5")
+    exact_keep = meta.groupBy("content_md5").agg(
+        F.min("media_id").alias("exact_rep")
+    )
+    e = meta.join(exact_keep, "content_md5").select("media_id", "exact_rep")
+    hashes = MM.phash_media(media).localCheckpoint(eager=False)
+    ph = hashes.join(e, "media_id").filter(
+        F.col("media_id") == F.col("exact_rep")
+    )
+    phash_keep = (
+        ph.select(F.col("phash").alias("_pk_phash"), "media_id")
+        .groupBy("_pk_phash")
+        .agg(F.min("media_id").alias("_pk_keep"))
+    )
+    reps = (
+        ph.join(
+            phash_keep,
+            (F.col("phash") == F.col("_pk_phash"))
+            & (F.col("media_id") == F.col("_pk_keep")),
+        )
+        .select("media_id", "phash")
+        .localCheckpoint(eager=False)
+    )
+    l, r = reps.alias("l"), reps.alias("r")
+    near_drop = (
+        l.join(
+            r,
+            (F.col("l.media_id") < F.col("r.media_id"))
+            & (
+                F.bit_count(
+                    F.col("l.phash").bitwiseXOR(F.col("r.phash"))
+                )
+                <= 1
+            ),
+        )
+        .select(F.col("r.media_id").alias("media_id"))
+        .distinct()
+        .withColumn("_nd", F.lit(1))
+    )
+    out = (
+        hashes.join(e, "media_id")
+        .join(
+            phash_keep,
+            F.col("phash") == F.col("_pk_phash"),
+            "left",
+        )
+        .join(near_drop, "media_id", "left")
+        .select(
+            "media_id",
+            "n_bytes",
+            "phash",
+            F.when(F.col("media_id") != F.col("exact_rep"), "exact_dup")
+            .when(F.col("_pk_keep") != F.col("media_id"), "phash_dup")
+            .when(F.col("_nd").isNotNull(), "near_dup")
+            .otherwise("kept")
+            .alias("stage"),
+        )
+        .orderBy("media_id")
+    )
+    return out

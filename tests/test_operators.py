@@ -1997,6 +1997,70 @@ def test_unimax_matches_sequential_fraction_waterfiller(spark, sf_dir):
     assert sum(r["alloc_tokens"] for r in rows.values()) <= budget
 
 
+def test_multimodal_curation_pipeline_stages_match_model(spark, sf_dir):
+    """Stage labels vs a plain-python model of the three-step curation
+    (exact collapse → phash collapse → smaller-id near-dup drop)."""
+    import hashlib
+    import math as _math
+
+    from lrmr_spark.catalog.multimodal_ops import multimodal_curation_pipeline
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+
+    def py_phash(s):
+        b = s.encode()
+        L = len(b)
+        if not L:
+            return 0
+        bs = _math.ceil(L / 16)
+        tot = sum(b)
+        h = 0
+        for i in range(16):
+            blk = b[i * bs : (i + 1) * bs]
+            if blk and sum(blk) * L >= tot * len(blk):
+                h |= 1 << i
+        return h
+
+    exact_rep = {}
+    for d in sorted(docs):
+        fp = hashlib.md5(docs[d].encode()).hexdigest()
+        exact_rep.setdefault(fp, d)
+    rep_of = {
+        d: exact_rep[hashlib.md5(docs[d].encode()).hexdigest()] for d in docs
+    }
+    phash = {d: py_phash(docs[d]) for d in docs}
+    phash_keep = {}
+    for d in sorted(docs):
+        if rep_of[d] == d:
+            phash_keep.setdefault(phash[d], d)
+    reps = sorted(phash_keep.values())
+    near_drop = {
+        b
+        for i, a in enumerate(reps)
+        for b in reps[i + 1 :]
+        if bin(phash[a] ^ phash[b]).count("1") <= 1
+    }
+    expect = {}
+    for d in docs:
+        if rep_of[d] != d:
+            expect[d] = "exact_dup"
+        elif phash_keep[phash[d]] != d:
+            expect[d] = "phash_dup"
+        elif d in near_drop:
+            expect[d] = "near_dup"
+        else:
+            expect[d] = "kept"
+    got = {
+        r["media_id"]: r["stage"]
+        for r in multimodal_curation_pipeline(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert set(expect.values()) >= {"kept"}  # at least the keeps exist
+
+
 def test_source_overlap_matrix_matches_python_model(spark, sf_dir):
     from lrmr_spark.catalog.corpus_ops import source_overlap_matrix
 
