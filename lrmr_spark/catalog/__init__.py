@@ -152,7 +152,8 @@ _PRIORITY = [
 # ann_ivf_recall_at_nprobe, multimodal_phash_dedup,
 # token_diversity_index, ann_sq8_stored_topk, ann_sq8_recall_at_k,
 # mixture_unimax_sample, dedup_threshold_sweep, source_overlap_matrix,
-# multimodal_curation_pipeline.
+# multimodal_curation_pipeline, multimodal_phash_index_match,
+# streaming_phash_index_match (rows-only twin).
 
 
 def _ordered(names: list[str]) -> list[str]:

@@ -282,3 +282,94 @@ def multimodal_curation_pipeline(spark, sf_dir):
         .orderBy("media_id")
     )
     return out
+
+
+@query(
+    "multimodal_phash_index_match",
+    oracle=f"""
+    WITH {_PHASH_H_SQL},
+    base AS (
+      SELECT phash, min(media_id) AS base_id
+      FROM h WHERE media_id % 5 <> 0 GROUP BY phash),
+    new_side AS (
+      SELECT media_id AS new_id, phash FROM h WHERE media_id % 5 = 0)
+    SELECT n.new_id, b.base_id,
+           CAST(bit_count(xor(n.phash, b.phash)) AS BIGINT) AS hamming
+    FROM new_side n JOIN base b
+      ON bit_count(xor(n.phash, b.phash)) <= 1
+    ORDER BY new_id, base_id
+    """,
+)
+def multimodal_phash_index_match(spark, sf_dir):
+    """Match a batch of NEW media against the stored corpus pHash
+    index (write once, match per crawl — the media twin of
+    dedup_minhash_stored_index): the index holds one (phash, min-id)
+    row per distinct signature of the base corpus (media_id MOD 5 ≠
+    0); the incoming batch (MOD 5 = 0) is decoded+hashed in one Arrow
+    pass and banded against it at Hamming ≤ 1 — hamming 0 IS emitted
+    here (an exact signature collision against the index is the
+    strongest match), unlike the self-dedup pair entry. Oracle:
+    brute-force new × reps in SQL (banding lossless for ≤ k). Only
+    band keys + 8-byte hashes shuffle; the index side is
+    distinct-hash-collapsed at write time."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"lrmr_phash_idx_{tag}")
+    MM.write_phash_index(
+        MM.attach_binary_payload(
+            docs.filter(F.col("doc_id") % 5 != 0), "doc_id", "text"
+        ),
+        path,
+    )
+    batch = MM.attach_binary_payload(
+        docs.filter(F.col("doc_id") % 5 == 0), "doc_id", "text"
+    )
+    return MM.match_phash_index(batch, path, k=1).orderBy(
+        "new_id", "base_id"
+    )
+
+
+@query("streaming_phash_index_match")  # rows-only: foreachBatch run-mode
+def streaming_phash_index_match(spark, sf_dir):
+    """The media-dedup crawl loop as a LIVE STREAM (the
+    streaming_minhash_index_match discipline for the multimodal
+    family): the base corpus's pHash index is written once, then the
+    incoming-document stream (MOD-5 batch) is decoded, hashed and
+    matched per micro-batch via foreachBatch, matches landing in an
+    epoch-partitioned sink under dynamic partition overwrite
+    (idempotent under checkpoint replay). Stream ≡ batch asserted in
+    tests/test_streaming.py; the match's value check lives in
+    multimodal_phash_index_match's hash-green row."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from .. import streaming as ST
+
+    docs = load(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"lrmr_phash_sidx_{tag}")
+    MM.write_phash_index(
+        MM.attach_binary_payload(
+            docs.filter(F.col("doc_id") % 5 != 0), "doc_id", "text"
+        ),
+        path,
+    )
+    run = uuid.uuid4().hex[:8]
+    out = os.path.join(tempfile.gettempdir(), f"lrmr_phash_stream_out_{run}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"lrmr_phash_stream_ck_{run}")
+    matches = ST.run_phash_index_match_stream(
+        ST.stream_documents(spark, sf_dir).filter(F.col("doc_id") % 5 == 0),
+        path,
+        out,
+        ckpt,
+        k=1,
+    )
+    return matches.orderBy("new_id", "base_id")

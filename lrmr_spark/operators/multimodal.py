@@ -25,7 +25,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_SCHEMA", "attach_binary_payload", "binary_metadata", "decode_media", "sample_frames"]
+__all__ = [
+    "MEDIA_SCHEMA",
+    "attach_binary_payload",
+    "binary_metadata",
+    "decode_media",
+    "sample_frames",
+    "phash_media",
+    "phash_hamming_pairs",
+    "write_phash_index",
+    "match_phash_index",
+]
 
 # typed metadata travels beside the opaque payload so predicate pushdown
 # and column pruning work without touching bytes
@@ -352,6 +362,81 @@ def phash_hamming_pairs(hashes: DataFrame, k: int = 1) -> DataFrame:
             F.bit_count(
                 F.col("l.phash").bitwiseXOR(F.col("r.phash"))
             ).cast("bigint").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= k)
+    )
+
+
+def write_phash_index(media: DataFrame, path: str) -> None:
+    """Materialize the corpus perceptual-hash index ONCE: one
+    (phash, media_id) row per DISTINCT hash (min-id representative) —
+    the write half of the write_minhash_index discipline for media.
+    8 bytes + id per distinct blob signature; payloads are decoded
+    exactly once and never stored."""
+    reps = (
+        phash_media(media)
+        .groupBy("phash")
+        .agg(F.min("media_id").alias("media_id"))
+    )
+    reps.write.mode("overwrite").parquet(f"{path}/hashes")
+    media.sparkSession.range(1).select(
+        F.lit(16).cast("int").alias("n_bits")
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+
+
+def match_phash_index(
+    batch_media: DataFrame, index_path: str, k: int = 1
+) -> DataFrame:
+    """Match a batch of NEW media against the stored pHash index at
+    Hamming ≤ k: decode+hash the batch (one Arrow pass), band both
+    sides with the k+1-block pigeonhole keys, verify candidates with
+    one xor + bit_count. Unlike the self-dedup (phash_hamming_pairs),
+    hamming 0 IS emitted — an incoming blob that collides exactly
+    with an indexed signature is the strongest match. Output:
+    (new_id, base_id, hamming), one row per (new blob, indexed rep)
+    within k. Only band keys + 8-byte hashes shuffle; the index side
+    is distinct-hash-collapsed at write time."""
+    from .dedup import _block_bounds
+
+    spark = batch_media.sparkSession
+    meta = spark.read.json(f"{index_path}/_meta").collect()[0]
+    n_bits = int(meta["n_bits"])
+    blocks = k + 1
+    bounds = _block_bounds(n_bits, blocks)
+
+    def banded(df: DataFrame, id_alias: str) -> DataFrame:
+        return df.select(
+            F.col("media_id").alias(id_alias),
+            F.col("phash").alias(f"_{id_alias}_hash"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("b"),
+                            (
+                                F.shiftright(F.col("phash"), start)
+                                % F.lit(1 << length)
+                            ).alias("v"),
+                        )
+                        for b, (start, length) in enumerate(bounds)
+                    ]
+                )
+            ).alias("_blk"),
+        )
+
+    new_hashes = banded(phash_media(batch_media), "new_id")
+    base = banded(spark.read.parquet(f"{index_path}/hashes"), "base_id")
+    return (
+        new_hashes.join(base, on="_blk")
+        .select(
+            "new_id",
+            "base_id",
+            F.bit_count(
+                F.col("_new_id_hash").bitwiseXOR(F.col("_base_id_hash"))
+            )
+            .cast("bigint")
+            .alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= k)

@@ -639,3 +639,65 @@ def run_pq_index_append_stream(
     finally:
         q.stop()
     return spark.read.parquet(f"{index_path}/codes")
+
+
+def run_phash_index_match_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    k: int = 1,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """STREAMING perceptual-hash matching against the stored pHash
+    index — the media twin of run_minhash_index_match_stream: each
+    micro-batch of incoming documents becomes media payloads, is
+    decoded+hashed in one Arrow pass, and matched against the
+    write-once index (operators.multimodal.match_phash_index) inside
+    foreachBatch; matches land in an epoch-partitioned parquet sink
+    under dynamic partition overwrite (idempotent under checkpoint
+    replay). Drains with Trigger.AvailableNow and returns the
+    accumulated (new_id, base_id, hamming) matches as a batch DF —
+    empty-schema-safe when no micro-batch matched anything."""
+    spark = docs_stream.sparkSession
+
+    def _match_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..operators import multimodal as MM
+
+        media = MM.attach_binary_payload(batch_df, "doc_id", "text")
+        matches = MM.match_phash_index(media, index_path, k=k).withColumn(
+            "_epoch", F.lit(int(epoch_id))
+        )
+        (
+            matches.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(out_path)
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_match_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"availableNow phash-match stream did not drain in {timeout_s}s"
+            )
+    finally:
+        q.stop()
+    try:
+        return spark.read.parquet(out_path).drop("_epoch")
+    except AnalysisException:
+        # zero matches in every micro-batch → no parquet files → no
+        # inferable schema; normal outcome, not an error
+        schema = T.StructType(
+            [
+                T.StructField("new_id", T.LongType()),
+                T.StructField("base_id", T.LongType()),
+                T.StructField("hamming", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame([], schema)

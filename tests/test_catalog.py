@@ -79,6 +79,9 @@ def test_every_query_has_oracle_or_is_documented_rows_only():
         "streaming_pq_index_append",  # foreachBatch run-mode; stream ==
         # batch rebuild asserted in tests/test_streaming.py; append
         # values hash-checked by ann_pq_append_topk
+        "streaming_phash_index_match",  # foreachBatch run-mode; stream ==
+        # batch matcher asserted in tests/test_streaming.py; match
+        # values hash-checked by multimodal_phash_index_match
         "dedup_minhash_lsh_fast",  # xxhash64 not reproducible in SQL
         "dedup_simhash_hamming_fast",  # xxhash64 bits not in SQL;
         # algorithm pinned by the oracle-checked 16-bit twin +

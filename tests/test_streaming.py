@@ -501,3 +501,53 @@ def test_pq_index_append_stream_equals_batch_rebuild(spark, sf_dir, tmp_path):
         tuple(r) for r in spark.read.parquet(f"{rebuilt}/codes").collect()
     )
     assert got == want and len(want) == emb.count()
+
+
+def test_phash_index_match_stream_equals_batch(spark, sf_dir, tmp_path):
+    # the media-dedup foreachBatch matcher must emit exactly the batch
+    # matcher's (new_id, base_id, hamming) rows — and the zero-match
+    # stream must return the empty typed DF, not raise
+    from pyspark.sql import functions as F
+
+    from lrmr_spark import streaming as ST
+    from lrmr_spark.operators import multimodal as MM
+    from lrmr_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    index = str(tmp_path / "pidx")
+    MM.write_phash_index(
+        MM.attach_binary_payload(
+            docs.filter(F.col("doc_id") % 5 != 0), "doc_id", "text"
+        ),
+        index,
+    )
+    got = {
+        (r["new_id"], r["base_id"], r["hamming"])
+        for r in ST.run_phash_index_match_stream(
+            ST.stream_documents(spark, sf_dir).filter(F.col("doc_id") % 5 == 0),
+            index,
+            str(tmp_path / "pout"),
+            str(tmp_path / "pck"),
+        ).collect()
+    }
+    want = {
+        (r["new_id"], r["base_id"], r["hamming"])
+        for r in MM.match_phash_index(
+            MM.attach_binary_payload(
+                docs.filter(F.col("doc_id") % 5 == 0), "doc_id", "text"
+            ),
+            index,
+            k=1,
+        ).collect()
+    }
+    assert got == want and want
+    empty = ST.run_phash_index_match_stream(
+        ST.stream_documents(spark, sf_dir).filter(F.col("doc_id") < 0),
+        index,
+        str(tmp_path / "pout0"),
+        str(tmp_path / "pck0"),
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "new_id", "base_id", "hamming",
+    ]
