@@ -1777,3 +1777,37 @@ def ann_sq8_recall_at_k(spark, sf_dir):
         .select(F.col("k_prime").cast("bigint").alias("k_prime"), "hits")
         .orderBy("k_prime")
     )
+
+
+@query("ann_sq8_append_topk", oracle=_sq8_sdc_oracle)
+def ann_sq8_append_topk(spark, sf_dir):
+    """The SQ8 daily-crawl lifecycle as one gate row (the
+    ann_pq_append_topk discipline): write the codes table from the
+    base corpus (vec_id % 3 ≠ 0), APPEND the new batch (% 3 = 0) via
+    append_sq8_codes — quantizer-fingerprint-checked, first-writer-
+    wins anti-join — re-append the SAME batch (must add 0 rows:
+    idempotent re-delivery), then answer the SDC top-10 from the
+    stored codes. Codes are deterministic in (vector, params), so
+    write → append → query must equal the one-shot inline ranking —
+    the entry SHARES ann_sq8_sdc_topk's oracle: a single changed code
+    anywhere in the append path turns this row red."""
+    import os
+    import tempfile
+
+    mins, scales = _sq8_params()
+    emb = load(spark, sf_dir, "embeddings")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"lrmr_sq8_app_{tag}")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    SIM.write_sq8_codes(base, path, list(mins), list(scales))
+    SIM.append_sq8_codes(batch, path, list(mins), list(scales))
+    n_redelivered = SIM.append_sq8_codes(batch, path, list(mins), list(scales))
+    if n_redelivered != 0:
+        raise AssertionError(
+            f"append_sq8_codes re-delivery appended {n_redelivered} rows — "
+            "first-writer-wins anti-join must make re-sent batches no-ops"
+        )
+    return SIM.sq8_sdc_topk_stored(
+        spark, path, _sq8_qcodes(), list(mins), list(scales), k=10
+    )

@@ -47,6 +47,7 @@ __all__ = [
     "sq8_sdc_dist_col",
     "write_sq8_codes",
     "sq8_sdc_topk_stored",
+    "append_sq8_codes",
 ]
 
 
@@ -1369,3 +1370,46 @@ def sq8_sdc_topk_stored(
         .orderBy(F.asc_nulls_last("sdc_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def append_sq8_codes(
+    new_df: DataFrame,
+    path: str,
+    mins: list[float],
+    scales: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Fold a new batch of embeddings into a stored SQ8 codes table —
+    append_pq_codes for the scalar quantizer: the stored _meta's
+    parameter fingerprint must match the supplied quantizer (drift
+    raises — appended codes must live on the same per-dim grid);
+    FIRST-WRITER-WINS on id, so re-delivered batches append nothing;
+    NULL/wrong-dim vectors are excluded exactly as at write time.
+    Codes are deterministic in (vector, params), so append ≡ rebuild
+    for id-disjoint batches. The anti-join scans only the stored id
+    column; quantization is the same zero-shuffle projection as
+    write_sq8_codes. Returns rows appended."""
+    spark = new_df.sparkSession
+    row = spark.read.json(f"{path}/_meta").collect()[0]
+    fp = _sq8_fingerprint(mins, scales)
+    if fp != row["params_md5"]:
+        raise ValueError(
+            f"quantizer drift: stored SQ8 codes at {path!r} were written "
+            f"with params {row['params_md5']} but the append supplied {fp}"
+        )
+    dim, sid = int(row["dim"]), row["id_col"]
+    stored_ids = spark.read.parquet(f"{path}/codes").select(
+        F.col(sid).alias(id_col)
+    )
+    fresh = new_df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).join(stored_ids, id_col, "left_anti")
+    out = fresh.select(
+        F.col(id_col).alias(sid),
+        sq8_codes_col(F.col(vec_col), mins, scales).alias("codes"),
+    ).localCheckpoint(eager=True)  # one computation serves count + write
+    n_new = out.count()
+    if n_new:
+        out.write.mode("append").parquet(f"{path}/codes")
+    return n_new

@@ -2205,3 +2205,46 @@ def test_bpe_train_merges_matches_python_reference(spark, sf_dir):
             expand.get(pair[0], pair[0]) + " " + expand.get(pair[1], pair[1])
         )
     assert all(p not in retired for p, _ in got)
+
+
+def test_sq8_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """write(base) + append(batch) must leave the codes table equal to
+    a one-shot write over the full corpus, and a drifted quantizer
+    must be rejected at append time."""
+    import pytest as _pytest
+
+    from lrmr_spark.catalog.similarity_ops import _sq8_params
+    from lrmr_spark.operators import similarity as SIM
+
+    mins, scales = _sq8_params()
+    emb = load(spark, sf_dir, "embeddings")
+    p_inc = str(tmp_path / "inc")
+    p_full = str(tmp_path / "full")
+    SIM.write_sq8_codes(
+        emb.filter(F.col("vec_id") % 3 != 0), p_inc, list(mins), list(scales)
+    )
+    n = SIM.append_sq8_codes(
+        emb.filter(F.col("vec_id") % 3 == 0), p_inc, list(mins), list(scales)
+    )
+    assert n == emb.filter(F.col("vec_id") % 3 == 0).count()
+    assert (
+        SIM.append_sq8_codes(
+            emb.filter(F.col("vec_id") % 3 == 0), p_inc, list(mins), list(scales)
+        )
+        == 0
+    )
+    SIM.write_sq8_codes(emb, p_full, list(mins), list(scales))
+    inc = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(f"{p_inc}/codes").collect()
+    }
+    full = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(f"{p_full}/codes").collect()
+    }
+    assert inc == full
+    drifted = [s * 1.0000001 if s else 0.0 for s in scales]
+    with _pytest.raises(ValueError, match="quantizer drift"):
+        SIM.append_sq8_codes(
+            emb.filter(F.col("vec_id") % 3 == 0), p_inc, list(mins), drifted
+        )
