@@ -1811,3 +1811,48 @@ def ann_sq8_append_topk(spark, sf_dir):
     return SIM.sq8_sdc_topk_stored(
         spark, path, _sq8_qcodes(), list(mins), list(scales), k=10
     )
+
+
+def _pq_delete_oracle() -> str:
+    """ADC mirror over the corpus MINUS the takedown ids (vec_id % 7 =
+    0): the stored table after delete must answer exactly as if the
+    deleted vectors never existed."""
+    inner, adist = _adc_sql_parts()
+    return f"""
+    WITH d AS (SELECT vec_id, {inner} FROM embeddings
+               WHERE vec_id % 7 <> 0)
+    SELECT vec_id, round(adist, 5) AS adist FROM (
+      SELECT vec_id, {adist} AS adist FROM d
+    ) ORDER BY adist, vec_id LIMIT 10
+    """
+
+
+@query("ann_pq_delete_topk", oracle=_pq_delete_oracle)
+def ann_pq_delete_topk(spark, sf_dir):
+    """The TAKEDOWN lifecycle row (write → DELETE → query): build the
+    full PQ codes index, delete the removal batch (vec_id % 7 = 0 —
+    the DMCA/GDPR/contamination shape), answer the ADC top-10 from
+    the survivors. The oracle scores the corpus WITHOUT the deleted
+    ids from scratch, so the row is red if a deleted vector still
+    ranks OR a survivor's codes were disturbed by the rewrite. A
+    double delete must remove 0 rows (idempotent, asserted inline);
+    delete ≡ rebuild-without is asserted in tests/test_operators.py.
+    Completes the stored-index CRUD the catalog's ANN families now
+    cover: write, append (batch + streaming), delete, query."""
+    import os
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = [list(c) for c in _centroids()[:4]]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"lrmr_pq_del_{tag}")
+    SIM.write_pq_codes(emb, path, cents, num_sub=8)
+    ids = [r["vec_id"] for r in emb.filter(F.col("vec_id") % 7 == 0).select("vec_id").collect()]
+    SIM.delete_pq_codes(spark, path, ids)
+    n_again = SIM.delete_pq_codes(spark, path, ids)
+    if n_again != 0:
+        raise AssertionError(
+            f"double delete removed {n_again} rows — takedown must be "
+            "idempotent"
+        )
+    return SIM.pq_adc_topk_stored(spark, path, list(_query_vec()), cents, k=10)

@@ -48,6 +48,7 @@ __all__ = [
     "write_sq8_codes",
     "sq8_sdc_topk_stored",
     "append_sq8_codes",
+    "delete_pq_codes",
 ]
 
 
@@ -1413,3 +1414,39 @@ def append_sq8_codes(
     if n_new:
         out.write.mode("append").parquet(f"{path}/codes")
     return n_new
+
+
+def delete_pq_codes(spark, path: str, ids: list[int]) -> int:
+    """Remove ids from a stored PQ codes table — the TAKEDOWN half of
+    the index lifecycle (write → append → DELETE → query): a removal
+    request (DMCA, GDPR, contamination finding) must disappear from
+    tomorrow's ANN results without a full rebuild. Rewrites the codes
+    table minus the ids with the torn-write discipline inverted from
+    write_pq_codes: the survivors are materialized FIRST (eager
+    checkpoint — reading and overwriting the same parquet dir in one
+    plan would corrupt it), then _meta is invalidated, codes
+    overwritten, _meta restored — an interruption leaves no _meta, so
+    the next read fails loudly rather than scoring a half-rewritten
+    table. Returns the number of rows removed.
+
+    Scale shape: one column-pruned scan + an isin/anti filter (a
+    BROADCAST of the bounded takedown list — removal batches are
+    thousands, not corpus-scale) + one rewrite. A production variant
+    with frequent small deletes would tombstone instead and compact
+    periodically; the rewrite IS the compaction."""
+    meta = read_pq_codes_meta(spark, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    sid = meta["id_col"]
+    keep = codes.filter(~F.col(sid).isin([int(i) for i in ids]))
+    survivors = keep.localCheckpoint(eager=True)  # materialize BEFORE overwrite
+    n_removed = codes.count() - survivors.count()
+    _invalidate_meta(spark, path)
+    survivors.write.mode("overwrite").parquet(f"{path}/codes")
+    spark.range(1).select(
+        F.lit(int(meta["num_sub"])).cast("int").alias("num_sub"),
+        F.lit(int(meta["dim"])).cast("int").alias("dim"),
+        F.lit(int(meta["n_centroids"])).cast("int").alias("n_centroids"),
+        F.lit(meta["codebook_md5"]).alias("codebook_md5"),
+        F.lit(sid).alias("id_col"),
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    return int(n_removed)

@@ -2248,3 +2248,40 @@ def test_sq8_append_equals_rebuild(spark, sf_dir, tmp_path):
         SIM.append_sq8_codes(
             emb.filter(F.col("vec_id") % 3 == 0), p_inc, list(mins), drifted
         )
+
+
+def test_pq_delete_equals_rebuild_without(spark, sf_dir, tmp_path):
+    """delete(ids) must leave the codes table equal to a one-shot
+    build over the corpus minus ids, preserve _meta, and be
+    idempotent."""
+    from lrmr_spark.catalog.similarity_ops import _centroids
+    from lrmr_spark.operators import similarity as SIM
+
+    cents = [list(c) for c in _centroids()[:4]]
+    emb = load(spark, sf_dir, "embeddings")
+    p_del = str(tmp_path / "del")
+    p_ref = str(tmp_path / "ref")
+    SIM.write_pq_codes(emb, p_del, cents, num_sub=8)
+    ids = [
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") % 7 == 0).select("vec_id").collect()
+    ]
+    n = SIM.delete_pq_codes(spark, p_del, ids)
+    assert n == len(ids) > 0
+    assert SIM.delete_pq_codes(spark, p_del, ids) == 0
+    SIM.write_pq_codes(
+        emb.filter(F.col("vec_id") % 7 != 0), p_ref, cents, num_sub=8
+    )
+    cols = ["vec_id"] + [f"code_{s}" for s in range(8)]
+    after = {
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(f"{p_del}/codes").collect()
+    }
+    ref = {
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(f"{p_ref}/codes").collect()
+    }
+    assert after == ref
+    # _meta survived the rewrite: the stored read path still works
+    meta = SIM.read_pq_codes_meta(spark, p_del)
+    assert meta["num_sub"] == 8 and meta["id_col"] == "vec_id"
