@@ -1143,3 +1143,93 @@ def dedup_threshold_sweep(spark, sf_dir):
         )
         .orderBy("threshold_ppm")
     )
+
+
+def _minhash_delete_oracle(
+    num_hashes: int = 16, bands: int = 2, threshold: float = 0.9
+) -> str:
+    """Rebuild-without mirror: base reps built from the base corpus
+    MINUS every document whose content fingerprint appears in the
+    takedown set (base ids with _id % 3 = 0) — the content-takedown
+    semantics delete_minhash_index_content implements."""
+    rows = num_hashes // bands
+    sig_elems = ", ".join(
+        f"list_min(list_transform(items, t -> md5('{s}:' || t)))" for s in range(num_hashes)
+    )
+    band_elems = ", ".join(
+        "concat_ws('|', '%d', %s)" % (b, ", ".join(f"sig[{b * rows + r + 1}]" for r in range(rows)))
+        for b in range(bands)
+    )
+    return f"""
+    WITH items0 AS (
+      {_MULTISET_ITEMS_SQL}
+    ),
+    f AS (SELECT _id, items, md5(array_to_string(items, ' ')) AS fp
+          FROM items0),
+    tfps AS (SELECT DISTINCT fp FROM f WHERE _id % 5 <> 0 AND _id % 3 = 0),
+    nreps AS (
+      SELECT min(_id) AS _id, any_value(items) AS items
+      FROM f WHERE _id % 5 = 0 GROUP BY fp
+    ), breps AS (
+      SELECT min(_id) AS _id, any_value(items) AS items
+      FROM f WHERE _id % 5 <> 0 AND fp NOT IN (SELECT fp FROM tfps)
+      GROUP BY fp
+    ), nsigs AS (
+      SELECT _id, items, [{sig_elems}] AS sig FROM nreps
+    ), bsigs AS (
+      SELECT _id, items, [{sig_elems}] AS sig FROM breps
+    ), nb AS (
+      SELECT _id, unnest([{band_elems}]) AS band FROM nsigs
+    ), bb AS (
+      SELECT _id, unnest([{band_elems}]) AS band FROM bsigs
+    ), cand AS (
+      SELECT DISTINCT l._id AS new_id, r._id AS base_id
+      FROM nb l JOIN bb r ON l.band = r.band
+    ), verified AS (
+      SELECT new_id, base_id,
+             round(len(list_intersect(a.items, b.items))
+                   / CAST(len(list_distinct(list_concat(a.items, b.items))) AS DOUBLE), 4)
+               AS jaccard
+      FROM cand JOIN nreps a ON cand.new_id = a._id
+                JOIN breps b ON cand.base_id = b._id
+    )
+    SELECT new_id, base_id, jaccard FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+@query("dedup_minhash_index_delete", oracle=_minhash_delete_oracle)
+def dedup_minhash_index_delete(spark, sf_dir):
+    """The dedup-index TAKEDOWN row (write → DELETE content → match):
+    build the base index (doc_id % 5 ≠ 0, md5 path), remove the
+    takedown batch's CONTENT (base docs with doc_id % 3 = 0 — every
+    rep whose item set matches a takedown doc disappears, the
+    whole-cluster semantics a DMCA/GDPR request wants), assert the
+    re-sent takedown removes 0 (idempotent), then match the incoming
+    batch (doc_id % 5 = 0). The oracle rebuilds the post-delete index
+    from scratch in SQL, so the row is red if deleted content still
+    matches OR a surviving rep's id/signature was disturbed by the
+    rewrite. With ann_pq_delete_topk this completes stored-index CRUD
+    for BOTH index families: write, append, streaming refresh,
+    delete, match/query."""
+    import os
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"lrmr_mh_del_{tag}")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    DD.write_minhash_index(
+        base, "doc_id", "text", path, num_hashes=16, bands=2, fast=False
+    )
+    takedown = base.filter(F.col("doc_id") % 3 == 0)
+    DD.delete_minhash_index_content(takedown, path, "doc_id", "text")
+    n_again = DD.delete_minhash_index_content(takedown, path, "doc_id", "text")
+    if n_again != 0:
+        raise AssertionError(
+            f"re-sent takedown removed {n_again} reps — content delete "
+            "must be idempotent"
+        )
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return DD.match_minhash_index(
+        batch, path, "doc_id", "text", threshold=0.9
+    ).orderBy("new_id", "base_id")

@@ -1269,3 +1269,75 @@ def simhash64_hamming_pairs(
         .filter(F.col("hamming") <= k)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def delete_minhash_index_content(
+    takedown_df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+) -> int:
+    """CONTENT takedown from a stored MinHash index — the dedup twin
+    of similarity.delete_pq_codes, with the semantics a takedown
+    actually wants: every index representative whose item set equals
+    ANY takedown document's item set is removed (the index stores one
+    rep per distinct content, so removing the rep removes the whole
+    exact-dup cluster — a DMCA/GDPR request targets the CONTENT, not
+    a row id). Because removal is by whole fingerprint-cluster, the
+    surviving reps' min-ids are untouched and delete ≡ rebuild-minus-
+    that-content EXACTLY (asserted in tests).
+
+    The takedown batch is itemized with the index's own stored
+    parameters (unit/shingle_k/fast from _meta — a drifted
+    itemization would silently delete nothing), matched by item-array
+    equality, and both stored tables are rewritten: reps minus the
+    matched rows, bands minus the removed rep ids. Torn-write
+    discipline: survivors materialize first (eager checkpoint — never
+    read and overwrite one parquet dir in a single plan), _meta is
+    invalidated before the rewrites and restored after, so an
+    interruption fails loudly on the next read. Returns reps removed.
+
+    Scale shape: the takedown side is bounded (a removal batch);
+    reps/bands are scanned once each and rewritten — the rewrite IS
+    the compaction a tombstone variant would eventually run."""
+    spark = takedown_df.sparkSession
+    meta = read_minhash_index_meta(spark, path)
+    t_items = (
+        _minhash_reps(
+            takedown_df,
+            id_col,
+            text_col,
+            meta["num_hashes"],
+            meta["unit"],
+            meta["shingle_k"],
+            meta["fast"],
+        )
+        .select(F.col("items").alias("_t_items"))
+        .distinct()
+    )
+    reps = spark.read.parquet(f"{path}/reps")
+    bands = spark.read.parquet(f"{path}/bands")
+    keep_reps = reps.join(
+        t_items, reps["items"] == t_items["_t_items"], "left_anti"
+    ).localCheckpoint(eager=True)
+    removed_ids = (
+        reps.join(t_items, reps["items"] == t_items["_t_items"], "left_semi")
+        .select("_id")
+        .localCheckpoint(eager=True)
+    )
+    keep_bands = bands.join(removed_ids, "_id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    n_removed = removed_ids.count()
+    # torn-write guard: no _meta may pair with half-rewritten tables
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_meta")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    meta_backup = spark.read.json(f"{path}/_meta").collect()[0].asDict()
+    fs.delete(jpath, True)
+    keep_reps.write.mode("overwrite").parquet(f"{path}/reps")
+    keep_bands.write.mode("overwrite").parquet(f"{path}/bands")
+    spark.range(1).select(
+        *[F.lit(v).alias(k) for k, v in sorted(meta_backup.items())]
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    return int(n_removed)

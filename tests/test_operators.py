@@ -2285,3 +2285,61 @@ def test_pq_delete_equals_rebuild_without(spark, sf_dir, tmp_path):
     # _meta survived the rewrite: the stored read path still works
     meta = SIM.read_pq_codes_meta(spark, p_del)
     assert meta["num_sub"] == 8 and meta["id_col"] == "vec_id"
+
+
+def test_minhash_content_delete_equals_rebuild_without(spark, sf_dir, tmp_path):
+    """Content takedown must leave reps+bands equal to an index built
+    over the base corpus minus every doc sharing a takedown doc's
+    content, with surviving rep ids untouched."""
+    from lrmr_spark.operators import dedup as DD
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    p_del = str(tmp_path / "mh_del")
+    p_ref = str(tmp_path / "mh_ref")
+    DD.write_minhash_index(
+        base, "doc_id", "text", p_del, num_hashes=16, bands=2, fast=False
+    )
+    takedown = base.filter(F.col("doc_id") % 3 == 0)
+    n = DD.delete_minhash_index_content(takedown, p_del, "doc_id", "text")
+    assert n > 0
+    assert (
+        DD.delete_minhash_index_content(takedown, p_del, "doc_id", "text") == 0
+    )
+    # rebuild reference: base minus every doc whose TOKEN MULTISET
+    # matches a takedown doc's (content identity, not id identity)
+    from collections import Counter
+
+    taken = {
+        tuple(sorted(Counter((r["text"] or "").split()).items()))
+        for r in takedown.select("text").collect()
+    }
+    keep_ids = [
+        r["doc_id"]
+        for r in base.select("doc_id", "text").collect()
+        if tuple(sorted(Counter((r["text"] or "").split()).items())) not in taken
+    ]
+    DD.write_minhash_index(
+        base.filter(F.col("doc_id").isin(keep_ids)),
+        "doc_id", "text", p_ref, num_hashes=16, bands=2, fast=False,
+    )
+    got_reps = {
+        (r["_id"], tuple(r["items"]))
+        for r in spark.read.parquet(f"{p_del}/reps").collect()
+    }
+    ref_reps = {
+        (r["_id"], tuple(r["items"]))
+        for r in spark.read.parquet(f"{p_ref}/reps").collect()
+    }
+    assert got_reps == ref_reps and got_reps
+    got_bands = {
+        (r["_band"], r["_id"])
+        for r in spark.read.parquet(f"{p_del}/bands").collect()
+    }
+    ref_bands = {
+        (r["_band"], r["_id"])
+        for r in spark.read.parquet(f"{p_ref}/bands").collect()
+    }
+    assert got_bands == ref_bands
+    # _meta survived
+    assert DD.read_minhash_index_meta(spark, p_del)["num_hashes"] == 16
