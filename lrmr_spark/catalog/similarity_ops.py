@@ -1856,3 +1856,93 @@ def ann_pq_delete_topk(spark, sf_dir):
             "idempotent"
         )
     return SIM.pq_adc_topk_stored(spark, path, list(_query_vec()), cents, k=10)
+
+
+@lru_cache(maxsize=None)
+def _query_vecs(n: int = 4, sf_dir: str = _SF_ORACLE) -> tuple[tuple[float, ...], ...]:
+    """The first ``n`` embeddings (vec_id 0..n-1) as float64 literals —
+    the bounded QUERY BATCH for the multi-query entries."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    by_id = dict(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+    return tuple(
+        tuple(float(x) for x in by_id[i]) for i in range(n)
+    )
+
+
+def _batch_topk_oracle() -> str:
+    parts = []
+    for qid, q in enumerate(_query_vecs()):
+        qv = _vec_sql_literal(q)
+        dot = _dot_sql("e.embedding", f"({qv})")
+        norm_e = f"sqrt({_dot_sql('e.embedding', 'e.embedding')})"
+        norm_q = f"sqrt({_dot_sql(f'({qv})', f'({qv})')})"
+        parts.append(
+            f"""(SELECT {qid} AS query_id, e.vec_id,
+                  round({dot} / ({norm_e} * {norm_q}), 6) AS score
+           FROM embeddings e
+           ORDER BY score DESC, e.vec_id ASC LIMIT 5)"""
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+    SELECT CAST(query_id AS BIGINT) AS query_id, vec_id, score
+    FROM ({union}) t ORDER BY query_id, score DESC, vec_id
+    """
+
+
+@query("ann_cosine_topk_batch", oracle=_batch_topk_oracle)
+def ann_cosine_topk_batch(spark, sf_dir):
+    """BATCHED exact ANN — top-5 per query for a 4-query batch in ONE
+    corpus pass: the production scoring shape (a retrieval service
+    amortizes the scan across the whole query batch; per-query scans
+    would read the corpus Q times). The bounded query table enters as
+    an explicit broadcast (literal-built, n_queries rows), each corpus
+    row scores against all queries after the broadcast join, and the
+    per-query top-k is a row_number window PARTITIONED BY query_id —
+    the window shuffles (query_id, vec_id, score) triples only, never
+    embeddings, and partitioning by query_id spreads the rank work
+    across the cluster (no single-partition window). Oracle: per-query
+    ORDER BY/LIMIT union over the same literals — two different top-k
+    formulations must agree exactly on the rounded scores."""
+    from pyspark.sql import Window as W
+
+    emb = load(spark, sf_dir, "embeddings")
+    # pure-JVM bounded query table (createDataFrame would boot Python
+    # workers for 4 rows — the write_pq_codes _meta discipline)
+    qdf = F.broadcast(
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(qid).cast("bigint").alias("query_id"),
+                            F.array(
+                                *[F.lit(float(x)) for x in q]
+                            ).alias("qv"),
+                        )
+                        for qid, q in enumerate(_query_vecs())
+                    ]
+                )
+            ).alias("_q")
+        )
+        .select("_q.query_id", "_q.qv")
+    )
+    scored = emb.join(qdf).select(
+        "query_id",
+        "vec_id",
+        F.round(SIM.cosine(F.col("embedding"), F.col("qv")), 6).alias(
+            "score"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .select("query_id", "vec_id", "score")
+        .orderBy("query_id", F.desc("score"), "vec_id")
+    )

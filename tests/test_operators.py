@@ -2343,3 +2343,25 @@ def test_minhash_content_delete_equals_rebuild_without(spark, sf_dir, tmp_path):
     assert got_bands == ref_bands
     # _meta survived
     assert DD.read_minhash_index_meta(spark, p_del)["num_hashes"] == 16
+
+
+def test_ann_batch_topk_matches_per_query_single(spark, sf_dir):
+    """The one-pass batched top-k must equal Q independent single-query
+    runs of the established cosine_topk operator."""
+    from lrmr_spark.catalog.similarity_ops import (
+        _query_vecs,
+        ann_cosine_topk_batch,
+    )
+    from lrmr_spark.operators import similarity as SIM
+
+    emb = load(spark, sf_dir, "embeddings")
+    got = {}
+    for r in ann_cosine_topk_batch(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    assert sorted(got) == [0, 1, 2, 3]
+    for qid, q in enumerate(_query_vecs()):
+        single = [
+            (r["vec_id"], r["score"])
+            for r in SIM.cosine_topk(emb, list(q), k=5).collect()
+        ]
+        assert got[qid] == single
