@@ -477,3 +477,15 @@ def test_sq8_stored_scan_reads_codes_only(spark):
     assert "embedding" not in cols
     assert set(cols) == {"vec_id", "codes"}
     assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_batch_topk_plan_broadcasts_queries_and_prelimits_window(spark):
+    # the one-pass multi-query scorer: bounded query table broadcast
+    # (never shuffled corpus-side), and WindowGroupLimit so each task
+    # keeps only its local top-k triples before the rank shuffle
+    df = queries()["ann_cosine_topk_batch"](spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
+    cols = read_schema_columns(df)
+    assert set(cols) == {"vec_id", "embedding"}
