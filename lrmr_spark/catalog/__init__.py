@@ -153,7 +153,9 @@ _PRIORITY = [
 # token_diversity_index, ann_sq8_stored_topk, ann_sq8_recall_at_k,
 # mixture_unimax_sample, dedup_threshold_sweep, source_overlap_matrix,
 # multimodal_curation_pipeline, multimodal_phash_index_match,
-# streaming_phash_index_match (rows-only twin), ann_sq8_append_topk, ann_pq_delete_topk, dedup_minhash_index_delete, ann_cosine_topk_batch.
+# streaming_phash_index_match (rows-only twin), ann_sq8_append_topk,
+# ann_pq_delete_topk, dedup_minhash_index_delete, ann_cosine_topk_batch,
+# text_line_dedup.
 
 
 def _ordered(names: list[str]) -> list[str]:

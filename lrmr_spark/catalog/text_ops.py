@@ -1025,3 +1025,47 @@ def text_dup_span_removal(spark, sf_dir):
     return TX.dup_span_removal(
         load(spark, sf_dir, "documents"), "doc_id", "text", n=5
     ).orderBy("doc_id")
+
+
+@query(
+    "text_line_dedup",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sized AS (
+      SELECT doc_id, toks, len(toks) AS n FROM raw WHERE len(toks) > 0),
+    segs AS (
+      SELECT doc_id, s AS seg_idx,
+             array_to_string(toks[s * 10 + 1 : (s + 1) * 10], ' ') AS seg
+      FROM sized, UNNEST(range(0, CAST(ceil(n / 10.0) AS BIGINT))) AS t(s)),
+    freq AS (
+      SELECT doc_id, seg_idx, seg,
+             count(*) OVER (PARTITION BY seg) AS df
+      FROM segs)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           coalesce(array_to_string(
+             list(seg ORDER BY seg_idx) FILTER (WHERE df < 2), ' '), '')
+             AS text_out
+    FROM freq GROUP BY doc_id
+    """,
+)
+def text_line_dedup(spark, sf_dir):
+    """CCNet / RefinedWeb line-level deduplication with document
+    rebuild: drop every 10-token segment ("line" — the corpus has no
+    newlines, so fixed windows stand in for the line segmenter) whose
+    exact text occurs ≥ 2 times corpus-wide, then reassemble each
+    document from its surviving segments. This is the curation step
+    between exact whole-doc dedup (dedup_exact — misses partial
+    boilerplate) and span cutting (text_dup_span_removal — positional
+    n-gram runs): corpus-FREQUENCY line removal kills headers, nav
+    chrome and license blocks everywhere at once. Output: (doc_id,
+    n_segs, n_dropped, text_out).
+
+    Two exchanges (segment-keyed frequency window, doc-keyed rebuild);
+    documents travel segment-sharded, never whole — see
+    operators/text.py line_dedup_rebuild for the 100 TB shape."""
+    d = load(spark, sf_dir, "documents")
+    return TX.line_dedup_rebuild(d, "doc_id", "text", width=10, min_df=2)

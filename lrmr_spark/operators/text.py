@@ -556,3 +556,92 @@ def decontaminate_span_removal(
     )
     train_tok = tok.filter(F.col("_ev") == 0).select("_id", "_pos", "_t")
     return _removal_rebuild(train_tok, marks, id_col, n)
+
+
+def line_dedup_rebuild(
+    df,
+    id_col: str,
+    text_col: str,
+    width: int = 10,
+    min_df: int = 2,
+):
+    """Corpus-frequency LINE deduplication with document rebuild — the
+    CCNet / RefinedWeb curation step (Wenzek et al. LREC'20 §3.1;
+    Penedo et al. 2023 §4.2: drop every line whose hash occurs more
+    than once corpus-wide — boilerplate headers, navigation chrome,
+    license blocks — and keep the rest of the document). The synthetic
+    corpus has no newlines, so the "line" segmenter is fixed
+    non-overlapping ``width``-token windows; the algorithm is
+    segmenter-agnostic (swap in split-on-newline for real crawl text).
+
+    Semantics: a segment is dropped from EVERY document it appears in
+    when its corpus frequency ≥ ``min_df`` (CCNet drops all copies,
+    not all-but-one — boilerplate is noise in its first document too).
+    Output per document: (n_segs, n_dropped, text_out) where text_out
+    is the surviving segments rejoined in original order ('' when
+    everything was boilerplate — the caller's length filter then
+    drops the husk, which is exactly the CCNet pipeline order).
+
+    Spark-first plan, two exchanges total:
+    1. Tokenize once per doc (the pitfall-12/16-safe
+       transform(array(toks), ...) binding), emit (doc_id, seg_idx,
+       seg) via one posexplode — the segment builder runs inside the
+       generator struct so nothing re-evaluates per row.
+    2. ONE segment-keyed exchange: count() over a partitionBy(seg)
+       window marks each instance with its corpus frequency — no
+       groupBy+join double shuffle, and no collect: the frequency
+       table is corpus-sized and never touches the driver.
+    3. ONE doc-keyed exchange rebuilds: conditional aggregates count
+       drops, collect_list(when(keep, struct(seg_idx, seg))) skips
+       dropped segments (collect_list ignores NULLs), array_sort on
+       the struct restores original order.
+
+    100 TB shape: rows on the wire are (doc_id, seg_idx, one
+    ~width-token segment) — documents travel segment-sharded, never
+    whole, so skew is bounded by segment frequency, not document
+    size. A production variant keys the window on xxhash64(seg) to
+    shrink the shuffle sort key; the md5-free seg key here keeps the
+    operator collision-exact to match a SQL oracle. Reference parity:
+    the FlatMap→GroupByKey pipeline shape
+    (/root/reference/transformations.go:68-70 FlatMap,
+    /root/reference/pipeline.go:153-177 GroupByKey) — segment fan-out
+    is the FlatMap, the frequency window is the GroupByKey."""
+    from pyspark.sql import Window as W
+
+    toks = tokens(text_col)
+
+    def _build(tv):
+        tn = F.size(tv)
+        nseg = F.ceil(tn / F.lit(width)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda s: F.struct(
+                s.cast("bigint").alias("seg_idx"),
+                F.array_join(F.slice(tv, s * width + 1, width), " ").alias("seg"),
+            ),
+        )
+
+    segs = (
+        df.filter(F.size(toks) > 0)
+        .select(F.col(id_col).alias("_id"), F.explode(F.transform(F.array(toks), _build)[0]).alias("c"))
+        .select("_id", "c.seg_idx", "c.seg")
+    )
+    freq = segs.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("seg")))
+    keep = F.col("_df") < min_df
+    return (
+        freq.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.when(keep, 0).otherwise(1)).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("seg_idx", "seg")))
+                    ),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("text_out"),
+        )
+        .select(F.col("_id").alias(id_col), "n_segs", "n_dropped", "text_out")
+    )

@@ -2365,3 +2365,66 @@ def test_ann_batch_topk_matches_per_query_single(spark, sf_dir):
             for r in SIM.cosine_topk(emb, list(q), k=5).collect()
         ]
         assert got[qid] == single
+
+
+# ------------------------------------------------- line-level dedup
+def _py_line_dedup(docs: dict[int, str], width: int, min_df: int):
+    """Plain-python reference for line_dedup_rebuild: fixed width-token
+    segments, drop every segment whose corpus frequency >= min_df,
+    rejoin survivors in order."""
+    from collections import Counter
+
+    segs = {}
+    for d, t in docs.items():
+        ts = t.split()
+        segs[d] = [
+            " ".join(ts[i : i + width]) for i in range(0, len(ts), width)
+        ]
+    counts = Counter(s for ss in segs.values() for s in ss)
+    out = {}
+    for d, ss in segs.items():
+        if not ss:
+            continue
+        kept = [s for s in ss if counts[s] < min_df]
+        out[d] = (len(ss), len(ss) - len(kept), " ".join(kept))
+    return out
+
+
+def test_line_dedup_drops_planted_boilerplate_and_rebuilds(spark):
+    # the same 4-token "header" segment opens docs 1-3; doc 4 is clean;
+    # doc 5 is ENTIRELY boilerplate (header twice) -> empty rebuild
+    header = "site nav menu legal"
+    docs = {
+        1: header + " alpha beta gamma delta",
+        2: header + " epsilon zeta eta theta",
+        3: header + " iota kappa lambda mu",
+        4: "clean1 clean2 clean3 clean4 clean5 clean6 clean7 clean8",
+        5: header + " " + header,
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_segs"], r["n_dropped"], r["text_out"])
+        for r in TX.line_dedup_rebuild(df, "doc_id", "text", width=4).collect()
+    }
+    assert got == _py_line_dedup(docs, 4, 2)
+    assert got[5] == (2, 2, "")          # all-boilerplate husk
+    assert got[4] == (2, 0, docs[4])     # clean doc unchanged
+    assert got[1] == (2, 1, "alpha beta gamma delta")
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_line_dedup_random_corpus_matches_reference(spark, seed):
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(6)]  # tiny vocab -> natural seg dups
+    docs = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        for d in range(1, 25)
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_segs"], r["n_dropped"], r["text_out"])
+        for r in TX.line_dedup_rebuild(df, "doc_id", "text", width=3).collect()
+    }
+    assert got == _py_line_dedup(docs, 3, 2)
