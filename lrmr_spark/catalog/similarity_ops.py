@@ -611,6 +611,18 @@ def bm25_topk(spark, sf_dir):
     are broadcast 1-row/`|q|`-row aggregates; the final top-k is
     TakeOrderedAndProject, never a global sort. Doc length comes from
     the same token stream (one explode feeds dl, tf, df)."""
+    return (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _bm25_scores(spark, sf_dir):
+    """The bm25_topk scoring pipeline without the final top-k: (doc_id,
+    score_ppm) for every document matching ≥ 1 query term. Shared by
+    bm25_topk and the hybrid-RRF lexical arm so both entries score the
+    exact same integer arithmetic."""
     from ..operators import text as TX
 
     d = load(spark, sf_dir, "documents")
@@ -639,12 +651,7 @@ def bm25_topk(spark, sf_dir):
             ).alias("c"),
         )
     )
-    return (
-        contrib.groupBy("doc_id")
-        .agg(F.sum("c").alias("score_ppm"))
-        .orderBy(F.desc("score_ppm"), F.asc("doc_id"))
-        .limit(10)
-    )
+    return contrib.groupBy("doc_id").agg(F.sum("c").alias("score_ppm"))
 
 
 def _pq_oracle() -> str:
@@ -1946,3 +1953,118 @@ def ann_cosine_topk_batch(spark, sf_dir):
         .select("query_id", "vec_id", "score")
         .orderBy("query_id", F.desc("score"), "vec_id")
     )
+
+
+def _hybrid_rrf_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    q = _vec_sql_literal(_query_vec())
+    dot = _dot_sql("e.embedding", "q.qv")
+    norm_e = f"sqrt({_dot_sql('e.embedding', 'e.embedding')})"
+    norm_q = f"sqrt({_dot_sql('q.qv', 'q.qv')})"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                t -> t <> '')) AS t
+      FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM tok GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) // CAST(count(*) AS BIGINT)
+                       AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+           FROM tok WHERE t IN ({terms}) GROUP BY doc_id, t),
+    df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+    contrib AS (
+      SELECT tf.doc_id,
+             (((1000000 * (s.n_docs - df.df + 1)) // (df.df + 1))
+               * 2200 * tf.tf * s.avgdl)
+               // (1000 * s.avgdl * tf.tf + 300 * s.avgdl + 900 * dl.dl)
+               AS c
+      FROM tf JOIN df USING (t) JOIN dl USING (doc_id), stats s),
+    lex AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_ppm
+            FROM contrib GROUP BY doc_id
+            ORDER BY score_ppm DESC, doc_id ASC LIMIT 20),
+    lexr AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY score_ppm DESC, doc_id ASC)
+                      AS lex_rank
+             FROM lex),
+    q AS (SELECT {q} AS qv),
+    den AS (SELECT e.vec_id AS doc_id,
+                   round({dot} / ({norm_e} * {norm_q}), 6) AS score
+            FROM embeddings e, q
+            ORDER BY score DESC, e.vec_id ASC LIMIT 20),
+    denr AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                      AS dense_rank
+             FROM den),
+    fused AS (
+      SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+             coalesce(1000000 // (60 + l.lex_rank), 0)
+               + coalesce(1000000 // (60 + r.dense_rank), 0) AS rrf_ppm,
+             l.lex_rank AS lex_rank, r.dense_rank AS dense_rank
+      FROM lexr l FULL JOIN denr r ON l.doc_id = r.doc_id)
+    SELECT doc_id, CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(dense_rank AS BIGINT) AS dense_rank
+    FROM fused ORDER BY rrf_ppm DESC, doc_id ASC LIMIT 10
+    """
+
+
+@query("ann_hybrid_rrf", oracle=_hybrid_rrf_oracle)
+def ann_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+dense retrieval via Reciprocal Rank Fusion
+    (Cormack et al. SIGIR'09): fuse the BM25-shaped integer top-20
+    (the bm25_topk arm, term query over documents) with the exact
+    cosine top-20 (the ann_cosine_topk arm, query vector over
+    embeddings; vec_id IS the document id in this corpus) by
+    rrf_ppm = Σ_arms 1e6 DIV (60 + rank) — the standard production RAG
+    read path where neither arm alone ranks well. RRF is computed in
+    exact integer arithmetic (1e6 DIV (60+r) keeps ranks 1..20
+    distinct), so the fusion is hash-portable; a doc present in one
+    arm gets only that arm's contribution (standard RRF). Output:
+    top-10 (doc_id, rrf_ppm, lex_rank, dense_rank) with NULL rank for
+    the missing arm.
+
+    100 TB shape: each arm is already a bounded TakeOrderedAndProject
+    top-k′ (lexical: term-filtered postings, broadcast df/stats;
+    dense: broadcast query, per-partition top-k) — the fusion join
+    touches 2·k′ rows, so the hybrid costs exactly the two arms. The
+    single-partition rank windows cover k′ = 20 rows, bounded by
+    construction."""
+    from pyspark.sql import Window as W
+
+    kprime, c = 20, 60
+    lex = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+        .limit(kprime)
+    )
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("score_ppm"), F.asc("doc_id")))
+        .cast("bigint")
+        .alias("lex_rank"),
+    )
+    den = SIM.cosine_topk(
+        load(spark, sf_dir, "embeddings"), list(_query_vec()), k=kprime
+    ).withColumnRenamed("vec_id", "doc_id")
+    denr = den.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("bigint")
+        .alias("dense_rank"),
+    )
+    fused = lexr.join(denr, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(F.expr(f"1000000 DIV ({c} + lex_rank)"), F.lit(0))
+            + F.coalesce(F.expr(f"1000000 DIV ({c} + dense_rank)"), F.lit(0))
+        ).alias("rrf_ppm"),
+        "lex_rank",
+        "dense_rank",
+    )
+    return fused.orderBy(F.desc("rrf_ppm"), F.asc("doc_id")).limit(10)
