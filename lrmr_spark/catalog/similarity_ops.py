@@ -2068,3 +2068,107 @@ def ann_hybrid_rrf(spark, sf_dir):
         "dense_rank",
     )
     return fused.orderBy(F.desc("rrf_ppm"), F.asc("doc_id")).limit(10)
+
+
+def _matryoshka_recall_oracle() -> str:
+    """Prefix-dim recall sweep: one CTE per prefix width d with the
+    d-term rounded cosine (same left-to-right double fold as the Spark
+    aggregate), exact = the 64-dim arm, hits via LEFT JOIN."""
+
+    def pdot(a: str, b: str, d: int) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, "
+            f"list_transform(range(1, {d + 1}), "
+            f"i -> CAST(({a})[i] AS DOUBLE) * CAST(({b})[i] AS DOUBLE))), "
+            f"(acc, v) -> acc + v)"
+        )
+
+    qv = _vec_sql_literal(_query_vec())
+    arms = []
+    for d in (8, 16, 32, 64):
+        dot = pdot("e.embedding", "q.qv", d)
+        nrm = (
+            f"sqrt({pdot('e.embedding', 'e.embedding', d)})"
+            f" * sqrt({pdot('q.qv', 'q.qv', d)})"
+        )
+        arms.append(
+            f"(SELECT {d} AS prefix_dim, vec_id FROM "
+            f"(SELECT e.vec_id, round({dot} / ({nrm}), 6) AS s"
+            f" FROM embeddings e, q)"
+            f" ORDER BY s DESC, vec_id ASC LIMIT 10)"
+        )
+    cand = " UNION ALL ".join(arms)
+    ex_dot = pdot("e.embedding", "q.qv", 64)
+    ex_nrm = (
+        f"sqrt({pdot('e.embedding', 'e.embedding', 64)})"
+        f" * sqrt({pdot('q.qv', 'q.qv', 64)})"
+    )
+    return f"""
+    WITH q AS (SELECT {qv} AS qv),
+    ex AS (SELECT e.vec_id FROM embeddings e, q
+           ORDER BY round({ex_dot} / ({ex_nrm}), 6) DESC, e.vec_id ASC
+           LIMIT 10),
+    cand AS ({cand})
+    SELECT CAST(cand.prefix_dim AS BIGINT) AS prefix_dim,
+           CAST(count(ex.vec_id) AS BIGINT) AS hits
+    FROM cand LEFT JOIN ex USING (vec_id)
+    GROUP BY cand.prefix_dim ORDER BY prefix_dim
+    """
+
+
+@query("embedding_matryoshka_recall", oracle=_matryoshka_recall_oracle)
+def embedding_matryoshka_recall(spark, sf_dir):
+    """Matryoshka prefix-dimension quality curve (Kusupati et al.
+    NeurIPS'22, "Matryoshka Representation Learning"): recall@10 of
+    cosine retrieval restricted to the first d dimensions, d ∈
+    {8, 16, 32, 64}, against the full 64-dim exact top-10. This is the
+    third production ANN tuning knob next to the PQ shortlist
+    (ann_pq_recall_at_k) and the IVF probe count
+    (ann_ivf_recall_at_nprobe): MRL-style indexes store the prefix and
+    fetch 8× less per row — the curve says what that truncation costs
+    on THIS corpus (synthetic embeddings aren't MRL-trained, so the
+    low-d arms measure honest degradation, not MRL's near-lossless
+    ideal). d = 64 is the exact arm itself — 10/10 by construction,
+    the built-in sanity row.
+
+    One embeddings scan feeds all four arms (each a prefix-sliced
+    cosine + TakeOrderedAndProject); hit counting joins 40 candidate
+    rows against 10 exact ids — post-limit work is O(sweep·k) at any
+    corpus scale, and the prefix slice means a physical prefix-column
+    layout would read d/64 of the vector bytes."""
+    from functools import reduce
+
+    q = list(_query_vec())
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    emb = load(spark, sf_dir, "embeddings")
+    exact = (
+        emb.select(
+            "vec_id",
+            F.round(SIM.cosine(F.col("embedding"), qcol), 6).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.lit(1).alias("hit"))
+    )
+    arms = [
+        emb.select(
+            "vec_id",
+            F.round(
+                SIM.cosine(
+                    F.slice(F.col("embedding"), 1, d), F.slice(qcol, 1, d)
+                ),
+                6,
+            ).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(10)
+        .select(F.lit(d).cast("bigint").alias("prefix_dim"), "vec_id")
+        for d in (8, 16, 32, 64)
+    ]
+    cand = reduce(lambda a, b: a.unionAll(b), arms)
+    return (
+        cand.join(exact, "vec_id", "left")
+        .groupBy("prefix_dim")
+        .agg(F.count("hit").cast("bigint").alias("hits"))
+        .orderBy("prefix_dim")
+    )
