@@ -829,3 +829,86 @@ def graph_triangle_count(spark, sf_dir):
         .select("u", "v")
     )
     return triangle_count(edges)
+
+
+@query(
+    "graph_label_propagation",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT CAST(l_orderkey AS BIGINT) * 2 AS src,
+                      CAST(l_partkey AS BIGINT) * 2 + 1 AS dst
+      FROM lineitem
+      UNION ALL
+      SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 + 1,
+                      CAST(l_orderkey AS BIGINT) * 2
+      FROM lineitem),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+    l1 AS (SELECT dst AS node, label FROM (
+             SELECT e.dst, r.label,
+                    row_number() OVER (PARTITION BY e.dst
+                                       ORDER BY count(*) DESC, r.label ASC)
+                      AS rn
+             FROM e JOIN l0 r ON e.src = r.node
+             GROUP BY e.dst, r.label) WHERE rn = 1),
+    l2 AS (SELECT dst AS node, label FROM (
+             SELECT e.dst, r.label,
+                    row_number() OVER (PARTITION BY e.dst
+                                       ORDER BY count(*) DESC, r.label ASC)
+                      AS rn
+             FROM e JOIN l1 r ON e.src = r.node
+             GROUP BY e.dst, r.label) WHERE rn = 1),
+    l3 AS (SELECT dst AS node, label FROM (
+             SELECT e.dst, r.label,
+                    row_number() OVER (PARTITION BY e.dst
+                                       ORDER BY count(*) DESC, r.label ASC)
+                      AS rn
+             FROM e JOIN l2 r ON e.src = r.node
+             GROUP BY e.dst, r.label) WHERE rn = 1)
+    SELECT CASE WHEN label % 2 = 0
+                THEN 'o:' || CAST(label // 2 AS VARCHAR)
+                ELSE 'p:' || CAST((label - 1) // 2 AS VARCHAR) END
+             AS community,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM l3 GROUP BY label
+    ORDER BY n_members DESC, community ASC LIMIT 30
+    """,
+)
+def graph_label_propagation(spark, sf_dir):
+    """Community detection via synchronous Label Propagation (3 fixed
+    rounds, min-label ties) over the undirected order↔part bipartite
+    graph — the graph-side complement to dedup_components: LPA finds
+    DENSE communities (co-purchase clusters / boilerplate families /
+    link farms), not just connectivity, and is the standard cheap
+    community pass corpus pipelines run on domain-link graphs before
+    source weighting. Output: top-30 communities by size.
+
+    Deterministic by construction (fixed rounds, synchronous updates,
+    smallest-label ties, exact integer labels), so an ITERATIVE
+    clustering algorithm gets a hash-exact SQL oracle — three unrolled
+    CTE rounds with a row_number argmax mirroring Spark's
+    max(struct(count, -label)). Long node ids ride every shuffle
+    (orders even, parts odd — the pagerank_parts lesson: string ids
+    measured 3.8× slower at sf0.1); labels format only on the final 30
+    rows. See operators/graph.py label_propagation for the per-round
+    shuffle budget."""
+    li = load(spark, sf_dir, "lineitem")
+    o = F.col("l_orderkey").cast("long") * 2
+    p = F.col("l_partkey").cast("long") * 2 + 1
+    fwd = li.select(o.alias("src"), p.alias("dst")).distinct()
+    rev = li.select(p.alias("src"), o.alias("dst")).distinct()
+    from ..operators.graph import label_propagation
+
+    labels = label_propagation(fwd.unionAll(rev), iterations=3)
+    community = F.when(
+        F.col("label") % 2 == 0,
+        F.concat(F.lit("o:"), F.expr("label DIV 2").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("p:"), F.expr("(label - 1) DIV 2").cast("string"))
+    )
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .select(community.alias("community"), "n_members")
+        .orderBy(F.desc("n_members"), F.asc("community"))
+        .limit(30)
+    )

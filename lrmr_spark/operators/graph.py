@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_ppm", "triangle_count"]
+__all__ = ["pagerank_ppm", "triangle_count", "label_propagation"]
 
 
 def pagerank_ppm(
@@ -146,3 +146,50 @@ def triangle_count(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> Data
         .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
         .crossJoin(tri)
     )
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Synchronous Label Propagation community detection (Raghavan et
+    al., Phys. Rev. E 2007) with DETERMINISTIC tie-breaking: every node
+    starts as its own community (label = node id); each round, every
+    node adopts the label most frequent among its neighbors, ties
+    broken by SMALLEST label. The classic LPA randomizes update order
+    and tie choice; fixing synchronous rounds + min-label ties makes a
+    fixed iteration count bit-identical across engines and
+    partitionings — the same trick that makes pagerank_ppm
+    oracle-checkable. (Synchronous LPA can 2-cycle on bipartite
+    structure; a fixed round count returns a deterministic snapshot
+    either way, which is what a verification gate needs.)
+
+    ``edges`` is directed (src, dst); undirected callers union both
+    directions. Labels must be non-negative longs (the min-tie argmax
+    rides max(struct(count, -label))). Output: (node, label).
+
+    Scale shape, per round: one edges⋈labels join shuffling
+    (node, long) pairs, a (dst, label)-keyed count with map-side
+    partials, and a dst-keyed argmax — also map-side combinable via
+    max(struct). Lineage truncates per round with localCheckpoint
+    (pitfall 12), so the plan stays flat at any iteration count."""
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("nd"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.groupBy(F.col("nd").alias("node"))
+            .agg(
+                (-F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl")))["nl"])
+                .cast("long")
+                .alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -2428,3 +2428,65 @@ def test_line_dedup_random_corpus_matches_reference(spark, seed):
         for r in TX.line_dedup_rebuild(df, "doc_id", "text", width=3).collect()
     }
     assert got == _py_line_dedup(docs, 3, 2)
+
+
+# ------------------------------------------------- label propagation
+def _py_lpa(edges: list[tuple[int, int]], iterations: int) -> dict[int, int]:
+    """Plain-python reference: synchronous rounds, argmax neighbor
+    label with smallest-label ties."""
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(list)
+    for s, d in edges:
+        nbrs[d].append(s)
+    labels = {n: n for sd in edges for n in sd}
+    for _ in range(iterations):
+        new = {}
+        for node, ins in nbrs.items():
+            c = Counter(labels[s] for s in ins)
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[node] = best[0]
+        labels.update(new)
+    return labels
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    from lrmr_spark.operators.graph import label_propagation
+
+    # two 4-cliques {0..3} and {10..13} joined by one bridge edge: the
+    # clique majority out-votes the bridge label by round 2, so each
+    # clique converges to its own min label (a triangle is NOT enough —
+    # min-label ties let the bridge label invade a 3-clique)
+    und = [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+        (10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13),
+        (3, 10),
+    ]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(df, 3).collect()}
+    want = _py_lpa(edges, 3)
+    assert got == want
+    # the plant: each clique converges to its own min label
+    assert {got[n] for n in (0, 1, 2, 3)} == {0}
+    assert {got[n] for n in (10, 11, 12, 13)} == {10}
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_label_propagation_random_graph_matches_reference(spark, seed):
+    import random
+
+    from lrmr_spark.operators.graph import label_propagation
+
+    rng = random.Random(seed)
+    nodes = list(range(18))
+    und = {
+        (min(a, b), max(a, b))
+        for _ in range(40)
+        for a, b in [(rng.choice(nodes), rng.choice(nodes))]
+        if a != b
+    }
+    edges = [e for ab in und for e in (ab, ab[::-1])]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(df, 3).collect()}
+    assert got == _py_lpa(edges, 3)
