@@ -2490,3 +2490,53 @@ def test_label_propagation_random_graph_matches_reference(spark, seed):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["label"] for r in label_propagation(df, 3).collect()}
     assert got == _py_lpa(edges, 3)
+
+
+# ------------------------------------------------- batch perceptron
+def _py_perceptron(vecs: list[list[float]], teacher_ppm: list[int], rounds: int):
+    """Plain-python reference for perceptron_train: exact-integer
+    synchronous batch rounds against the planted teacher."""
+    M = 1_000_000
+    data = []
+    for v in vecs:
+        x = [int(round(c * M)) for c in v]
+        y = 1 if sum(t * xi for t, xi in zip(teacher_ppm, x)) > 0 else -1
+        data.append((x, y))
+    dim = len(teacher_ppm)
+    w = [0] * dim
+    out = []
+    for it in range(1, rounds + 1):
+        g = [0] * dim
+        m = 0
+        for x, y in data:
+            z = sum(wi * xi for wi, xi in zip(w, x))
+            if y * z <= 0:
+                m += 1
+                for j in range(dim):
+                    g[j] += y * x[j]
+        w = [wi + gj for wi, gj in zip(w, g)]
+        out.append((it, m, sum(abs(wi) for wi in w)))
+    return out
+
+
+def test_perceptron_train_matches_python_model_and_learns(spark):
+    import random
+
+    rng = random.Random(7)
+    dim = 6
+    teacher = [int(round((rng.random() * 2 - 1) * 1_000_000)) for _ in range(dim)]
+    vecs = [
+        [rng.random() * 2 - 1 for _ in range(dim)] for _ in range(120)
+    ]
+    df = spark.createDataFrame([(v,) for v in vecs], "embedding array<double>")
+    got = [
+        (r["iter"], r["n_mistakes"], r["w_l1"])
+        for r in SIM.perceptron_train(df, teacher, iterations=4)
+        .orderBy("iter")
+        .collect()
+    ]
+    want = _py_perceptron(vecs, teacher, 4)
+    assert got == want
+    # the probe learns: round 1 marks everything (w=0 -> y*z=0), and
+    # the mistake count strictly drops by round 4 on separable data
+    assert got[0][1] == 120 and got[3][1] < 40
