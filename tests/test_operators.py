@@ -2540,3 +2540,16 @@ def test_perceptron_train_matches_python_model_and_learns(spark):
     # the probe learns: round 1 marks everything (w=0 -> y*z=0), and
     # the mistake count strictly drops by round 4 on separable data
     assert got[0][1] == 120 and got[3][1] < 40
+
+
+def test_bloom_decontaminate_has_no_false_negatives(spark):
+    from lrmr_spark.catalog import queries
+
+    rows = queries()["corpus_bloom_decontaminate"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "bloom probe emitted no sources"
+    for r in rows:
+        # a Bloom filter can only over-report membership
+        assert r["n_bloom_hits"] >= r["n_true_hits"]
+        assert r["n_grams"] >= r["n_bloom_hits"]
