@@ -912,3 +912,60 @@ def graph_label_propagation(spark, sf_dir):
         .orderBy(F.desc("n_members"), F.asc("community"))
         .limit(30)
     )
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    for r in (1, 2, 3):
+        rounds.append(
+            f"d{r} AS (SELECT src, count(*) AS c FROM e{r - 1} GROUP BY src), "
+            f"k{r} AS (SELECT src AS node FROM d{r} WHERE c >= 3), "
+            f"e{r} AS (SELECT e.src, e.dst FROM e{r - 1} e "
+            f"JOIN k{r} a ON e.src = a.node JOIN k{r} b ON e.dst = b.node)"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, "
+        f"(SELECT CAST(count(DISTINCT src) AS BIGINT) FROM e{r}) AS n_nodes, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM e{r}) AS n_edges"
+        for r in (1, 2, 3)
+    )
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT CAST(l_orderkey AS BIGINT) * 2 AS src,
+                      CAST(l_partkey AS BIGINT) * 2 + 1 AS dst
+      FROM lineitem
+      UNION ALL
+      SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 + 1,
+                      CAST(l_orderkey AS BIGINT) * 2
+      FROM lineitem),
+    {", ".join(rounds)}
+    SELECT * FROM ({finals}) ORDER BY round
+    """
+
+
+@query("graph_kcore_peel", oracle=_kcore_oracle)
+def graph_kcore_peel(spark, sf_dir):
+    """3-core peeling, 3 fixed bulk-synchronous rounds, over the
+    undirected order↔part bipartite graph — the graph-sanitization
+    pass that strips weakly-connected fringe (orders touching < 3
+    parts, parts in < 3 surviving orders) before authority scoring:
+    the link-farm / spam analog of pagerank's input cleaning, and the
+    third graph-family member next to graph_pagerank_parts (scoring)
+    and graph_label_propagation (communities). Output: the peel
+    trajectory (round, n_nodes, n_edges) — how fast the fringe
+    collapses is itself the diagnostic (a graph that loses most mass
+    at k=3 has no dense core to score).
+
+    Deterministic by construction (fixed rounds, degree thresholds on
+    exact counts), so the iterative peel gets a hash-exact SQL oracle
+    of three unrolled CTE rounds. Long node ids on every exchange
+    (orders even, parts odd — the pagerank_parts lesson); see
+    operators/graph.py kcore_peel for the per-round shuffle budget."""
+    li = load(spark, sf_dir, "lineitem")
+    o = F.col("l_orderkey").cast("long") * 2
+    p = F.col("l_partkey").cast("long") * 2 + 1
+    fwd = li.select(o.alias("src"), p.alias("dst")).distinct()
+    rev = li.select(p.alias("src"), o.alias("dst")).distinct()
+    from ..operators.graph import kcore_peel
+
+    return kcore_peel(fwd.unionAll(rev), k=3, rounds=3)

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_ppm", "triangle_count", "label_propagation"]
+__all__ = ["pagerank_ppm", "triangle_count", "label_propagation", "kcore_peel"]
 
 
 def pagerank_ppm(
@@ -193,3 +193,54 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
+    """Fixed-round k-core peeling (Seidman 1983; the distributed peel
+    is Montresor et al.'s bulk-synchronous variant): repeatedly drop
+    every node with degree < k together with its incident edges. The
+    full k-core is the fixed point; a FIXED round count is the
+    deterministic snapshot a verification gate needs (same discipline
+    as label_propagation / pagerank_ppm) and is how production graph
+    sanitizers actually run — a bounded number of peel sweeps before
+    link-farm / spam scoring, since late rounds remove almost nothing.
+
+    ``edges`` is directed (src, dst); undirected callers union both
+    directions, so degree(node) = out-degree. Output: one row per peel
+    round — (round, n_nodes, n_edges) AFTER that round's removal, with
+    n_edges counting directed edge rows (2× the undirected count).
+
+    Scale shape, per round: one degree aggregation (map-side partial
+    count on src) and two hash semi-joins re-keying the edge list by
+    src then dst — (long, long) rows only on every exchange. The
+    survivor set is corpus-proportional, so it is NEVER broadcast;
+    lineage truncates per round with localCheckpoint (pitfall 12)."""
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    out = []
+    for r in range(1, rounds + 1):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+        keep = deg.filter(F.col("_d") >= k).select(F.col("src").alias("node"))
+        e = (
+            e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        n_nodes = e.select("src").distinct().count()
+        n_edges = e.count()
+        out.append((r, n_nodes, n_edges))
+    return spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("bigint").alias("round"),
+                        F.lit(nn).cast("bigint").alias("n_nodes"),
+                        F.lit(ne).cast("bigint").alias("n_edges"),
+                    )
+                    for r, nn, ne in out
+                ]
+            )
+        ).alias("_r")
+    ).select("_r.round", "_r.n_nodes", "_r.n_edges")

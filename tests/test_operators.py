@@ -2553,3 +2553,36 @@ def test_bloom_decontaminate_has_no_false_negatives(spark):
         # a Bloom filter can only over-report membership
         assert r["n_bloom_hits"] >= r["n_true_hits"]
         assert r["n_grams"] >= r["n_bloom_hits"]
+
+
+def test_kcore_peel_trajectory_on_planted_graph(spark):
+    from lrmr_spark.operators.graph import kcore_peel
+
+    # K4 on {0,1,2,3} (a true 3-core) + a path 4-5-6 + a pendant 3-4:
+    # round 1 drops the path/pendant fringe, the K4 survives forever
+    und = [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+        (3, 4), (4, 5), (5, 6),
+    ]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = [
+        (r["round"], r["n_nodes"], r["n_edges"])
+        for r in kcore_peel(df, k=3, rounds=3).orderBy("round").collect()
+    ]
+    assert got == [(1, 4, 12), (2, 4, 12), (3, 4, 12)]
+
+
+def test_kcore_peel_collapses_a_tree_to_nothing(spark):
+    from lrmr_spark.operators.graph import kcore_peel
+
+    # a star has no 3-core: every leaf has degree 1, and after leaves
+    # go the hub is isolated
+    und = [(0, i) for i in range(1, 6)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = [
+        (r["round"], r["n_nodes"], r["n_edges"])
+        for r in kcore_peel(df, k=3, rounds=2).orderBy("round").collect()
+    ]
+    assert got == [(1, 0, 0), (2, 0, 0)]
