@@ -1071,11 +1071,13 @@ def ann_pq_append_topk(spark, sf_dir):
     return SIM.pq_adc_topk_stored(spark, path, list(_query_vec()), cents, k=10)
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(corpus_where: str = "") -> str:
     """IVF-PQ mirror: coarse assignment via the _ivf_oracle CASE over 8
     cosine scores, rows restricted to the same driver-computed top-2
     probes, then PQ codes + the ADC lookup-table sum of _pq_adc_oracle
-    — every float literal identical to the Spark plan's."""
+    — every float literal identical to the Spark plan's.
+    ``corpus_where`` restricts the scored corpus (the delete twin
+    scores rebuild-without-the-takedown-ids from scratch)."""
     import math
 
     cents8 = _centroids()
@@ -1137,6 +1139,7 @@ def _ivfpq_oracle() -> str:
     return f"""
     WITH scored AS (
       SELECT e.vec_id, e.embedding, {", ".join(score_cols)} FROM embeddings e
+      {corpus_where}
     ),
     probed AS (
       SELECT vec_id, embedding FROM (
@@ -2253,4 +2256,48 @@ def embedding_perceptron_probe(spark, sf_dir):
         load(spark, sf_dir, "embeddings"),
         list(_teacher_ppm()),
         iterations=4,
+    )
+
+
+@query(
+    "ann_ivfpq_delete_topk",
+    oracle=lambda: _ivfpq_oracle("WHERE e.vec_id % 7 <> 0"),
+)
+def ann_ivfpq_delete_topk(spark, sf_dir):
+    """The takedown row for the COMPOSED index (write → DELETE → query
+    on the IVF-PQ layout): build the full partitioned index, delete
+    the vec_id % 7 = 0 batch — which rewrites ONLY the inverted lists
+    containing those ids and drops any list the delete emptied — then
+    answer the n_probe=2 ADC top-10 from the survivors. The oracle
+    scores rebuild-without-the-ids from scratch, so the row is red if
+    a deleted vector still ranks, a survivor's codes were disturbed,
+    or an emptied partition directory leaked back into the probe. A
+    double delete must remove 0 rows (idempotent, asserted inline);
+    delete ≡ rebuild-without is asserted in tests/test_operators.py.
+    With this row every stored ANN layout (flat PQ, SQ8, IVF-PQ) has
+    the full CRUD lifecycle officially value-checked."""
+    import os
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    coarse = [list(c) for c in _centroids()]
+    pq_cents = [list(c) for c in _centroids()[:4]]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"lrmr_ivfpq_del_{tag}")
+    SIM.write_ivfpq_index(emb, path, coarse, pq_cents, num_sub=8)
+    ids = [
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") % 7 == 0)
+        .select("vec_id")
+        .collect()
+    ]
+    SIM.delete_ivfpq_index(spark, path, ids)
+    n_again = SIM.delete_ivfpq_index(spark, path, ids)
+    if n_again != 0:
+        raise AssertionError(
+            f"double delete removed {n_again} rows — takedown must be "
+            "idempotent"
+        )
+    return SIM.ivfpq_adc_topk(
+        spark, path, list(_query_vec()), coarse, pq_cents, k=10, n_probe=2
     )

@@ -1563,3 +1563,77 @@ def perceptron_train(
             )
         ).alias("_r")
     ).select("_r.iter", "_r.n_mistakes", "_r.w_l1")
+
+
+def delete_ivfpq_index(spark, path: str, ids: list[int]) -> int:
+    """delete_pq_codes for the partitioned IVF-PQ layout — and the
+    payoff of that layout on the WRITE side: a takedown only rewrites
+    the inverted lists (partition directories) that actually contain
+    the removed ids. The untouched lists' files are never read or
+    written — at 100 TB with 4096 coarse lists, a thousand-id takedown
+    touches a handful of directories, not the corpus.
+
+    Protocol (the delete_pq_codes torn-write discipline, per
+    partition): find the affected parts with one codes-pruned scan
+    against the broadcast takedown list; materialize each affected
+    part's survivors (eager checkpoint — never read-and-overwrite one
+    parquet dir in a single plan); invalidate _meta; dynamic-overwrite
+    the surviving rows into their partitions; drop any partition
+    directory the delete EMPTIED (dynamic overwrite only replaces
+    partitions present in the written data — an all-deleted list would
+    otherwise survive intact, returning takedown'd vectors); restore
+    _meta. An interruption leaves no _meta → the next read raises
+    rather than scoring a half-rewritten index. Returns rows removed.
+    Idempotent: a second identical delete removes 0 rows."""
+    row = spark.read.json(f"{path}/_meta").collect()[0]
+    sid = row["id_col"]
+    codes = spark.read.parquet(f"{path}/codes")
+    takedown = [int(i) for i in ids]
+    affected = [
+        r["part"]
+        for r in codes.filter(F.col(sid).isin(takedown))
+        .select("part")
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return 0
+    hit = codes.filter(F.col("part").isin(affected))
+    survivors = hit.filter(~F.col(sid).isin(takedown)).localCheckpoint(
+        eager=True
+    )
+    n_removed = hit.count() - survivors.count()
+    kept_parts = {r["part"] for r in survivors.select("part").distinct().collect()}
+    _invalidate_meta(spark, path)
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if kept_parts:
+            survivors.write.mode("overwrite").partitionBy("part").parquet(
+                f"{path}/codes"
+            )
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # drop directories the takedown emptied (no survivors to overwrite
+    # them with)
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc.hadoopConfiguration()
+    for p in affected:
+        if p not in kept_parts:
+            jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/codes/part={p}")
+            fs = jpath.getFileSystem(jsc)
+            fs.delete(jpath, True)
+    spark.range(1).select(
+        F.lit(int(row["num_sub"])).cast("int").alias("num_sub"),
+        F.lit(int(row["dim"])).cast("int").alias("dim"),
+        F.lit(int(row["n_coarse"])).cast("int").alias("n_coarse"),
+        F.lit(int(row["n_pq_centroids"])).cast("int").alias("n_pq_centroids"),
+        F.lit(row["coarse_md5"]).alias("coarse_md5"),
+        F.lit(row["pq_md5"]).alias("pq_md5"),
+        F.lit(
+            bool(row["by_residual"]) if "by_residual" in row else False
+        ).alias("by_residual"),
+        F.lit(sid).alias("id_col"),
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    return int(n_removed)

@@ -2586,3 +2586,53 @@ def test_kcore_peel_collapses_a_tree_to_nothing(spark):
         for r in kcore_peel(df, k=3, rounds=2).orderBy("round").collect()
     ]
     assert got == [(1, 0, 0), (2, 0, 0)]
+
+
+def test_ivfpq_delete_equals_rebuild_without_and_prunes_empty_lists(
+    spark, sf_dir, tmp_path
+):
+    """delete_ivfpq_index(ids) must equal a one-shot build over the
+    corpus minus ids — including dropping any partition directory the
+    delete emptied — preserve _meta, and be idempotent."""
+    from lrmr_spark.catalog.similarity_ops import _centroids
+    from lrmr_spark.operators import similarity as SIM
+
+    coarse = [list(c) for c in _centroids()]
+    pq_cents = [list(c) for c in _centroids()[:4]]
+    emb = load(spark, sf_dir, "embeddings")
+    p_del = str(tmp_path / "del")
+    p_ref = str(tmp_path / "ref")
+    SIM.write_ivfpq_index(emb, p_del, coarse, pq_cents, num_sub=8)
+    # takedown = every id in ONE whole inverted list (so the empty-dir
+    # branch is exercised) plus the id%7 batch across the others
+    codes = spark.read.parquet(f"{p_del}/codes")
+    one_part = codes.select("part").distinct().orderBy("part").first()["part"]
+    ids = sorted(
+        r["vec_id"]
+        for r in codes.filter(
+            (F.col("part") == one_part) | (F.col("vec_id") % 7 == 0)
+        )
+        .select("vec_id")
+        .collect()
+    )
+    n = SIM.delete_ivfpq_index(spark, p_del, ids)
+    assert n == len(ids) > 0
+    assert SIM.delete_ivfpq_index(spark, p_del, ids) == 0
+    SIM.write_ivfpq_index(
+        emb.filter(~F.col("vec_id").isin(ids)), p_ref, coarse, pq_cents,
+        num_sub=8,
+    )
+    cols = ["vec_id", "part"] + [f"code_{s}" for s in range(8)]
+    after = {
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(f"{p_del}/codes").collect()
+    }
+    ref = {
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(f"{p_ref}/codes").collect()
+    }
+    assert after == ref
+    # the emptied inverted list's directory is gone from the layout
+    import os
+
+    assert not os.path.exists(f"{p_del}/codes/part={one_part}")
