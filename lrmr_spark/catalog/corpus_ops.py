@@ -1795,3 +1795,82 @@ def corpus_bloom_decontaminate(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "sample_weighted_priority",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS}) AS BIGINT) AS weight,
+             CAST(('0x' || substr(md5('ps:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) + 1 AS u
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, source, weight,
+             (weight * 4294967296) // u AS priority
+      FROM w),
+    ranked AS (
+      SELECT doc_id, source, weight, priority,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY priority DESC, doc_id ASC) AS rk
+      FROM keyed)
+    SELECT source, CAST(rk AS BIGINT) AS rank, doc_id, weight, priority
+    FROM ranked WHERE rk <= 5 ORDER BY source, rank
+    """,
+)
+def sample_weighted_priority(spark, sf_dir):
+    """Weighted sampling without replacement via PRIORITY SAMPLING
+    (Duffield, Lund & Thorup, JACM'07): per source, keep the k = 5
+    documents with the largest priority w_i/u_i, where u_i is a
+    deterministic md5-derived uniform and w_i = token count — long
+    documents are proportionally more likely to be drawn, the
+    token-budget-aware subsample a mixture builder wants (uniform
+    sampling under-represents long docs' tokens; priority sampling's
+    estimator is unbiased for any weight). The A-ES u^(1/w) key needs
+    pow (libm, not hash-portable); the priority key is ONE integer
+    division — (w · 2^32) DIV u with u ∈ [1, 2^32] — so the whole draw
+    is exact BIGINT arithmetic, reproducible across engines and reruns
+    (same hash convention as sample_split_hash / mixture_unimax_sample:
+    content-addressed, no RNG state).
+
+    One scan; the per-source top-5 is a rank window that Spark
+    executes as WindowGroupLimit (per-partition top-k before the
+    exchange — the batched-topk plan pin), so nothing but each
+    source's 5 survivors rides the final shuffle. Overflow: w · 2^32
+    < 2^63 for any w < 2^31 tokens/doc."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ps:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    )
+    keyed = d.select(
+        "doc_id",
+        "source",
+        TX.token_count("text").cast("bigint").alias("weight"),
+        u.alias("_u"),
+    ).select(
+        "doc_id",
+        "source",
+        "weight",
+        F.expr("(weight * 4294967296) DIV _u").alias("priority"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("priority"), F.asc("doc_id"))
+    )
+    return (
+        keyed.withColumn("rank", rk.cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("source", "rank", "doc_id", "weight", "priority")
+        .orderBy("source", "rank")
+    )
