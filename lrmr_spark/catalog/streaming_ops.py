@@ -232,3 +232,32 @@ def streaming_pq_index_append(spark, sf_dir):
         ST.stream_embeddings(spark, sf_dir), path, ck, cents
     )
     return SIM.pq_adc_topk_stored(spark, path, list(_query_vec()), cents, k=10)
+
+
+@query("streaming_line_dedup")  # rows-only: foreachBatch accumulating loop
+def streaming_line_dedup(spark, sf_dir):
+    """The CCNet line-dedup curation loop as a LIVE STREAM: each
+    micro-batch of documents is cleaned against the segment-frequency
+    index accumulated from prior batches (prefix-causal), then lands
+    its own counts as a new index epoch — both sinks epoch-partitioned
+    dynamic overwrites, with before_epoch-scoped reads so a checkpoint
+    replay is bit-identical. Stream-index ≡ one-shot-index convergence
+    and multi-batch prefix-causal semantics are asserted against a
+    plain-python model in tests/test_streaming.py."""
+    import os
+    import tempfile
+    import uuid
+
+    run = uuid.uuid4().hex[:8]
+    index = os.path.join(tempfile.gettempdir(), f"lrmr_linestream_idx_{run}")
+    out = os.path.join(tempfile.gettempdir(), f"lrmr_linestream_out_{run}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"lrmr_linestream_ck_{run}")
+    cleaned = ST.run_line_dedup_stream(
+        ST.stream_documents(spark, sf_dir),
+        index,
+        out,
+        ckpt,
+        width=10,
+        min_df=2,
+    )
+    return cleaned.orderBy("doc_id")

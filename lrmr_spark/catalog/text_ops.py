@@ -1069,3 +1069,66 @@ def text_line_dedup(spark, sf_dir):
     operators/text.py line_dedup_rebuild for the 100 TB shape."""
     d = load(spark, sf_dir, "documents")
     return TX.line_dedup_rebuild(d, "doc_id", "text", width=10, min_df=2)
+
+
+@query(
+    "text_line_dedup_index",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sized AS (
+      SELECT doc_id, toks, len(toks) AS n FROM raw WHERE len(toks) > 0),
+    segs AS (
+      SELECT doc_id, seg_idx, seg, substr(md5('ld:' || seg), 1, 16) AS h
+      FROM (
+        SELECT doc_id, s AS seg_idx,
+               array_to_string(toks[s * 10 + 1 : (s + 1) * 10], ' ') AS seg
+        FROM sized, UNNEST(range(0, CAST(ceil(n / 10.0) AS BIGINT))) AS t(s))),
+    stored AS (
+      SELECT h, count(*) AS sdf FROM segs WHERE doc_id % 2 = 0 GROUP BY h),
+    batch AS (SELECT * FROM segs WHERE doc_id % 2 = 1),
+    freq AS (
+      SELECT b.doc_id, b.seg_idx, b.seg,
+             count(*) OVER (PARTITION BY b.h) + coalesce(s.sdf, 0) AS tdf
+      FROM batch b LEFT JOIN stored s USING (h))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(sum(CASE WHEN tdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           coalesce(array_to_string(
+             list(seg ORDER BY seg_idx) FILTER (WHERE tdf < 2), ' '), '')
+             AS text_out
+    FROM freq GROUP BY doc_id
+    """,
+)
+def text_line_dedup_index(spark, sf_dir):
+    """The STORED-index line-dedup lifecycle (write → append → clean):
+    yesterday's corpus (even doc_ids, landed as TWO index epochs —
+    doc_id % 4 = 0 then % 4 = 2, so the multi-epoch sum path is inside
+    the gated query) becomes the segment-frequency index; today's
+    crawl (odd doc_ids) is cleaned against stored + within-batch
+    frequencies. The oracle recomputes both frequency sources from
+    scratch over the same md5-16 segment keys, so the row is red if
+    the epoch write, the epoch sum, the hash convention, or the join
+    drifts. The index stores ONLY (hash, count) — segment text never
+    persists, the privacy posture a shared boilerplate index wants.
+    Streaming twin: streaming_line_dedup (prefix-causal per epoch);
+    index convergence append ≡ one-shot is asserted in
+    tests/test_streaming.py."""
+    import os
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"lrmr_lineidx_{tag}")
+    TX.write_line_index(
+        d.filter(F.col("doc_id") % 4 == 0), path, "doc_id", "text",
+        width=10, epoch=0,
+    )
+    TX.write_line_index(
+        d.filter(F.col("doc_id") % 4 == 2), path, "doc_id", "text",
+        width=10, epoch=1,
+    )
+    return TX.line_dedup_with_index(
+        d.filter(F.col("doc_id") % 2 == 1), path, "doc_id", "text", min_df=2
+    )

@@ -12,7 +12,7 @@ non-portable fast path (xxhash64) is offered where noted.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -608,6 +608,16 @@ def line_dedup_rebuild(
     is the FlatMap, the frequency window is the GroupByKey."""
     from pyspark.sql import Window as W
 
+    segs = _line_segments(df, id_col, text_col, width)
+    freq = segs.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("seg")))
+    return _line_rebuild(freq, id_col, F.col("_df") < min_df)
+
+
+def _line_segments(df, id_col: str, text_col: str, width: int):
+    """(_id, seg_idx, seg): one row per fixed ``width``-token segment,
+    in document order. The segment builder runs inside
+    transform(array(toks), ...) so tokenization evaluates once per doc
+    (pitfall-12/16 shape); zero-token docs emit nothing."""
     toks = tokens(text_col)
 
     def _build(tv):
@@ -621,13 +631,19 @@ def line_dedup_rebuild(
             ),
         )
 
-    segs = (
+    return (
         df.filter(F.size(toks) > 0)
-        .select(F.col(id_col).alias("_id"), F.explode(F.transform(F.array(toks), _build)[0]).alias("c"))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.transform(F.array(toks), _build)[0]).alias("c"),
+        )
         .select("_id", "c.seg_idx", "c.seg")
     )
-    freq = segs.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("seg")))
-    keep = F.col("_df") < min_df
+
+
+def _line_rebuild(freq, id_col: str, keep):
+    """Reassemble documents from their surviving segments: one doc-keyed
+    exchange; collect_list skips the NULLs the ``keep`` mask leaves."""
     return (
         freq.groupBy("_id")
         .agg(
@@ -645,3 +661,94 @@ def line_dedup_rebuild(
         )
         .select(F.col("_id").alias(id_col), "n_segs", "n_dropped", "text_out")
     )
+
+
+_LINE_HASH = lambda c: F.substring(  # noqa: E731 — the shared 64-bit segment key
+    F.md5(F.concat(F.lit("ld:"), c)), 1, 16
+)
+
+
+def write_line_index(
+    df,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 10,
+    epoch: int = 0,
+) -> None:
+    """Write one EPOCH of the stored line-dedup index: the segment-
+    frequency table (h = 16-hex md5 of the segment, df = count) for
+    this batch of documents, landed in an epoch partition with dynamic
+    partition overwrite — so the index is APPEND-ONLY and a replayed
+    epoch (checkpoint recovery) overwrites itself instead of
+    double-counting, which a merged counts table cannot do without a
+    transaction log. Readers sum df over epochs (line_dedup_with_index);
+    a compaction pass that folds old epochs into one is the ordinary
+    maintenance op and changes no answer (sums are associative).
+    ``path/_meta`` records width + the hash convention; mixing widths
+    would silently mis-key every lookup, so reads raise on drift."""
+    segs = _line_segments(df, id_col, text_col, width)
+    counts = (
+        segs.groupBy(_LINE_HASH(F.col("seg")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("_epoch", F.lit(int(epoch)))
+    )
+    (
+        counts.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_epoch")
+        .parquet(f"{path}/counts")
+    )
+    spark = df.sparkSession
+    spark.range(1).select(
+        F.lit(int(width)).cast("int").alias("width"),
+        F.lit("md5-16").alias("hash"),
+        F.lit(id_col).alias("id_col"),
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+
+
+def line_dedup_with_index(
+    df,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    before_epoch: int | None = None,
+) -> DataFrame:
+    """Clean a document batch against the STORED segment-frequency
+    index: a segment is dropped when its stored corpus frequency plus
+    its within-batch frequency reaches ``min_df`` — the daily-crawl
+    form of text_line_dedup, where yesterday's corpus is the index and
+    today's crawl is the batch (prefix-causal: segments are judged
+    against PAST + current data only; the accumulated index itself
+    converges to the one-shot batch index, asserted in tests).
+
+    ``before_epoch`` restricts the stored counts to earlier epochs —
+    the streaming twin passes its own epoch id so a checkpoint REPLAY
+    of epoch N cleans against exactly the same index state as the
+    first attempt (its own epoch-N counts, already landed before the
+    failure, are excluded).
+
+    Scale shape: one batch-segment exchange (the h-keyed frequency
+    window), one hash join against the counts table keyed by the same
+    16-hex h (8-byte-equivalent keys; stored segment TEXT never
+    existed — the index stores only hashes, which is also the privacy
+    posture a shared index wants), one doc-keyed rebuild."""
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    meta = spark.read.json(f"{path}/_meta").collect()[0]
+    width = int(meta["width"])
+    stored = spark.read.parquet(f"{path}/counts")
+    if before_epoch is not None:
+        stored = stored.filter(F.col("_epoch") < int(before_epoch))
+    stored = stored.groupBy("h").agg(F.sum("df").alias("_sdf"))
+    segs = _line_segments(df, id_col, text_col, width).withColumn(
+        "h", _LINE_HASH(F.col("seg"))
+    )
+    freq = (
+        segs.withColumn("_bdf", F.count(F.lit(1)).over(W.partitionBy("h")))
+        .join(stored, "h", "left")
+        .withColumn("_df", F.col("_bdf") + F.coalesce(F.col("_sdf"), F.lit(0)))
+    )
+    return _line_rebuild(freq, id_col, F.col("_df") < min_df)

@@ -701,3 +701,93 @@ def run_phash_index_match_stream(
             ]
         )
         return spark.createDataFrame([], schema)
+
+
+def run_line_dedup_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    width: int = 10,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """STREAMING line-level dedup with an accumulating index — the
+    CCNet curation loop run at crawl cadence: each micro-batch of
+    documents is cleaned against the segment-frequency index built
+    from every PRIOR batch (plus its own within-batch frequencies),
+    then its own segment counts land in the index as a new epoch.
+    Drains with Trigger.AvailableNow; returns the accumulated cleaned
+    documents as a batch DF.
+
+    Prefix-causal semantics, stated honestly: a boilerplate segment is
+    dropped from batch N only if past batches (or batch N itself)
+    already made it frequent — batch 1's copy of a header that only
+    repeats in batch 2 SURVIVES, unlike the one-shot batch operator
+    (text_line_dedup), which sees the whole corpus. The INDEX, by
+    contrast, converges exactly: after the stream drains, the summed
+    epoch counts equal the one-shot index (asserted in tests) — so a
+    periodic re-clean against the converged index recovers the batch
+    answer; that re-clean is the ordinary nightly compaction job.
+
+    Exactly-once: BOTH sinks are epoch-partitioned dynamic overwrites,
+    and the clean step passes before_epoch = its own epoch id, so a
+    checkpoint REPLAY of epoch N excludes the epoch-N counts its
+    failed first attempt may already have landed — replay output is
+    bit-identical, not just append-safe."""
+    from ..operators import text as TX
+
+    spark = docs_stream.sparkSession
+
+    def _clean_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        try:
+            cleaned = TX.line_dedup_with_index(
+                batch_df, index_path, id_col, text_col,
+                min_df=min_df, before_epoch=int(epoch_id),
+            )
+        except AnalysisException:
+            # no index yet (first epoch, nothing written): clean
+            # against within-batch frequencies only
+            cleaned = TX.line_dedup_rebuild(
+                batch_df, id_col, text_col, width=width, min_df=min_df
+            )
+        (
+            cleaned.withColumn("_epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(out_path)
+        )
+        TX.write_line_index(
+            batch_df, index_path, id_col, text_col,
+            width=width, epoch=int(epoch_id),
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_clean_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"availableNow line-dedup stream did not drain in {timeout_s}s"
+            )
+    finally:
+        q.stop()
+    try:
+        return spark.read.parquet(out_path).drop("_epoch")
+    except AnalysisException:
+        id_type = docs_stream.schema[id_col].dataType
+        schema = T.StructType(
+            [
+                T.StructField(id_col, id_type),
+                T.StructField("n_segs", T.LongType()),
+                T.StructField("n_dropped", T.LongType()),
+                T.StructField("text_out", T.StringType()),
+            ]
+        )
+        return spark.createDataFrame([], schema)

@@ -82,6 +82,10 @@ def test_every_query_has_oracle_or_is_documented_rows_only():
         "streaming_phash_index_match",  # foreachBatch run-mode; stream ==
         # batch matcher asserted in tests/test_streaming.py; match
         # values hash-checked by multimodal_phash_index_match
+        "streaming_line_dedup",  # foreachBatch accumulating loop;
+        # prefix-causal clean + index convergence asserted vs a
+        # plain-python model in tests/test_streaming.py; the stored-
+        # index clean itself is hash-checked by text_line_dedup_index
         "dedup_minhash_lsh_fast",  # xxhash64 not reproducible in SQL
         "dedup_simhash_hamming_fast",  # xxhash64 bits not in SQL;
         # algorithm pinned by the oracle-checked 16-bit twin +
