@@ -155,7 +155,11 @@ _PRIORITY = [
 # multimodal_curation_pipeline, multimodal_phash_index_match,
 # streaming_phash_index_match (rows-only twin), ann_sq8_append_topk,
 # ann_pq_delete_topk, dedup_minhash_index_delete, ann_cosine_topk_batch,
-# text_line_dedup.
+# text_line_dedup, ann_hybrid_rrf, embedding_matryoshka_recall,
+# graph_label_propagation, embedding_perceptron_probe,
+# corpus_bloom_decontaminate, graph_kcore_peel, ann_ivfpq_delete_topk,
+# sample_weighted_priority, text_line_dedup_index,
+# streaming_line_dedup (rows-only twin), text_line_dedup_compacted.
 
 
 def _ordered(names: list[str]) -> list[str]:

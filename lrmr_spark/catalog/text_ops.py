@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators import text as TX
 from ..tables import load
-from . import query
+from . import _ORACLES, query
 from .oracle_util import grams_expr
 
 _STOP_SQL = "(" + ", ".join(f"'{s}'" for s in TX.STOPWORDS) + ")"
@@ -1129,6 +1129,41 @@ def text_line_dedup_index(spark, sf_dir):
         d.filter(F.col("doc_id") % 4 == 2), path, "doc_id", "text",
         width=10, epoch=1,
     )
+    return TX.line_dedup_with_index(
+        d.filter(F.col("doc_id") % 2 == 1), path, "doc_id", "text", min_df=2
+    )
+
+
+@query(
+    "text_line_dedup_compacted",
+    oracle=lambda: _ORACLES["text_line_dedup_index"],
+)
+def text_line_dedup_compacted(spark, sf_dir):
+    """The index MAINTENANCE row: write the two-epoch index, COMPACT
+    it (fold epochs into one — operators/text.py compact_line_index),
+    then clean the odd-doc batch. SHARES text_line_dedup_index's
+    oracle verbatim: compaction must change no answer — a lost count,
+    a double-fold, or a width drift through the _meta rewrite turns
+    this row red. Completes the stored line-index lifecycle: write →
+    append (epochs) → COMPACT → clean, with the streaming twin
+    (streaming_line_dedup) covering the live-append path."""
+    import os
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"lrmr_lineidx_c_{tag}")
+    TX.write_line_index(
+        d.filter(F.col("doc_id") % 4 == 0), path, "doc_id", "text",
+        width=10, epoch=0,
+    )
+    TX.write_line_index(
+        d.filter(F.col("doc_id") % 4 == 2), path, "doc_id", "text",
+        width=10, epoch=1,
+    )
+    n = TX.compact_line_index(spark, path)
+    if n != 2:
+        raise AssertionError(f"expected to fold 2 epochs, folded {n}")
     return TX.line_dedup_with_index(
         d.filter(F.col("doc_id") % 2 == 1), path, "doc_id", "text", min_df=2
     )

@@ -752,3 +752,42 @@ def line_dedup_with_index(
         .withColumn("_df", F.col("_bdf") + F.coalesce(F.col("_sdf"), F.lit(0)))
     )
     return _line_rebuild(freq, id_col, F.col("_df") < min_df)
+
+
+def compact_line_index(spark, path: str) -> int:
+    """Fold every epoch of a stored line-dedup index into ONE (epoch
+    0) — the nightly maintenance op the epoch-partitioned layout calls
+    for: appends stay cheap and replay-idempotent because epochs are
+    append-only, so epoch count grows with crawl cadence and read-side
+    df lookups pay one sum-over-epochs aggregation per query; the
+    compaction pre-folds that sum. Counts are associative, so
+    compaction CHANGES NO ANSWER (clean-after ≡ clean-before, the
+    hash-gated claim of text_line_dedup_compacted). Torn-write
+    discipline: folded counts materialize first (eager checkpoint —
+    never read-and-overwrite one parquet dir in a plan), _meta is
+    invalidated across the static overwrite and restored after, so an
+    interruption leaves a loudly-failing index, not a half-folded one.
+    Returns the number of epochs folded."""
+    meta = spark.read.json(f"{path}/_meta").collect()[0]
+    counts = spark.read.parquet(f"{path}/counts")
+    n_epochs = counts.select("_epoch").distinct().count()
+    folded = (
+        counts.groupBy("h")
+        .agg(F.sum("df").alias("df"))
+        .withColumn("_epoch", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    _p = f"{path}/_meta"
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(_p)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
+    folded.write.mode("overwrite").partitionBy("_epoch").parquet(
+        f"{path}/counts"
+    )
+    spark.range(1).select(
+        F.lit(int(meta["width"])).cast("int").alias("width"),
+        F.lit(meta["hash"]).alias("hash"),
+        F.lit(meta["id_col"]).alias("id_col"),
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    return int(n_epochs)
