@@ -1745,22 +1745,36 @@ def corpus_bloom_decontaminate(spark, sf_dir):
             % _BF_BITS
         )
 
+    # ONE pass over the eval grams emits all 3 (word, mask) inserts via
+    # an explode of the per-hash struct array (a 3-way union re-scanned
+    # the gram subtree per branch — the plan audit flagged 10 document
+    # scans), and the folded sketch is eagerly checkpointed: it is a
+    # BOUNDED <= 32768-row table that 3 broadcast joins reference, and
+    # AQE's broadcast conversion defeats ReusedExchange (the phash
+    # lesson), so without the barrier each join re-built the filter.
     ev = grams.filter(F.col("is_ev") == 1).select("g").distinct()
-    from functools import reduce
-
-    inserts = reduce(
-        lambda a, b: a.unionAll(b),
-        [
-            ev.select(pos(j).alias("_p")).select(
-                F.expr("_p DIV 32").alias("w"),
-                F.expr(
-                    "shiftleft(CAST(1 AS BIGINT), CAST(_p % 32 AS INT))"
-                ).alias("m"),
+    evp = ev.select(*[pos(j).alias(f"_p{j}") for j in range(_BF_HASHES)])
+    inserts = evp.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.expr(f"_p{j} DIV 32").alias("w"),
+                        F.expr(
+                            f"shiftleft(CAST(1 AS BIGINT), "
+                            f"CAST(_p{j} % 32 AS INT))"
+                        ).alias("m"),
+                    )
+                    for j in range(_BF_HASHES)
+                ]
             )
-            for j in range(_BF_HASHES)
-        ],
+        ).alias("p")
+    ).select("p.w", "p.m")
+    bf = (
+        inserts.groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .localCheckpoint(eager=True)
     )
-    bf = inserts.groupBy("w").agg(F.bit_or("m").alias("bits"))
 
     marked = grams.withColumn(
         "anyev", F.max("is_ev").over(Window.partitionBy("g"))
