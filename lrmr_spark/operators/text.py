@@ -12,6 +12,7 @@ non-portable fast path (xxhash64) is offered where noted.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -685,8 +686,21 @@ def write_line_index(
     transaction log. Readers sum df over epochs (line_dedup_with_index);
     a compaction pass that folds old epochs into one is the ordinary
     maintenance op and changes no answer (sums are associative).
-    ``path/_meta`` records width + the hash convention; mixing widths
-    would silently mis-key every lookup, so reads raise on drift."""
+    ``path/_meta`` records width + the hash convention; a later epoch
+    written with a DIFFERENT width would silently mis-key every lookup
+    against the earlier epochs, so the write raises on width drift
+    (the codebook-fingerprint discipline of the ANN indexes)."""
+    spark = df.sparkSession
+    try:
+        prev = spark.read.json(f"{path}/_meta").collect()[0]
+        if int(prev["width"]) != int(width):
+            raise ValueError(
+                f"line-index width drift: stored epochs were segmented at "
+                f"width={int(prev['width'])}, this write supplied "
+                f"width={int(width)} — mixed widths mis-key every lookup"
+            )
+    except AnalysisException:
+        pass  # first write: no _meta yet
     segs = _line_segments(df, id_col, text_col, width)
     counts = (
         segs.groupBy(_LINE_HASH(F.col("seg")).alias("h"))
@@ -699,7 +713,6 @@ def write_line_index(
         .partitionBy("_epoch")
         .parquet(f"{path}/counts")
     )
-    spark = df.sparkSession
     spark.range(1).select(
         F.lit(int(width)).cast("int").alias("width"),
         F.lit("md5-16").alias("hash"),

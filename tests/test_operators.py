@@ -2636,3 +2636,17 @@ def test_ivfpq_delete_equals_rebuild_without_and_prunes_empty_lists(
     import os
 
     assert not os.path.exists(f"{p_del}/codes/part={one_part}")
+
+
+def test_line_index_raises_on_width_drift(spark, tmp_path):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "g h i j k l")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    TX.write_line_index(df, path, "doc_id", "text", width=3, epoch=0)
+    with _pytest.raises(ValueError, match="width drift"):
+        TX.write_line_index(df, path, "doc_id", "text", width=5, epoch=1)
+    # same width appends fine
+    TX.write_line_index(df, path, "doc_id", "text", width=3, epoch=1)
