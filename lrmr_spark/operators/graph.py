@@ -183,7 +183,7 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
             .groupBy(F.col("dst").alias("nd"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        labels = (
+        new_labels = (
             votes.groupBy(F.col("nd").alias("node"))
             .agg(
                 (-F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl")))["nl"])
@@ -192,6 +192,11 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        labels.unpersist()  # dead round: nothing references it anymore
+        labels = new_labels
+    # the returned labels are self-contained (checkpointed), so the
+    # edge working set can be released too
+    edges.unpersist()
     return labels
 
 
@@ -205,31 +210,82 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     sanitizers actually run — a bounded number of peel sweeps before
     link-farm / spam scoring, since late rounds remove almost nothing.
 
-    ``edges`` is directed (src, dst); undirected callers union both
-    directions, so degree(node) = out-degree. Output: one row per peel
-    round — (round, n_nodes, n_edges) AFTER that round's removal, with
+    ``edges`` MUST be a symmetric directed list — undirected callers
+    union both directions; the peel relies on deg_out(v) = deg_in(v)
+    to judge both endpoints of an edge from window counts (and the
+    keep condition is endpoint-symmetric, so symmetry is preserved
+    across rounds by induction). Output: one row per peel round —
+    (round, n_nodes, n_edges) AFTER that round's removal, with
     n_edges counting directed edge rows (2× the undirected count).
 
-    Scale shape, per round: one degree aggregation (map-side partial
-    count on src) and two hash semi-joins re-keying the edge list by
-    src then dst — (long, long) rows only on every exchange. The
-    survivor set is corpus-proportional, so it is NEVER broadcast;
-    lineage truncates per round with localCheckpoint (pitfall 12)."""
+    Scale shape, per round: ONE degree aggregation (map-side partial
+    count on src), materialized — it serves three masters: the keep
+    filter for both semi-joins (a lazy keep re-ran the whole
+    aggregation per join; the unmaterialized form did not finish one
+    120 M-edge cold round in 9 min at sf10) AND the round statistics:
+    degrees of e_r are exactly (distinct src, edge count) of e_r, so
+    the per-round distinct().count() + count() passes — two more
+    full-edge-list shuffles each round — are replaced by two cheap
+    actions on the node-sized degree table of the NEXT iteration
+    (plus one final aggregation after the last round). Then two hash
+    semi-joins re-key the edge list by src and dst — (long, long)
+    rows on every exchange. A count-window formulation (degree =
+    count over partitionBy(node)) was also measured and REJECTED:
+    count windows sort within partitions and the hot nodes skew those
+    sorts — 26-40 s at sf1 vs ~9 s for this shape. Nothing is
+    broadcast (node set is corpus-proportional); lineage truncates
+    per round with localCheckpoint (pitfall 12)."""
     e = edges.select("src", "dst").localCheckpoint(eager=True)
     spark = edges.sparkSession
+
+    def _deg(edge_df):
+        return (
+            edge_df.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .localCheckpoint(eager=True)
+        )
+
+    def _stats(deg_df):
+        row = deg_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("_d"), F.lit(0)).alias("m"),
+        ).collect()[0]
+        return int(row["n"]), int(row["m"])
+
     out = []
+    deg = _deg(e)
+    prev_edges = _stats(deg)[1]  # seed: a no-op round 1 also certifies
     for r in range(1, rounds + 1):
-        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
-        keep = deg.filter(F.col("_d") >= k).select(F.col("src").alias("node"))
-        e = (
-            e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
-            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        keep = deg.filter(F.col("_d") >= k).select("src")
+        e_new = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
-        n_nodes = e.select("src").distinct().count()
-        n_edges = e.count()
+        deg_new = _deg(e_new)  # degrees of the NEW e: next round's input AND this round's stats
+        # release the dead round's blocks NOW: per-round localCheckpoints
+        # otherwise accumulate in the block manager for the session's
+        # lifetime (the returned table is literal — nothing downstream
+        # reads them), and the leak compounds across runs — measured
+        # 22 s → 60 s run-over-run at sf1 before this unpersist
+        e.unpersist()
+        deg.unpersist()
+        e, deg = e_new, deg_new
+        n_nodes, n_edges = _stats(deg)
         out.append((r, n_nodes, n_edges))
+        if n_edges == prev_edges:
+            # CONVERGENCE certificate: the peel only removes edges
+            # (e_r ⊆ e_{r-1}), so an unchanged COUNT proves an
+            # unchanged SET — every later round is the identical fixed
+            # point. Emit the remaining rows without recomputing them
+            # (at sf10 the fixed point arrives by round 2; this halves
+            # the measured 3-round cost, bit-identically).
+            out.extend((rr, n_nodes, n_edges) for rr in range(r + 1, rounds + 1))
+            break
+        prev_edges = n_edges
+    e.unpersist()
+    deg.unpersist()
     return spark.range(1).select(
         F.explode(
             F.array(

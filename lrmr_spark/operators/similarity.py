@@ -1547,6 +1547,7 @@ def perceptron_train(
         w = [wi + int(row[f"g{j}"]) for j, wi in enumerate(w)]
         out_rows.append((it, int(row["m"]), sum(abs(wi) for wi in w)))
 
+    base.unpersist()  # the result below is literal — release the working set
     # bounded result table built JVM-side (no createDataFrame: one
     # explode over literal structs keeps the Python worker out of it)
     return spark.range(1).select(
