@@ -159,7 +159,8 @@ _PRIORITY = [
 # graph_label_propagation, embedding_perceptron_probe,
 # corpus_bloom_decontaminate, graph_kcore_peel, ann_ivfpq_delete_topk,
 # sample_weighted_priority, text_line_dedup_index,
-# streaming_line_dedup (rows-only twin), text_line_dedup_compacted.
+# streaming_line_dedup (rows-only twin), text_line_dedup_compacted,
+# ann_sq8_delete_topk.
 
 
 def _ordered(names: list[str]) -> list[str]:

@@ -2301,3 +2301,54 @@ def ann_ivfpq_delete_topk(spark, sf_dir):
     return SIM.ivfpq_adc_topk(
         spark, path, list(_query_vec()), coarse, pq_cents, k=10, n_probe=2
     )
+
+
+def _sq8_delete_oracle() -> str:
+    """SDC mirror over the corpus MINUS the takedown ids: the stored
+    SQ8 table after delete must answer as if they never existed."""
+    q = "[" + ", ".join(str(c) for c in _sq8_qcodes()) + "]::BIGINT[]"
+    return f"""
+    WITH c AS (SELECT vec_id, {_sq8_codes_sql()} AS codes FROM embeddings
+               WHERE vec_id % 7 <> 0)
+    SELECT vec_id,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, 65),
+               i -> (codes[i] - ({q})[i]) * (codes[i] - ({q})[i]))),
+             (acc, v) -> acc + v) AS BIGINT) AS sdc_dist
+    FROM c ORDER BY sdc_dist ASC, vec_id ASC LIMIT 10
+    """
+
+
+@query("ann_sq8_delete_topk", oracle=_sq8_delete_oracle)
+def ann_sq8_delete_topk(spark, sf_dir):
+    """The SQ8 takedown row (write → DELETE → query), completing the
+    last gap in the stored-ANN CRUD matrix: flat PQ, SQ8, and IVF-PQ
+    each now have write, append, delete, and query value-checked.
+    Build the full SQ8 codes table, delete the vec_id % 7 = 0 batch,
+    answer the SDC top-10 from the survivors; the oracle scores
+    rebuild-without from scratch, and a double delete must remove 0
+    rows (asserted inline)."""
+    import os
+    import tempfile
+
+    mins, scales = _sq8_params()
+    emb = load(spark, sf_dir, "embeddings")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"lrmr_sq8_del_{tag}")
+    SIM.write_sq8_codes(emb, path, list(mins), list(scales))
+    ids = [
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") % 7 == 0)
+        .select("vec_id")
+        .collect()
+    ]
+    SIM.delete_sq8_codes(spark, path, ids)
+    n_again = SIM.delete_sq8_codes(spark, path, ids)
+    if n_again != 0:
+        raise AssertionError(
+            f"double delete removed {n_again} rows — takedown must be "
+            "idempotent"
+        )
+    return SIM.sq8_sdc_topk_stored(
+        spark, path, _sq8_qcodes(), list(mins), list(scales), k=10
+    )

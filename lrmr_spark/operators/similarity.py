@@ -1638,3 +1638,28 @@ def delete_ivfpq_index(spark, path: str, ids: list[int]) -> int:
         F.lit(sid).alias("id_col"),
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
     return int(n_removed)
+
+
+def delete_sq8_codes(spark, path: str, ids: list[int]) -> int:
+    """delete_pq_codes for the SQ8 codes layout — the takedown half of
+    the SQ8 lifecycle (write → append → DELETE → query). Same torn-
+    write inversion: survivors materialize FIRST (eager checkpoint —
+    never read-and-overwrite one parquet dir in a plan), _meta is
+    invalidated across the rewrite and restored after, so an
+    interruption leaves a loudly-failing index. Idempotent; returns
+    rows removed."""
+    row = spark.read.json(f"{path}/_meta").collect()[0]
+    sid = row["id_col"]
+    codes = spark.read.parquet(f"{path}/codes")
+    keep = codes.filter(~F.col(sid).isin([int(i) for i in ids]))
+    survivors = keep.localCheckpoint(eager=True)
+    n_removed = codes.count() - survivors.count()
+    _invalidate_meta(spark, path)
+    survivors.write.mode("overwrite").parquet(f"{path}/codes")
+    spark.range(1).select(
+        F.lit(int(row["dim"])).cast("int").alias("dim"),
+        F.lit(row["params_md5"]).alias("params_md5"),
+        F.lit(sid).alias("id_col"),
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    survivors.unpersist()
+    return int(n_removed)
