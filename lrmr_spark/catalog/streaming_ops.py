@@ -261,3 +261,19 @@ def streaming_line_dedup(spark, sf_dir):
         min_df=2,
     )
     return cleaned.orderBy("doc_id")
+
+
+@query("streaming_sliding_counts")  # rows-only: incremental/watermark semantics
+def streaming_sliding_counts(spark, sf_dir):
+    """Watermarked sliding-window counts (1-hour windows every 30
+    minutes — each event lands in two overlapping windows) executed as
+    a real streaming query (file micro-batches → memory sink, append
+    mode: only watermark-closed windows emit). The sliding twin of
+    streaming_tumbling_counts, completing the streaming window-shape
+    set (tumbling / SLIDING / session); batch equivalence asserted in
+    tests/test_streaming.py."""
+    name = f"cat_sliding_{uuid.uuid4().hex[:8]}"
+    return ST.run_to_memory(
+        ST.sliding_counts(ST.stream_events(spark, sf_dir)), name,
+        output_mode="append",
+    )

@@ -663,3 +663,21 @@ def test_line_dedup_stream_is_prefix_causal_and_index_converges(
         for s, c in one_shot.items()
     }
     assert {r["h"]: r["df"] for r in stored} == want_counts
+
+
+def test_sliding_counts_match_batch(spark, sf_dir, events_stream):
+    got = ST.run_to_memory(
+        ST.sliding_counts(events_stream), "t_sliding", output_mode="append"
+    )
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("w_start"), "cnt")
+    )
+    got_set = {(r["w_start"], r["cnt"]) for r in got.collect()}
+    batch_set = {(r["w_start"], r["cnt"]) for r in batch.collect()}
+    # append mode emits only watermark-closed windows: subset of batch,
+    # and every emitted (overlapping) window must agree exactly
+    assert got_set <= batch_set
+    assert len(got_set) > 0
