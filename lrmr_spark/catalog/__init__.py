@@ -160,7 +160,8 @@ _PRIORITY = [
 # corpus_bloom_decontaminate, graph_kcore_peel, ann_ivfpq_delete_topk,
 # sample_weighted_priority, text_line_dedup_index,
 # streaming_line_dedup (rows-only twin), text_line_dedup_compacted,
-# ann_sq8_delete_topk, streaming_sliding_counts (rows-only).
+# ann_sq8_delete_topk, streaming_sliding_counts (rows-only),
+# corpus_bloom_stored.
 
 
 def _ordered(names: list[str]) -> list[str]:

@@ -1888,3 +1888,111 @@ def sample_weighted_priority(spark, sf_dir):
         .select("source", "rank", "doc_id", "weight", "priority")
         .orderBy("source", "rank")
     )
+
+
+@query("corpus_bloom_stored", oracle=_bloom_oracle)
+def corpus_bloom_stored(spark, sf_dir):
+    """The STORED-sketch lifecycle for decontamination (write → probe):
+    the eval set's Bloom filter is persisted once as a parquet word
+    table with a ``_meta`` sidecar (bits / hash count / a params
+    fingerprint — probing with a different geometry than the build
+    mis-keys every bit, so reads raise on drift; the ANN-index
+    discipline), then the training corpus is probed FROM THE STORED
+    table. SHARES corpus_bloom_decontaminate's oracle verbatim: the
+    parquet round-trip must not change a single membership answer.
+    This is the production shape — the benchmark suite's filter is
+    compiled once per release and shipped to every curation job, not
+    rebuilt per run."""
+    import os
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % 50 == 0).cast("int").alias("is_ev"),
+        F.explode(F.array_distinct(TX.shingles("text", 4))).alias("g"),
+    )
+
+    def pos(j: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bf{j}:"), F.col("g"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _BF_BITS
+        )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"lrmr_bloom_{tag}")
+    ev = grams.filter(F.col("is_ev") == 1).select("g").distinct()
+    evp = ev.select(*[pos(j).alias(f"_p{j}") for j in range(_BF_HASHES)])
+    inserts = evp.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.expr(f"_p{j} DIV 32").alias("w"),
+                        F.expr(
+                            f"shiftleft(CAST(1 AS BIGINT), "
+                            f"CAST(_p{j} % 32 AS INT))"
+                        ).alias("m"),
+                    )
+                    for j in range(_BF_HASHES)
+                ]
+            )
+        ).alias("p")
+    ).select("p.w", "p.m")
+    bf_build = inserts.groupBy("w").agg(F.bit_or("m").alias("bits"))
+    bf_build.write.mode("overwrite").parquet(f"{path}/words")
+    fp = f"bits={_BF_BITS};hashes={_BF_HASHES};hash=md5-bf"
+    spark.range(1).select(
+        F.lit(int(_BF_BITS)).cast("bigint").alias("bits"),
+        F.lit(int(_BF_HASHES)).cast("int").alias("hashes"),
+        F.lit(fp).alias("params"),
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+
+    meta = spark.read.json(f"{path}/_meta").collect()[0]
+    if meta["params"] != fp:
+        raise ValueError(
+            "bloom-geometry drift: the stored sketch was built with "
+            f"{meta['params']!r}, this probe expects {fp!r}"
+        )
+    bf = spark.read.parquet(f"{path}/words")
+
+    marked = grams.withColumn(
+        "anyev", F.max("is_ev").over(Window.partitionBy("g"))
+    ).filter(F.col("is_ev") == 0)
+    probed = marked.select(
+        "doc_id", "source", "anyev",
+        *[pos(j).alias(f"_p{j}") for j in range(_BF_HASHES)],
+    )
+    allset = F.lit(True)
+    for j in range(_BF_HASHES):
+        bfj = bf.select(
+            F.col("w").alias(f"_w{j}"), F.col("bits").alias(f"_bits{j}")
+        )
+        probed = probed.join(
+            F.broadcast(bfj),
+            F.expr(f"_p{j} DIV 32") == F.col(f"_w{j}"),
+            "left",
+        )
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(_p{j} % 32 AS INT))"
+        )
+        allset = allset & F.coalesce(
+            F.col(f"_bits{j}").bitwiseAND(mask) != 0, F.lit(False)
+        )
+    return (
+        probed.withColumn("bloom_hit", F.when(allset, 1).otherwise(0))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("bloom_hit").cast("bigint").alias("n_bloom_hits"),
+            F.sum("anyev").cast("bigint").alias("n_true_hits"),
+        )
+        .orderBy("source")
+    )
