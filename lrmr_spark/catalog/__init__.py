@@ -161,7 +161,7 @@ _PRIORITY = [
 # sample_weighted_priority, text_line_dedup_index,
 # streaming_line_dedup (rows-only twin), text_line_dedup_compacted,
 # ann_sq8_delete_topk, streaming_sliding_counts (rows-only),
-# corpus_bloom_stored.
+# corpus_bloom_stored, text_heavy_hitters.
 
 
 def _ordered(names: list[str]) -> list[str]:

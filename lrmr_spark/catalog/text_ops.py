@@ -1167,3 +1167,31 @@ def text_line_dedup_compacted(spark, sf_dir):
     return TX.line_dedup_with_index(
         d.filter(F.col("doc_id") % 2 == 1), path, "doc_id", "text", min_df=2
     )
+
+
+@query(
+    "text_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS t FROM documents),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+    c AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt
+          FROM toks GROUP BY t)
+    SELECT t AS token, cnt FROM c, tot WHERE cnt > n // 256
+    ORDER BY cnt DESC, token ASC
+    """,
+)
+def text_heavy_hitters(spark, sf_dir):
+    """Exact corpus heavy hitters (tokens with count > N/256) through
+    the two-pass Misra–Gries plan: per-partition k-counter sketches
+    (Arrow mapInPandas, zero shuffle) surface a bounded candidate set;
+    an exact candidate-only recount applies the true threshold. The
+    oracle is the naive full groupBy — the ALGORITHM avoids exactly
+    that shuffle at scale (one row per (partition, distinct token) vs
+    ≤ k·P candidates + the filtered recount), while the two-pass
+    guarantee makes the OUTPUT identical to it. The mergeable-sketch
+    family member for frequencies, next to sketch_distinct_mincount
+    (cardinality) and streaming_mincount_sketch; MG recall guarantee
+    property-tested against adversarial partitionings in
+    tests/test_operators.py."""
+    d = load(spark, sf_dir, "documents")
+    return TX.heavy_hitters_exact(d, "text", k=256)

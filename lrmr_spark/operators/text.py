@@ -804,3 +804,71 @@ def compact_line_index(spark, path: str) -> int:
         F.lit(meta["id_col"]).alias("id_col"),
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
     return int(n_epochs)
+
+
+def heavy_hitters_exact(
+    df,
+    text_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """EXACT corpus heavy hitters via the two-pass Misra–Gries plan
+    (Misra & Gries 1982; the distributed form is the standard
+    sketch-then-verify): pass 1 runs an independent k-counter MG
+    summary INSIDE each partition (Arrow-batched mapInPandas — the
+    sketch is pure per-partition state, the shape declarative ops
+    can't express) and emits only its surviving candidate tokens;
+    pass 2 exactly recounts candidates alone and keeps tokens with
+    true count > N DIV k. Output: (token, cnt), count-desc.
+
+    Why this is exact: MG undercounts by at most n_p/k, so any token
+    with partition count > n_p/k ends pass 1 with a live counter; a
+    token with GLOBAL count > N/k must exceed n_p/k in ≥ 1 partition
+    (pigeonhole over Σn_p = N), so every qualifying token reaches
+    pass 2 — and pass 2's exact threshold removes any false
+    candidate. The output is therefore a pure function of the data
+    (deterministic, partitioning-independent, SQL-oracle-equal) even
+    though the sketch pass is not.
+
+    100 TB shape: the full token stream is NEVER shuffled on token —
+    the classic heavy-hitters groupBy moves one row per (partition,
+    distinct-token), unbounded vocabulary and all; here pass 1 is
+    narrow (zero shuffle, O(k) memory per task) and only ≤ k·P
+    candidate tokens plus the candidate-filtered recount ride any
+    exchange. The candidate set is bounded by construction (k ×
+    partitions), so it broadcasts."""
+    import pandas as pd
+
+    toks = df.select(F.explode(tokens(text_col)).alias("t"))
+
+    def _mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["t"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < k:
+                    counters[t] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"t": list(counters)})
+
+    cand = (
+        toks.mapInPandas(_mg, "t string")
+        .distinct()
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(F.broadcast(cand), "t", "left_semi")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > F.expr(f"n DIV {k}"))
+        .select(F.col("t").alias("token"), F.col("cnt").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+    )

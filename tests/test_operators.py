@@ -2650,3 +2650,32 @@ def test_line_index_raises_on_width_drift(spark, tmp_path):
         TX.write_line_index(df, path, "doc_id", "text", width=5, epoch=1)
     # same width appends fine
     TX.write_line_index(df, path, "doc_id", "text", width=3, epoch=1)
+
+
+def test_heavy_hitters_exact_matches_counter_even_when_skew_planted(spark):
+    """The two-pass MG output must equal the naive exact answer on an
+    adversarial layout: a few heavy tokens drowned in a long tail,
+    spread unevenly across partitions (small k stresses the sketch)."""
+    from collections import Counter
+
+    rows = []
+    # heavy: 'h0'..'h2' with large counts; tail: 300 singletons
+    for i, n in ((0, 120), (1, 90), (2, 60)):
+        rows.extend([(f"h{i}",)] * n)
+    rows.extend([(f"tail{j}",)] for j in range(300))
+    rows = [r if isinstance(r, tuple) else r[0] for r in rows]
+    docs = [(i, " ".join(t for (t,) in rows[i::7])) for i in range(7)]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(8)
+    got = [
+        (r["token"], r["cnt"])
+        for r in TX.heavy_hitters_exact(df, "text", k=16).collect()
+    ]
+    toks = [t for _, text in docs for t in text.split()]
+    n = len(toks)
+    c = Counter(toks)
+    want = sorted(
+        ((t, cnt) for t, cnt in c.items() if cnt > n // 16),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert got == want
+    assert {t for t, _ in got} == {"h0", "h1", "h2"}
