@@ -162,6 +162,14 @@ _PRIORITY = [
 # streaming_line_dedup (rows-only twin), text_line_dedup_compacted,
 # ann_sq8_delete_topk, streaming_sliding_counts (rows-only),
 # corpus_bloom_stored, text_heavy_hitters.
+# r7 ROTATION NOTE (for the next session): the candidate list above
+# now exceeds one 34-slot window (~47 entries). Suggested split:
+# r7 window = the 16 standing keeps + the 34 candidates built FIRST
+# (ann_ivfpq_rerank_topk .. ann_cosine_topk_batch — the longest-
+# waiting), leaving this session's additions (text_line_dedup ..
+# text_heavy_hitters) as r8 candidates; keep the family pins and the
+# pre-freeze green check (all are green in check_oracle at sf0.01 +
+# sf0.1 already — see CORRECTNESS sweeps in COVERAGE.md).
 
 
 def _ordered(names: list[str]) -> list[str]:
