@@ -793,6 +793,7 @@ def connected_components(
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
+        labels.unpersist()  # pitfall 19: release the dead round's blocks
         labels = new
         if changed == 0:
             break
@@ -879,6 +880,7 @@ def _connected_components_star(
             new_edges.exceptAll(edges).count() == 0
             and edges.exceptAll(new_edges).count() == 0
         )
+        edges.unpersist()  # pitfall 19: release the dead round's blocks
         edges = new_edges
         if stable:
             break

@@ -72,7 +72,7 @@ def pagerank_ppm(
                 F.expr("rank_ppm DIV outdeg").alias("c"),
             )
         )
-        ranks = (
+        new_ranks = (
             contribs.groupBy("node")
             .agg(
                 F.expr(
@@ -81,6 +81,11 @@ def pagerank_ppm(
             )
             .localCheckpoint(eager=True)
         )
+        ranks.unpersist()  # pitfall 19: release the dead round's blocks
+        ranks = new_ranks
+    # the returned ranks are self-contained (checkpointed); the edge
+    # working set can be released too
+    edges.unpersist()
     return ranks
 
 
