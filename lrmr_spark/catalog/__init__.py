@@ -73,13 +73,22 @@ _PRIORITY = [
     # ROTATION (r6) — THE FINAL BACKLOG ROTATION: 16 load-bearing
     # keeps (the 11 bench-headline queries, the four remaining family
     # pins — multimodal/skew/storage/corpus — and the streaming
-    # stateful pin) + the 34 FIRST-TIME entries that exhaust the
-    # never-gated backlog (29 carried from r5's candidate list + the
-    # 5 operators new this round). After this window every catalog
-    # entry has ≥ 1 official driver row. All 34 verified green by
+    # stateful pin) + the 34 LONGEST-WAITING first-time entries from
+    # the post-r6-freeze backlog, exactly as the r6 rotation note and
+    # VERDICT r6 task 1 prescribe (build order: ann_ivfpq_rerank_topk
+    # .. graph_label_propagation), leaving the 12 newest (the
+    # line-dedup index family .. text_heavy_hitters) plus this round's
+    # additions as the r8 window. All 34 verified green by
     # tools/check_oracle.py at sf0.01 AND sf0.1 before freezing.
-    # Everything rotated out is green in r1-r5 official rows and
-    # stays covered by check_oracle.
+    # Rotated out this round (green official rows in r6; still fully
+    # covered by check_oracle): ann_pq_rerank_topk, ann_pq_append_topk,
+    # streaming_pq_index_append, text_dup_token_spans,
+    # dedup_simhash_fast_banding_lossless, dedup_simhash_hamming_fast,
+    # ann_ivfpq_topk, ann_ivfpq_residual_topk,
+    # dedup_minhash_index_append, streaming_minhash_index_match,
+    # text_winnowing_matches_capped, the 15 events-tail entries,
+    # cogroup_click_purchase_profile, feature_store_pit_join, and the
+    # 6 streaming-tail entries.
     # --- keeps: bench headliners (the 11 queries bench.py times)
     "flagship_event_counts",
     "tpch_q1",
@@ -98,78 +107,60 @@ _PRIORITY = [
     "zorder_locality_index",
     "source_mixture_weights",
     "streaming_sessionization",  # rows-only by contract
-    # --- new in r6: two-stage ANN re-rank, the ANN index append loop
-    # (batch + streaming twin), substring-dup spans, and the 64-bit
-    # simhash banding-losslessness value check
-    "ann_pq_rerank_topk",
-    "ann_pq_append_topk",
-    "streaming_pq_index_append",  # rows-only: foreachBatch loop
-    "text_dup_token_spans",
-    "dedup_simhash_fast_banding_lossless",
-    # --- r5-built ops that landed after the r5 window froze
-    "dedup_simhash_hamming_fast",  # rows-only: xxhash64 not in SQL
-    "ann_ivfpq_topk",
-    "ann_ivfpq_residual_topk",
-    "dedup_minhash_index_append",
-    "streaming_minhash_index_match",  # rows-only: foreachBatch loop
-    "text_winnowing_matches_capped",
-    # --- the events tail (last never-gated events entries)
-    "events_growth_accounting",
-    "events_time_pruned_rollup",
-    "events_json_props",
-    "events_value_moments",
-    "events_outliers_zscore",
-    "events_outliers_mad",
-    "events_heatmap_dow_hour",
-    "events_rolling_weekly_active",
-    "events_value_histogram_log2",
-    "events_multi_grain_rollup",
-    "events_variant_shredding",
-    "events_error_spike",
-    "events_histogram_quantiles",
-    "events_entry_paths",
-    "events_drift_report",
-    # --- the advanced-ops tail
-    "cogroup_click_purchase_profile",
-    "feature_store_pit_join",
-    # --- the streaming tail (rows-only per the no-oracle contract)
-    "streaming_static_enrich",
-    "streaming_interval_join",
-    "streaming_interval_join_left_outer",
-    "streaming_dropdup_watermark",
-    "streaming_mincount_sketch",
-    "streaming_backfill_available_now",
+    # --- first-time rows 1-30: the r6-session backlog in build order
+    # (two-stage rerank, DSIR, span removal, PQ/SQ8 eval + CRUD, BPE,
+    # mixture, phash, sweep/overlap diagnostics)
+    "ann_ivfpq_rerank_topk",
+    "docs_dsir_weights",
+    "text_dup_span_removal",
+    "ann_pq_recall_at_k",
+    "pq_train_codebook_iter",
+    "embedding_pq_distortion",
+    "decontaminate_span_removal",
+    "bpe_pair_counts",
+    "bpe_merge_apply",
+    "mixture_temperature_weights",
+    "bpe_train_merges",
+    "bpe_encode_corpus",
+    "mixture_unimax_weights",
+    "embedding_sq8_codes",
+    "ann_sq8_sdc_topk",
+    "ann_ivf_recall_at_nprobe",
+    "multimodal_phash_dedup",
+    "token_diversity_index",
+    "ann_sq8_stored_topk",
+    "ann_sq8_recall_at_k",
+    "mixture_unimax_sample",
+    "dedup_threshold_sweep",
+    "source_overlap_matrix",
+    "multimodal_curation_pipeline",
+    "multimodal_phash_index_match",
+    "streaming_phash_index_match",  # rows-only: foreachBatch loop
+    "ann_sq8_append_topk",
+    "ann_pq_delete_topk",
+    "dedup_minhash_index_delete",
+    "ann_cosine_topk_batch",
+    # --- first-time rows 31-34: the next-oldest four, filling the
+    # window to exactly 50
+    "text_line_dedup",
+    "ann_hybrid_rrf",
+    "embedding_matryoshka_recall",
+    "graph_label_propagation",
 ]
-# r6 clears the never-gated backlog: every catalog entry now appears
-# in at least one official CORRECTNESS_r{N}.json window (r1-r6).
-# r7 window candidates (built after the r6 window froze; verified by
-# check_oracle at sf0.01 + sf0.1): ann_ivfpq_rerank_topk,
-# docs_dsir_weights, text_dup_span_removal, ann_pq_recall_at_k,
-# pq_train_codebook_iter, embedding_pq_distortion,
-# decontaminate_span_removal, bpe_pair_counts, bpe_merge_apply,
-# mixture_temperature_weights, bpe_train_merges, bpe_encode_corpus,
-# mixture_unimax_weights, embedding_sq8_codes, ann_sq8_sdc_topk,
-# ann_ivf_recall_at_nprobe, multimodal_phash_dedup,
-# token_diversity_index, ann_sq8_stored_topk, ann_sq8_recall_at_k,
-# mixture_unimax_sample, dedup_threshold_sweep, source_overlap_matrix,
-# multimodal_curation_pipeline, multimodal_phash_index_match,
-# streaming_phash_index_match (rows-only twin), ann_sq8_append_topk,
-# ann_pq_delete_topk, dedup_minhash_index_delete, ann_cosine_topk_batch,
-# text_line_dedup, ann_hybrid_rrf, embedding_matryoshka_recall,
-# graph_label_propagation, embedding_perceptron_probe,
+# r8 window candidates (the 12 r6-session entries the 50-slot r7
+# window could not hold — the newest builds, per the rotation note —
+# plus anything built this round after the r7 window froze; all green
+# in check_oracle at sf0.01 + sf0.1): embedding_perceptron_probe,
 # corpus_bloom_decontaminate, graph_kcore_peel, ann_ivfpq_delete_topk,
 # sample_weighted_priority, text_line_dedup_index,
 # streaming_line_dedup (rows-only twin), text_line_dedup_compacted,
 # ann_sq8_delete_topk, streaming_sliding_counts (rows-only),
 # corpus_bloom_stored, text_heavy_hitters.
-# r7 ROTATION NOTE (for the next session): the candidate list above
-# now exceeds one 34-slot window (~47 entries). Suggested split:
-# r7 window = the 16 standing keeps + the 34 candidates built FIRST
-# (ann_ivfpq_rerank_topk .. ann_cosine_topk_batch — the longest-
-# waiting), leaving this session's additions (text_line_dedup ..
-# text_heavy_hitters) as r8 candidates; keep the family pins and the
-# pre-freeze green check (all are green in check_oracle at sf0.01 +
-# sf0.1 already — see CORRECTNESS sweeps in COVERAGE.md).
+# r8 ROTATION NOTE (for the next session): r8 window = the 16
+# standing keeps + the 12 entries above + every entry added during r7
+# (see the per-entry registrations dated r7 in the ops modules);
+# keep the family pins and the pre-freeze green check at sf0.01 AND
+# sf0.1 before freezing the window.
 
 
 def _ordered(names: list[str]) -> list[str]:

@@ -639,13 +639,48 @@ def dedup_simhash_fast_banding_lossless(spark, sf_dir):
     the banded side, and runs at validation scale (sf0.01/sf0.1:
     ≤ ~25 M popcounts over 8-byte longs). It is a diagnostic harness,
     never a production path; production traffic uses the banded entry
-    this row certifies."""
+    this row certifies. A hard GUARD (r6 verdict task 3) refuses to
+    build the quadratic arm past _BRUTE_REPS_BOUND distinct
+    signatures, so a future gate run at corpus scale fails loudly
+    instead of launching a reps² cross join."""
     docs = load(spark, sf_dir, "documents")
-    banded = DD.simhash64_hamming_pairs(docs, "doc_id", "text", k=3)
+    diffs = _banding_vs_brute_diffs(docs, k=3)
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("id_a"),
+        F.lit(-1).cast("long").alias("id_b"),
+        F.lit(0).cast("int").alias("hamming"),
+        F.lit(True).alias("in_banded"),
+        F.lit(True).alias("in_brute"),
+    )
+    return sentinel.unionAll(diffs).orderBy("id_a", "id_b")
+
+
+# validation-scale ceiling for the diagnostic brute arm: 1e5 reps is
+# ~5e9 popcounts — minutes on one node, the outer edge of "diagnostic";
+# past it the quadratic cost is a cluster accident, not a check
+_BRUTE_REPS_BOUND = 100_000
+
+
+def _banding_vs_brute_diffs(docs, k: int = 3, max_reps: int = _BRUTE_REPS_BOUND):
+    """Disagreement rows between the banded Hamming-≤k pair set and a
+    brute all-pairs popcount over the same xxhash64 signatures (empty
+    ⇔ banding lossless on this corpus). Raises when the
+    distinct-signature rep count exceeds ``max_reps`` — the brute arm
+    is O(reps²) by design and must never run at corpus scale."""
+    banded = DD.simhash64_hamming_pairs(docs, "doc_id", "text", k=k)
     sigs = DD.simhash64(docs, "doc_id", "text").select(
         F.col("doc_id").alias("_id"), F.col("simhash").alias("_sig")
     )
     reps = sigs.groupBy("_sig").agg(F.min("_id").alias("_id"))
+    n_reps = reps.count()
+    if n_reps > max_reps:
+        raise ValueError(
+            f"banding-losslessness DIAGNOSTIC refused: {n_reps} distinct "
+            f"signatures > bound {max_reps} — its brute arm is O(reps²) "
+            f"({n_reps}² ≈ {n_reps * n_reps:.1e} popcounts) and exists "
+            f"only for validation-scale corpora; certify banding on a "
+            f"sample, never the full corpus"
+        )
     lft, rgt = reps.alias("l"), reps.alias("r")
     brute = (
         lft.crossJoin(rgt)  # diagnostic all-pairs: see docstring
@@ -660,7 +695,7 @@ def dedup_simhash_fast_banding_lossless(spark, sf_dir):
         )
     )
     b_, x_ = banded.alias("b"), brute.alias("x")
-    diffs = (
+    return (
         b_.join(
             x_,
             (F.col("b.id_a") == F.col("x.id_a"))
@@ -676,14 +711,6 @@ def dedup_simhash_fast_banding_lossless(spark, sf_dir):
         )
         .filter(~(F.col("in_banded") & F.col("in_brute")))
     )
-    sentinel = spark.range(1).select(
-        F.lit(-1).cast("long").alias("id_a"),
-        F.lit(-1).cast("long").alias("id_b"),
-        F.lit(0).cast("int").alias("hamming"),
-        F.lit(True).alias("in_banded"),
-        F.lit(True).alias("in_brute"),
-    )
-    return sentinel.unionAll(diffs).orderBy("id_a", "id_b")
 
 
 @query(

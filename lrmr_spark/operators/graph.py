@@ -47,16 +47,21 @@ def pagerank_ppm(
     # caller's whole edge-building subtree (e.g. a lineitem self-join)
     # per iteration — measured 2× per round at sf1. The edge list is
     # the algorithm's working set, small relative to its source tables.
-    edges = edges.localCheckpoint(eager=True)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    raw = edges.localCheckpoint(eager=True)
+    deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # pre-join outdeg into the edge list ONCE: the loop then does one
     # join + one aggregation per iteration instead of two joins (deg
     # would otherwise be recomputed and re-joined every round)
     edges = (
-        edges.join(deg, "src")
+        raw.join(deg, "src")
         .select("src", "dst", "outdeg")
         .localCheckpoint(eager=True)
     )
+    # the pre-join checkpoint is now the working set; release the raw
+    # edge checkpoint immediately or its blocks leak for the session
+    # lifetime (pitfall 19 — only the second handle was unpersisted
+    # before, which left the first alive)
+    raw.unpersist()
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()
     teleport = 1_000_000 // max(n_nodes, 1)
@@ -168,16 +173,25 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
 
     ``edges`` is directed (src, dst); undirected callers union both
     directions. Labels must be non-negative longs (the min-tie argmax
-    rides max(struct(count, -label))). Output: (node, label).
+    rides max(struct(count, -label))). Output: (node, label) — ONE row
+    per node of the graph (src ∪ dst): a node with no in-edges this
+    round KEEPS its current label (it has no neighbor votes), it is
+    not silently dropped — so directed inputs (domain-link graphs)
+    get a correct answer, not a shrinking node set. On symmetric
+    input every node receives votes every round and the carry-forward
+    never fires, so the undirected answer is unchanged.
 
     Scale shape, per round: one edges⋈labels join shuffling
     (node, long) pairs, a (dst, label)-keyed count with map-side
-    partials, and a dst-keyed argmax — also map-side combinable via
-    max(struct). Lineage truncates per round with localCheckpoint
-    (pitfall 12), so the plan stays flat at any iteration count."""
+    partials, a dst-keyed argmax — also map-side combinable via
+    max(struct) — and one node-keyed left join folding the votes back
+    into the (node-sized, edge-count-independent) label table.
+    Lineage truncates per round with localCheckpoint (pitfall 12), so
+    the plan stays flat at any iteration count."""
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
@@ -188,12 +202,15 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
             .groupBy(F.col("dst").alias("nd"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        argmax = votes.groupBy(F.col("nd").alias("node")).agg(
+            (-F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl")))["nl"])
+            .cast("long")
+            .alias("_vl")
+        )
         new_labels = (
-            votes.groupBy(F.col("nd").alias("node"))
-            .agg(
-                (-F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl")))["nl"])
-                .cast("long")
-                .alias("label")
+            labels.join(argmax, "node", "left")
+            .select(
+                "node", F.coalesce(F.col("_vl"), F.col("label")).alias("label")
             )
             .localCheckpoint(eager=True)
         )

@@ -1449,6 +1449,7 @@ def delete_pq_codes(spark, path: str, ids: list[int]) -> int:
         F.lit(meta["codebook_md5"]).alias("codebook_md5"),
         F.lit(sid).alias("id_col"),
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    survivors.unpersist()  # pitfall 19: release the checkpoint blocks
     return int(n_removed)
 
 
@@ -1637,6 +1638,7 @@ def delete_ivfpq_index(spark, path: str, ids: list[int]) -> int:
         ).alias("by_residual"),
         F.lit(sid).alias("id_col"),
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    survivors.unpersist()  # pitfall 19: release the checkpoint blocks
     return int(n_removed)
 
 

@@ -795,14 +795,20 @@ def compact_line_index(spark, path: str) -> int:
     jpath = jvm.org.apache.hadoop.fs.Path(_p)
     fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     fs.delete(jpath, True)
-    folded.write.mode("overwrite").partitionBy("_epoch").parquet(
-        f"{path}/counts"
-    )
+    # partitionOverwriteMode pinned STATIC on the write itself: under a
+    # session-level dynamic mode (leaked by any partial index-op
+    # failure) a plain overwrite would replace only _epoch=0 and leave
+    # the old epochs alive — every post-compaction df would then be
+    # double-counted, silently breaking the changes-no-answer contract
+    folded.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("_epoch").parquet(f"{path}/counts")
     spark.range(1).select(
         F.lit(int(meta["width"])).cast("int").alias("width"),
         F.lit(meta["hash"]).alias("hash"),
         F.lit(meta["id_col"]).alias("id_col"),
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    folded.unpersist()  # pitfall 19: release the checkpoint blocks
     return int(n_epochs)
 
 

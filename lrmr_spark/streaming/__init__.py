@@ -742,12 +742,21 @@ def run_line_dedup_stream(
     spark = docs_stream.sparkSession
 
     def _clean_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        try:
+        # the within-batch fallback is ONLY for the no-index-yet first
+        # epoch, gated on an explicit _meta existence probe — a blanket
+        # AnalysisException catch here would also swallow real defects
+        # (bad columns, corrupt counts table, _meta invalidated by an
+        # interrupted compaction) and quietly emit different output
+        # instead of failing the stream
+        jvm = spark.sparkContext._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{index_path}/_meta")
+        fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
             cleaned = TX.line_dedup_with_index(
                 batch_df, index_path, id_col, text_col,
                 min_df=min_df, before_epoch=int(epoch_id),
             )
-        except AnalysisException:
+        else:
             # no index yet (first epoch, nothing written): clean
             # against within-batch frequencies only
             cleaned = TX.line_dedup_rebuild(

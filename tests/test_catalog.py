@@ -93,3 +93,25 @@ def test_every_query_has_oracle_or_is_documented_rows_only():
         # algorithm pinned by the oracle-checked 16-bit twin +
         # brute-force property test
     }, rows_only
+
+
+def test_banding_lossless_brute_arm_guard_trips(spark):
+    """r6 verdict task 3: the O(reps²) diagnostic arm of the
+    banding-losslessness gate row must REFUSE corpora whose
+    distinct-signature count exceeds the bound, so a future gate run
+    at corpus scale fails loudly instead of launching a quadratic
+    cross join."""
+    import pytest
+
+    from lrmr_spark.catalog.dedup_ops import _banding_vs_brute_diffs
+
+    docs = spark.createDataFrame(
+        [(i, f"synthetic wide corpus document number {i} alpha beta {i * 7}")
+         for i in range(24)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="O\\(reps²\\)"):
+        _banding_vs_brute_diffs(docs, k=3, max_reps=5)
+    # under the bound the diagnostic still runs (and finds no
+    # disagreement on distinct texts)
+    assert _banding_vs_brute_diffs(docs, k=3, max_reps=1000).count() >= 0

@@ -2492,6 +2492,20 @@ def test_label_propagation_random_graph_matches_reference(spark, seed):
     assert got == _py_lpa(edges, 3)
 
 
+def test_label_propagation_directed_keeps_src_only_nodes(spark):
+    # DIRECTED input (r6 advice): node 99 has out-edges but no
+    # in-edges — it must keep its own label across rounds, not vanish
+    # from the output; node 7 is a pure sink that node 99 out-votes.
+    from lrmr_spark.operators.graph import label_propagation
+
+    edges = [(99, 7), (99, 7), (0, 7), (0, 1), (1, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(df, 3).collect()}
+    assert got == _py_lpa(edges, 3)
+    assert set(got) == {0, 1, 7, 99}  # every node of src ∪ dst present
+    assert got[99] == 99  # no votes ever arrive: label carried forward
+
+
 # ------------------------------------------------- batch perceptron
 def _py_perceptron(vecs: list[list[float]], teacher_ppm: list[int], rounds: int):
     """Plain-python reference for perceptron_train: exact-integer
