@@ -263,6 +263,45 @@ def streaming_line_dedup(spark, sf_dir):
     return cleaned.orderBy("doc_id")
 
 
+@query("streaming_winnowing_index_match")  # rows-only: foreachBatch run-mode
+def streaming_winnowing_index_match(spark, sf_dir):
+    """The MOSS-style decontamination service as a LIVE STREAM (the
+    streaming_phash_index_match discipline for the winnowing family):
+    the base corpus's fingerprint index is written once (even
+    doc_ids), then the incoming-document stream (odd doc_ids) is
+    fingerprinted and matched per micro-batch via foreachBatch,
+    matches landing in an epoch-partitioned sink under dynamic
+    partition overwrite (idempotent under checkpoint replay). Stream
+    ≡ batch matcher asserted in tests/test_streaming.py; the match's
+    value check lives in text_winnowing_index's hash-green row."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..operators import text as TX
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"lrmr_win_sidx_{tag}")
+    TX.write_winnowing_index(
+        docs.filter(F.col("doc_id") % 2 == 0), path, "doc_id", "text", epoch=0
+    )
+    run = uuid.uuid4().hex[:8]
+    out = os.path.join(tempfile.gettempdir(), f"lrmr_win_stream_out_{run}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"lrmr_win_stream_ck_{run}")
+    matches = ST.run_winnowing_index_match_stream(
+        ST.stream_documents(spark, sf_dir).filter(F.col("doc_id") % 2 == 1),
+        path,
+        out,
+        ckpt,
+        min_shared=2,
+    )
+    return matches.orderBy("new_id", "base_id")
+
+
 @query("streaming_sliding_counts")  # rows-only: incremental/watermark semantics
 def streaming_sliding_counts(spark, sf_dir):
     """Watermarked sliding-window counts (1-hour windows every 30

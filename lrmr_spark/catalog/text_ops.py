@@ -821,6 +821,111 @@ def text_winnowing_matches_capped(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _winnowing_index_oracle() -> str:
+    """The _winnowing_oracle postings split into stored (even doc_ids,
+    df-capped at 8 over the stored side only — the matcher's read-time
+    MOSS guard) and batch (odd doc_ids), joined on fingerprint."""
+    w = 4
+    least_args = ", ".join(f"h[i + {j}]" for j in range(w))
+    return f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform({grams_expr("toks", 3)},
+                            x -> substr(md5('w:' || x), 1, 8)) AS h
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) raw
+    ), sel AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, greatest(len(h) - {w} + 1, 1) + 1),
+                              i -> least({least_args})))) AS fps
+      FROM g
+    ), post AS (
+      SELECT doc_id, unnest(fps) AS fp FROM sel
+    ), stored AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+        FROM post WHERE doc_id % 2 = 0
+      ) WHERE df <= 8
+    ), batch AS (
+      SELECT doc_id, fp FROM post WHERE doc_id % 2 = 1
+    )
+    SELECT b.doc_id AS new_id, s.doc_id AS base_id,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM batch b JOIN stored s USING (fp)
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    ORDER BY new_id, base_id
+    """
+
+
+@query("text_winnowing_index", oracle=_winnowing_index_oracle)
+def text_winnowing_index(spark, sf_dir):
+    """The STORED winnowing-index lifecycle (write → append → match) —
+    the persisted MOSS-style decontamination service the fingerprint
+    family was missing (MinHash, line-dedup, and phash each already
+    have one): yesterday's corpus (even doc_ids, landed as TWO index
+    epochs — doc_id % 4 = 0 then % 4 = 2, so the multi-epoch read
+    path is inside the gated query) becomes the fingerprint postings
+    index; today's submissions (odd doc_ids) are matched against it
+    at min_shared = 2 under the _meta-recorded max_df = 8 read-time
+    cap. The oracle recomputes both sides from scratch over the same
+    md5-8 window-minima, so the row is red if the epoch write, the
+    postings dedupe, the df cap, or the (k, w) convention drifts.
+    Append ≡ rebuild and compaction invariance are asserted in
+    tests/test_operators.py; streaming twin:
+    streaming_winnowing_index_match."""
+    import os
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"lrmr_winidx_{tag}")
+    TX.write_winnowing_index(
+        d.filter(F.col("doc_id") % 4 == 0), path, "doc_id", "text", epoch=0
+    )
+    TX.write_winnowing_index(
+        d.filter(F.col("doc_id") % 4 == 2), path, "doc_id", "text", epoch=1
+    )
+    return TX.match_winnowing_index(
+        d.filter(F.col("doc_id") % 2 == 1), path, "doc_id", "text",
+        min_shared=2,
+    ).orderBy("new_id", "base_id")
+
+
+@query(
+    "text_winnowing_index_compacted",
+    # _ORACLES holds the oracle FUNCTION here (unlike the line-dedup
+    # twin, whose shared oracle is a plain string) — call it
+    oracle=lambda: _ORACLES["text_winnowing_index"](),
+)
+def text_winnowing_index_compacted(spark, sf_dir):
+    """The winnowing-index MAINTENANCE row: write the two-epoch
+    index, COMPACT it (fold epochs into one — operators/text.py
+    compact_winnowing_index), then match the odd-doc batch. SHARES
+    text_winnowing_index's oracle verbatim: compaction must change no
+    answer — a lost posting, a double-fold under a leaked dynamic
+    overwrite mode, or a parameter drift through the _meta rewrite
+    turns this row red."""
+    import os
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"lrmr_winidx_c_{tag}")
+    TX.write_winnowing_index(
+        d.filter(F.col("doc_id") % 4 == 0), path, "doc_id", "text", epoch=0
+    )
+    TX.write_winnowing_index(
+        d.filter(F.col("doc_id") % 4 == 2), path, "doc_id", "text", epoch=1
+    )
+    n = TX.compact_winnowing_index(spark, path)
+    if n != 2:
+        raise AssertionError(f"expected to fold 2 epochs, folded {n}")
+    return TX.match_winnowing_index(
+        d.filter(F.col("doc_id") % 2 == 1), path, "doc_id", "text",
+        min_shared=2,
+    ).orderBy("new_id", "base_id")
+
+
 @query("text_winnowing_matches", oracle=_winnowing_matches_oracle)
 def text_winnowing_matches(spark, sf_dir):
     """Winnowing MATCH pairs — the consumer the fingerprints exist for

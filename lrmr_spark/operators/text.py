@@ -29,6 +29,9 @@ __all__ = [
     "winnowing_fingerprints",
     "winnowing_postings",
     "winnowing_matches",
+    "write_winnowing_index",
+    "match_winnowing_index",
+    "compact_winnowing_index",
     "dup_token_spans",
 ]
 
@@ -281,6 +284,175 @@ def winnowing_matches(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
     )
     return pairs.filter(F.col("n_shared") >= min_shared)
+
+
+def write_winnowing_index(
+    df,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    max_df: int = 8,
+    epoch: int = 0,
+) -> None:
+    """Write one EPOCH of the stored winnowing fingerprint index —
+    the persisted lifecycle for the MOSS-style substring-dup /
+    decontamination service (Schleimer et al. SIGMOD'03 §5: the
+    server keeps the corpus's selected fingerprints and every new
+    submission is matched against them): rows are (id, fp) postings
+    from ``winnowing_postings``, landed in an epoch partition under
+    dynamic partition overwrite so the index is APPEND-ONLY and a
+    replayed epoch (checkpoint recovery) overwrites itself instead of
+    double-posting — the write_line_index discipline. Appending a
+    crawl batch = writing its postings as a new epoch; postings are
+    per-document, so append ≡ rebuild EXACTLY (asserted in tests; no
+    cross-document state exists at write time — the df-cap is a READ-
+    side decision recorded in _meta).
+
+    ``path/_meta`` records (k, w, max_df, hash convention): a later
+    epoch written at different k/w would select different grams and
+    silently never match the earlier epochs, so the write raises on
+    parameter drift (the codebook-fingerprint discipline).
+
+    100 TB shape: the index stores only (id, 8-hex fp) — ~16 bytes a
+    posting, no text; each epoch write is the one doc-keyed
+    winnowing exchange plus a partition-local sink."""
+    spark = df.sparkSession
+    try:
+        prev = spark.read.json(f"{path}/_meta").collect()[0]
+        drift = {
+            "k": (int(prev["k"]), int(k)),
+            "w": (int(prev["w"]), int(w)),
+            "max_df": (int(prev["max_df"]), int(max_df)),
+        }
+        bad = {n: v for n, v in drift.items() if v[0] != v[1]}
+        if bad:
+            raise ValueError(
+                f"winnowing-index parameter drift: stored epochs used "
+                f"{ {n: v[0] for n, v in bad.items()} }, this write "
+                f"supplied { {n: v[1] for n, v in bad.items()} } — "
+                f"mixed selections never match across epochs"
+            )
+    except AnalysisException:
+        pass  # first write: no _meta yet
+    post = winnowing_postings(df, id_col, text_col, k, w).select(
+        F.col("_id").alias("id"), "fp"
+    )
+    (
+        post.withColumn("_epoch", F.lit(int(epoch)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_epoch")
+        .parquet(f"{path}/postings")
+    )
+    spark.range(1).select(
+        F.lit(int(k)).cast("int").alias("k"),
+        F.lit(int(w)).cast("int").alias("w"),
+        F.lit(int(max_df)).cast("int").alias("max_df"),
+        F.lit("md5-8").alias("hash"),
+        F.lit(id_col).alias("id_col"),
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+
+
+def match_winnowing_index(
+    df,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 2,
+    before_epoch: int | None = None,
+) -> DataFrame:
+    """Match a batch of NEW documents against the stored winnowing
+    index: fingerprint the batch with the INDEX'S OWN (k, w) from
+    _meta, join on fingerprint against the stored postings, count
+    shared fingerprints per (new, indexed) document pair, keep pairs
+    with ≥ ``min_shared`` — the submission-vs-corpus half of
+    winnowing_matches (which self-joins one corpus). Hamming of ≥
+    min_shared shared window-minima ⇒ shared verbatim runs of length
+    ≥ w+k−1 — the plagiarism / benchmark-contamination signal.
+
+    The MOSS boilerplate guard applies at READ time with the _meta-
+    recorded ``max_df``: stored fingerprints appearing in more than
+    max_df indexed documents are template noise AND the quadratic join
+    fanout, so they are dropped before pairing. Computing df at read
+    keeps it GLOBAL across epochs (a per-epoch write-time cap would
+    under-count split boilerplate) and makes compaction answer-
+    invariant. Stored postings are deduped on (id, fp) first, so a
+    document re-landed in a later epoch (re-crawl upsert) counts once.
+
+    ``before_epoch`` restricts the stored side to earlier epochs —
+    the streaming twin passes its own epoch id so checkpoint REPLAY
+    matches against exactly the pre-failure index state.
+
+    Output: (new_id, base_id, n_shared). Scale shape: only 8-hex
+    fingerprints + ids shuffle; the batch side is bounded, the stored
+    side is fp-keyed once for the df window and once for the join."""
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    meta = spark.read.json(f"{path}/_meta").collect()[0]
+    k, w, max_df = int(meta["k"]), int(meta["w"]), int(meta["max_df"])
+    stored = spark.read.parquet(f"{path}/postings")
+    if before_epoch is not None:
+        stored = stored.filter(F.col("_epoch") < int(before_epoch))
+    stored = (
+        stored.select("id", "fp")
+        .distinct()
+        .withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("fp")))
+        .filter(F.col("_df") <= max_df)
+        .select(F.col("id").alias("base_id"), "fp")
+    )
+    batch = winnowing_postings(df, id_col, text_col, k, w).select(
+        F.col("_id").alias("new_id"), "fp"
+    )
+    return (
+        batch.join(stored, "fp")
+        .groupBy("new_id", "base_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def compact_winnowing_index(spark, path: str) -> int:
+    """Fold every epoch of a stored winnowing index into ONE (epoch
+    0) — the nightly maintenance op of the epoch-partitioned layout
+    (compact_line_index's twin): postings are deduped on (id, fp)
+    while folding — exactly the dedupe the matcher applies at read —
+    so compaction CHANGES NO ANSWER. Torn-write discipline: the
+    folded postings materialize first (eager checkpoint — never
+    read-and-overwrite one parquet dir in a plan), _meta is
+    invalidated across the static overwrite and restored after, so an
+    interruption leaves a loudly-failing index, not a half-folded
+    one. Returns the number of epochs folded."""
+    meta = spark.read.json(f"{path}/_meta").collect()[0]
+    post = spark.read.parquet(f"{path}/postings")
+    n_epochs = post.select("_epoch").distinct().count()
+    folded = (
+        post.select("id", "fp")
+        .distinct()
+        .withColumn("_epoch", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_meta")
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
+    # STATIC overwrite pinned on the write (the compact_line_index
+    # lesson): under a leaked dynamic session mode only _epoch=0 would
+    # be replaced and the old epochs would survive, double-posting
+    folded.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("_epoch").parquet(f"{path}/postings")
+    spark.range(1).select(
+        F.lit(int(meta["k"])).cast("int").alias("k"),
+        F.lit(int(meta["w"])).cast("int").alias("w"),
+        F.lit(int(meta["max_df"])).cast("int").alias("max_df"),
+        F.lit(meta["hash"]).alias("hash"),
+        F.lit(meta["id_col"]).alias("id_col"),
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    folded.unpersist()  # pitfall 19: release the checkpoint blocks
+    return int(n_epochs)
 
 
 def dup_token_spans(

@@ -50,6 +50,7 @@ __all__ = [
     "run_minhash_index_match_stream",
     "stream_embeddings",
     "run_pq_index_append_stream",
+    "run_winnowing_index_match_stream",
 ]
 
 def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
@@ -698,6 +699,70 @@ def run_phash_index_match_stream(
                 T.StructField("new_id", T.LongType()),
                 T.StructField("base_id", T.LongType()),
                 T.StructField("hamming", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame([], schema)
+
+
+def run_winnowing_index_match_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 2,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """STREAMING winnowing match against the stored fingerprint index
+    — the text twin of run_phash_index_match_stream and the serving
+    loop of a MOSS-style decontamination service: each micro-batch of
+    incoming documents is fingerprinted with the index's own (k, w)
+    and matched (operators.text.match_winnowing_index) inside
+    foreachBatch; matches land in an epoch-partitioned parquet sink
+    under dynamic partition overwrite (idempotent under checkpoint
+    replay). Drains with Trigger.AvailableNow and returns the
+    accumulated (new_id, base_id, n_shared) matches as a batch DF —
+    empty-schema-safe when no micro-batch matched anything. Stream ==
+    batch matcher is asserted in tests (the matcher is stateless per
+    batch against a write-once index, so equality is exact)."""
+    from ..operators import text as TX
+
+    spark = docs_stream.sparkSession
+
+    def _match_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        matches = TX.match_winnowing_index(
+            batch_df, index_path, id_col, text_col, min_shared=min_shared
+        ).withColumn("_epoch", F.lit(int(epoch_id)))
+        (
+            matches.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(out_path)
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_match_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"availableNow winnowing-match stream did not drain in {timeout_s}s"
+            )
+    finally:
+        q.stop()
+    try:
+        return spark.read.parquet(out_path).drop("_epoch")
+    except AnalysisException:
+        id_type = docs_stream.schema[id_col].dataType
+        schema = T.StructType(
+            [
+                T.StructField("new_id", id_type),
+                T.StructField("base_id", id_type),
+                T.StructField("n_shared", T.LongType()),
             ]
         )
         return spark.createDataFrame([], schema)

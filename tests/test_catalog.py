@@ -82,6 +82,9 @@ def test_every_query_has_oracle_or_is_documented_rows_only():
         "streaming_phash_index_match",  # foreachBatch run-mode; stream ==
         # batch matcher asserted in tests/test_streaming.py; match
         # values hash-checked by multimodal_phash_index_match
+        "streaming_winnowing_index_match",  # foreachBatch run-mode;
+        # stream == batch matcher asserted in tests/test_streaming.py;
+        # match values hash-checked by text_winnowing_index
         "streaming_sliding_counts",  # incremental/watermark semantics;
         # batch equivalence asserted in tests/test_streaming.py
         "streaming_line_dedup",  # foreachBatch accumulating loop;

@@ -2666,6 +2666,117 @@ def test_line_index_raises_on_width_drift(spark, tmp_path):
     TX.write_line_index(df, path, "doc_id", "text", width=3, epoch=1)
 
 
+_WIN_COMMON = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"  # a ≥ w+k−1 token run
+
+
+def _win_docs(spark):
+    # two base docs sharing _WIN_COMMON with a batch doc; one base doc
+    # with no overlap
+    return spark.createDataFrame(
+        [
+            (0, f"{_WIN_COMMON} alpha beta gamma delta epsilon"),
+            (2, f"zeta eta theta iota kappa {_WIN_COMMON}"),
+            (4, "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+            (1, f"phi chi {_WIN_COMMON} psi omega"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_winnowing_index_append_equals_rebuild(spark, tmp_path):
+    """Postings are per-document, so a two-epoch (write + append)
+    index must match EXACTLY like the one-shot rebuild."""
+    docs = _win_docs(spark)
+    base_a = docs.filter(F.col("doc_id") == 0)
+    base_b = docs.filter(F.col("doc_id").isin([2, 4]))
+    batch = docs.filter(F.col("doc_id") == 1)
+    p_app = str(tmp_path / "app")
+    p_one = str(tmp_path / "one")
+    TX.write_winnowing_index(base_a, p_app, "doc_id", "text", epoch=0)
+    TX.write_winnowing_index(base_b, p_app, "doc_id", "text", epoch=1)
+    TX.write_winnowing_index(
+        docs.filter(F.col("doc_id") % 2 == 0), p_one, "doc_id", "text"
+    )
+    got = {
+        (r["new_id"], r["base_id"], r["n_shared"])
+        for r in TX.match_winnowing_index(batch, p_app, "doc_id", "text").collect()
+    }
+    want = {
+        (r["new_id"], r["base_id"], r["n_shared"])
+        for r in TX.match_winnowing_index(batch, p_one, "doc_id", "text").collect()
+    }
+    assert got == want
+    # the shared 10-token run matches both overlap docs, not doc 4
+    assert {b for _, b, _ in got} == {0, 2}
+
+
+def test_winnowing_index_compaction_changes_no_answer(spark, tmp_path):
+    docs = _win_docs(spark)
+    batch = docs.filter(F.col("doc_id") == 1)
+    path = str(tmp_path / "cidx")
+    TX.write_winnowing_index(
+        docs.filter(F.col("doc_id") == 0), path, "doc_id", "text", epoch=0
+    )
+    TX.write_winnowing_index(
+        docs.filter(F.col("doc_id").isin([2, 4])), path, "doc_id", "text",
+        epoch=1,
+    )
+    before = {
+        (r["new_id"], r["base_id"], r["n_shared"])
+        for r in TX.match_winnowing_index(batch, path, "doc_id", "text").collect()
+    }
+    assert TX.compact_winnowing_index(spark, path) == 2
+    after = {
+        (r["new_id"], r["base_id"], r["n_shared"])
+        for r in TX.match_winnowing_index(batch, path, "doc_id", "text").collect()
+    }
+    assert before == after and before
+    # everything folded into the single epoch-0 partition
+    post = spark.read.parquet(f"{path}/postings")
+    assert [r["_epoch"] for r in post.select("_epoch").distinct().collect()] == [0]
+
+
+def test_winnowing_index_raises_on_param_drift(spark, tmp_path):
+    import pytest as _pytest
+
+    docs = _win_docs(spark)
+    path = str(tmp_path / "didx")
+    TX.write_winnowing_index(docs, path, "doc_id", "text", k=3, w=4)
+    with _pytest.raises(ValueError, match="parameter drift"):
+        TX.write_winnowing_index(docs, path, "doc_id", "text", k=3, w=5, epoch=1)
+    with _pytest.raises(ValueError, match="parameter drift"):
+        TX.write_winnowing_index(docs, path, "doc_id", "text", k=2, w=4, epoch=1)
+    # same parameters append fine
+    TX.write_winnowing_index(docs, path, "doc_id", "text", k=3, w=4, epoch=1)
+
+
+def test_winnowing_index_read_df_cap_is_global_across_epochs(spark, tmp_path):
+    """A fingerprint whose document frequency only exceeds max_df when
+    SUMMED across epochs must be dropped — a write-time per-epoch cap
+    would keep it (the reason the cap is a read-side decision)."""
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    epoch0 = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} x{i} y{i}") for i in range(0, 4)],
+        "doc_id long, text string",
+    )
+    epoch1 = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} x{i} y{i}") for i in range(4, 8)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, f"{boiler} something else entirely")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "gidx")
+    # max_df = 5: each epoch alone has df = 4 (under), the union has 8
+    TX.write_winnowing_index(epoch0, path, "doc_id", "text", max_df=5, epoch=0)
+    TX.write_winnowing_index(epoch1, path, "doc_id", "text", max_df=5, epoch=1)
+    got = TX.match_winnowing_index(batch, path, "doc_id", "text", min_shared=1)
+    # every fingerprint the batch shares with the corpus is boilerplate
+    # (df = 8 > 5), so the global cap must drop ALL matches
+    assert got.count() == 0
+
+
 def test_heavy_hitters_exact_matches_counter_even_when_skew_planted(spark):
     """The two-pass MG output must equal the naive exact answer on an
     adversarial layout: a few heavy tokens drowned in a long tail,

@@ -503,6 +503,51 @@ def test_pq_index_append_stream_equals_batch_rebuild(spark, sf_dir, tmp_path):
     assert got == want and len(want) == emb.count()
 
 
+def test_winnowing_index_match_stream_equals_batch(spark, sf_dir, tmp_path):
+    # the MOSS-style foreachBatch matcher must emit exactly the batch
+    # matcher's (new_id, base_id, n_shared) rows — and the zero-match
+    # stream must return the empty typed DF, not raise
+    from pyspark.sql import functions as F
+
+    from lrmr_spark import streaming as ST
+    from lrmr_spark.operators import text as TX
+    from lrmr_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    index = str(tmp_path / "widx")
+    TX.write_winnowing_index(
+        docs.filter(F.col("doc_id") % 2 == 0), index, "doc_id", "text"
+    )
+    got = {
+        (r["new_id"], r["base_id"], r["n_shared"])
+        for r in ST.run_winnowing_index_match_stream(
+            ST.stream_documents(spark, sf_dir).filter(F.col("doc_id") % 2 == 1),
+            index,
+            str(tmp_path / "wout"),
+            str(tmp_path / "wck"),
+            min_shared=2,
+        ).collect()
+    }
+    want = {
+        (r["new_id"], r["base_id"], r["n_shared"])
+        for r in TX.match_winnowing_index(
+            docs.filter(F.col("doc_id") % 2 == 1), index, "doc_id", "text",
+            min_shared=2,
+        ).collect()
+    }
+    assert got == want and want
+    empty = ST.run_winnowing_index_match_stream(
+        ST.stream_documents(spark, sf_dir).filter(F.col("doc_id") < 0),
+        index,
+        str(tmp_path / "wout0"),
+        str(tmp_path / "wck0"),
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "new_id", "base_id", "n_shared",
+    ]
+
+
 def test_phash_index_match_stream_equals_batch(spark, sf_dir, tmp_path):
     # the media-dedup foreachBatch matcher must emit exactly the batch
     # matcher's (new_id, base_id, hamming) rows — and the zero-match
