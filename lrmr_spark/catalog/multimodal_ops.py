@@ -334,6 +334,66 @@ def multimodal_phash_index_match(spark, sf_dir):
     )
 
 
+@query(
+    "multimodal_phash_index_delete",
+    oracle=f"""
+    WITH {_PHASH_H_SQL},
+    base AS (
+      SELECT phash, min(media_id) AS base_id
+      FROM h WHERE media_id % 5 <> 0 GROUP BY phash),
+    takedown AS (
+      SELECT DISTINCT phash FROM h WHERE media_id % 10 = 1),
+    kept AS (
+      SELECT * FROM base
+      WHERE phash NOT IN (SELECT phash FROM takedown)),
+    new_side AS (
+      SELECT media_id AS new_id, phash FROM h WHERE media_id % 5 = 0)
+    SELECT n.new_id, b.base_id,
+           CAST(bit_count(xor(n.phash, b.phash)) AS BIGINT) AS hamming
+    FROM new_side n JOIN kept b
+      ON bit_count(xor(n.phash, b.phash)) <= 1
+    ORDER BY new_id, base_id
+    """,
+)
+def multimodal_phash_index_delete(spark, sf_dir):
+    """The media index TAKEDOWN row, completing the phash lifecycle
+    (write → match → DELETE — the story every other stored index
+    already tells): the base-corpus index (media_id MOD 5 ≠ 0) has the
+    content of the MOD-10 = 1 blobs removed by signature
+    (operators/multimodal.py delete_phash_index_content), then the
+    incoming batch (MOD 5 = 0) is matched at Hamming ≤ 1 against the
+    survivors. The oracle rebuilds the post-delete index from scratch
+    (reps minus every signature the takedown content carries), so the
+    row is red if the delete removes too little (takedown'd content
+    still matches), too much (surviving reps lost), or corrupts
+    _meta. Double-delete-0 idempotence is asserted inline and in
+    tests/test_operators.py."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"lrmr_phash_didx_{tag}")
+    MM.write_phash_index(
+        MM.attach_binary_payload(
+            docs.filter(F.col("doc_id") % 5 != 0), "doc_id", "text"
+        ),
+        path,
+    )
+    takedown = MM.attach_binary_payload(
+        docs.filter(F.col("doc_id") % 10 == 1), "doc_id", "text"
+    )
+    MM.delete_phash_index_content(takedown, path)
+    if MM.delete_phash_index_content(takedown, path) != 0:
+        raise AssertionError("content delete is not idempotent")
+    batch = MM.attach_binary_payload(
+        docs.filter(F.col("doc_id") % 5 == 0), "doc_id", "text"
+    )
+    return MM.match_phash_index(batch, path, k=1).orderBy("new_id", "base_id")
+
+
 @query("streaming_phash_index_match")  # rows-only: foreachBatch run-mode
 def streaming_phash_index_match(spark, sf_dir):
     """The media-dedup crawl loop as a LIVE STREAM (the

@@ -1342,4 +1342,8 @@ def delete_minhash_index_content(
     spark.range(1).select(
         *[F.lit(v).alias(k) for k, v in sorted(meta_backup.items())]
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    # pitfall 19: release the three checkpoints' blocks
+    keep_reps.unpersist()
+    removed_ids.unpersist()
+    keep_bands.unpersist()
     return int(n_removed)

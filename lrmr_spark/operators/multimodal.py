@@ -35,6 +35,7 @@ __all__ = [
     "phash_hamming_pairs",
     "write_phash_index",
     "match_phash_index",
+    "delete_phash_index_content",
 ]
 
 # typed metadata travels beside the opaque payload so predicate pushdown
@@ -383,6 +384,47 @@ def write_phash_index(media: DataFrame, path: str) -> None:
     media.sparkSession.range(1).select(
         F.lit(16).cast("int").alias("n_bits")
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+
+
+def delete_phash_index_content(takedown_media: DataFrame, path: str) -> int:
+    """CONTENT takedown from the stored pHash index — the media twin
+    of dedup.delete_minhash_index_content, completing the index's
+    write → match → DELETE lifecycle (a DMCA/CSAM/GDPR removal
+    targets the CONTENT, not a row id): the takedown batch is decoded
+    and hashed with the index's own pipeline (one Arrow pass), and
+    every stored representative whose signature equals ANY takedown
+    blob's signature is removed — the index stores one rep per
+    distinct signature, so removing the rep removes the whole
+    exact-signature cluster, and delete ≡ rebuild-without-that-
+    content EXACTLY (asserted in tests). Idempotent: a second
+    identical delete removes 0 rows.
+
+    Torn-write discipline: survivors materialize first (eager
+    checkpoint — never read and overwrite one parquet dir in a single
+    plan), _meta is invalidated before the rewrite and restored
+    after, so an interruption fails loudly on the next read; the
+    checkpoint is unpersisted on exit (pitfall 19). Scale shape: the
+    takedown side is a bounded removal batch; the stored table is
+    scanned once and rewritten — the rewrite IS the compaction a
+    tombstone variant would eventually run."""
+    spark = takedown_media.sparkSession
+    meta = spark.read.json(f"{path}/_meta").collect()[0]
+    t_hashes = phash_media(takedown_media).select("phash").distinct()
+    stored = spark.read.parquet(f"{path}/hashes")
+    survivors = stored.join(t_hashes, "phash", "left_anti").localCheckpoint(
+        eager=True
+    )
+    n_removed = stored.count() - survivors.count()
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_meta")
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
+    survivors.write.mode("overwrite").parquet(f"{path}/hashes")
+    spark.range(1).select(
+        F.lit(int(meta["n_bits"])).cast("int").alias("n_bits")
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    survivors.unpersist()  # pitfall 19: release the checkpoint blocks
+    return int(n_removed)
 
 
 def match_phash_index(

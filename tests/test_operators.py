@@ -2652,6 +2652,50 @@ def test_ivfpq_delete_equals_rebuild_without_and_prunes_empty_lists(
     assert not os.path.exists(f"{p_del}/codes/part={one_part}")
 
 
+def test_phash_index_delete_equals_rebuild_without_content(spark, sf_dir, tmp_path):
+    """Content takedown from the stored pHash index must equal the
+    index rebuilt WITHOUT every blob carrying the takedown content's
+    signatures (whole-cluster removal), preserve _meta, and be
+    idempotent."""
+    from lrmr_spark.operators import multimodal as MM
+
+    docs = load(spark, sf_dir, "documents")
+    base = MM.attach_binary_payload(
+        docs.filter(F.col("doc_id") % 5 != 0), "doc_id", "text"
+    )
+    takedown = MM.attach_binary_payload(
+        docs.filter(F.col("doc_id") % 10 == 1), "doc_id", "text"
+    )
+    p_del = str(tmp_path / "pdel")
+    p_ref = str(tmp_path / "pref")
+    MM.write_phash_index(base, p_del)
+    n = MM.delete_phash_index_content(takedown, p_del)
+    assert n > 0
+    assert MM.delete_phash_index_content(takedown, p_del) == 0
+    # reference: rebuild from base minus ALL blobs sharing a takedown
+    # signature (content removal is by whole signature cluster)
+    t_hashes = MM.phash_media(takedown).select("phash").distinct()
+    surviving_ids = (
+        MM.phash_media(base)
+        .join(t_hashes, "phash", "left_anti")
+        .select("media_id")
+    )
+    MM.write_phash_index(
+        base.join(surviving_ids, "media_id", "left_semi"), p_ref
+    )
+    after = {
+        (r["phash"], r["media_id"])
+        for r in spark.read.parquet(f"{p_del}/hashes").collect()
+    }
+    ref = {
+        (r["phash"], r["media_id"])
+        for r in spark.read.parquet(f"{p_ref}/hashes").collect()
+    }
+    assert after == ref and after
+    meta = spark.read.json(f"{p_del}/_meta").collect()[0]
+    assert int(meta["n_bits"]) == 16
+
+
 def test_line_index_raises_on_width_drift(spark, tmp_path):
     import pytest as _pytest
 
