@@ -1996,3 +1996,82 @@ def corpus_bloom_stored(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---- hashed n-gram quality classifier (fastText-shape, r7) ---------
+_QC_D = 32
+# planted integer teacher over the bucket space: deterministic driver
+# literal in BOTH engines (the _centroids discipline — the value check
+# verifies the engines' feature hashing + training APPLICATION)
+_QC_TEACHER = [((j * 37 + 11) % 21) - 10 for j in range(_QC_D)]
+
+
+def _quality_classifier_oracle() -> str:
+    """Mirror of operators.text.hashed_ngram_classifier at 3 rounds:
+    hashed unigram+bigram counts, teacher labels, three unrolled
+    perceptron updates as CTE blocks (w1..w3 — round 1 is closed-form:
+    w0 = 0 makes every document a mistake), final w3 scoring."""
+    t_rows = ", ".join(f"({j}, {t})" for j, t in enumerate(_QC_TEACHER))
+    bucket = f"CAST(('0x' || substr(md5('q:' || g), 1, 6)) AS BIGINT) % {_QC_D}"
+    return f"""
+    WITH raw AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    gr AS (
+      SELECT doc_id, unnest(list_concat(toks, {grams_expr("toks", 2)})) AS g
+      FROM raw),
+    feat AS (
+      SELECT doc_id, {bucket} AS j, CAST(count(*) AS BIGINT) AS cnt
+      FROM gr GROUP BY 1, 2),
+    teacher AS (SELECT * FROM (VALUES {t_rows}) te(j, t)),
+    lab AS (
+      SELECT f.doc_id, CASE WHEN sum(f.cnt * te.t) > 0 THEN 1 ELSE -1 END AS y
+      FROM feat f JOIN teacher te USING (j) GROUP BY 1),
+    w1 AS (
+      SELECT te.j, coalesce(g.g, 0) AS w FROM teacher te LEFT JOIN (
+        SELECT f.j, sum(l.y * f.cnt) AS g
+        FROM feat f JOIN lab l USING (doc_id) GROUP BY f.j) g USING (j)),
+    z2 AS (SELECT f.doc_id, sum(f.cnt * w1.w) AS z
+           FROM feat f JOIN w1 USING (j) GROUP BY 1),
+    m2 AS (SELECT l.doc_id, l.y FROM lab l JOIN z2 USING (doc_id)
+           WHERE l.y * z2.z <= 0),
+    w2 AS (
+      SELECT w1.j, w1.w + coalesce(g.g, 0) AS w FROM w1 LEFT JOIN (
+        SELECT f.j, sum(m.y * f.cnt) AS g
+        FROM m2 m JOIN feat f USING (doc_id) GROUP BY f.j) g USING (j)),
+    z3 AS (SELECT f.doc_id, sum(f.cnt * w2.w) AS z
+           FROM feat f JOIN w2 USING (j) GROUP BY 1),
+    m3 AS (SELECT l.doc_id, l.y FROM lab l JOIN z3 USING (doc_id)
+           WHERE l.y * z3.z <= 0),
+    w3 AS (
+      SELECT w2.j, w2.w + coalesce(g.g, 0) AS w FROM w2 LEFT JOIN (
+        SELECT f.j, sum(m.y * f.cnt) AS g
+        FROM m3 m JOIN feat f USING (doc_id) GROUP BY f.j) g USING (j)),
+    sc AS (SELECT f.doc_id, sum(f.cnt * w3.w) AS s
+           FROM feat f JOIN w3 USING (j) GROUP BY 1)
+    SELECT l.doc_id, CAST(sc.s AS BIGINT) AS score,
+           CAST(l.y AS BIGINT) AS label, sc.s > 0 AS keep
+    FROM lab l JOIN sc USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@query("docs_quality_classifier", oracle=_quality_classifier_oracle)
+def docs_quality_classifier(spark, sf_dir):
+    """The fastText-shaped corpus QUALITY FILTER (Joulin et al. 2017;
+    the standard learned keep/drop pass LLM pipelines run after
+    heuristic filtering): a linear classifier over hashed
+    unigram+bigram bucket counts, trained DISTRIBUTED (3 synchronous
+    exact-integer perceptron rounds — one scan with 33 map-side
+    BIGINT sums per round, only the 32-scalar weight vector crossing
+    the driver) and scored in one narrow pass, emitting per-document
+    (score, label, keep). Labels are a planted integer teacher over
+    the bucket space (teacher recovery — separable by construction,
+    so the mistake trajectory is meaningful and the whole training
+    run is hash-exact; a production run swaps in annotation labels).
+    The oracle replays feature hashing, labeling, all three updates,
+    and scoring as unrolled CTE blocks, so the row is red if the gram
+    clamp, the bucket hash, the mistake rule, or any update drifts.
+    Python-model equivalence: tests/test_operators.py."""
+    d = load(spark, sf_dir, "documents")
+    return TX.hashed_ngram_classifier(
+        d, "doc_id", "text", _QC_TEACHER, iterations=3
+    ).orderBy("doc_id")

@@ -32,6 +32,8 @@ __all__ = [
     "write_winnowing_index",
     "match_winnowing_index",
     "compact_winnowing_index",
+    "hashed_ngram_features",
+    "hashed_ngram_classifier",
     "dup_token_spans",
 ]
 
@@ -453,6 +455,126 @@ def compact_winnowing_index(spark, path: str) -> int:
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
     folded.unpersist()  # pitfall 19: release the checkpoint blocks
     return int(n_epochs)
+
+
+def hashed_ngram_features(col: Column | str, n_buckets: int = 32) -> Column:
+    """Hashed n-gram feature vector (the fastText trick, Joulin et al.
+    2017 "Bag of Tricks": hash unigrams AND bigrams into a fixed
+    bucket space so the feature dimension is corpus-independent):
+    array<long> of length ``n_buckets`` where x_j counts the
+    document's grams hashing to bucket j. Bucket = first 6 md5 hex
+    chars mod n_buckets — the engine-portable convention of
+    corpus_shuffle_shards, so an oracle reproduces every count.
+
+    All JVM column transforms, zero shuffles. The bucket stream is
+    bound as a ``transform(array(...), ...)`` element variable before
+    the per-bucket counting lambda touches it — counting j buckets
+    over the raw subtree would re-run the whole md5 gram chain per
+    bucket (ARCHITECTURE pitfall 16: interpreted HOFs don't CSE their
+    children; n_buckets× re-eval, invisible to value checks)."""
+    toks = tokens(col)
+    grams = F.concat(toks, shingles(col, 2))
+    buckets = F.transform(
+        grams,
+        lambda g: F.conv(
+            F.substring(F.md5(F.concat(F.lit("q:"), g)), 1, 6), 16, 10
+        ).cast("long")
+        % n_buckets,
+    )
+    return F.transform(
+        F.array(buckets),
+        lambda bv: F.transform(
+            F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+            lambda j: F.size(F.filter(bv, lambda b: b == j)).cast("long"),
+        ),
+    )[0]
+
+
+def hashed_ngram_classifier(
+    df,
+    id_col: str,
+    text_col: str,
+    teacher: list[int],
+    iterations: int = 3,
+) -> DataFrame:
+    """Linear quality classifier over hashed n-gram features — the
+    fastText-shaped filter (Joulin et al. 2017) an LLM corpus pipeline
+    trains to score keep/drop quality, in EXACT integer arithmetic:
+    the text twin of similarity.perceptron_train, swapping fixed
+    embeddings for ``hashed_ngram_features`` counts (already ℤ — no
+    ppm scaling needed). Labels come from a planted integer teacher
+    over the bucket space (y = sign(t·x)), so the task is teacher
+    RECOVERY — separable by construction, giving a meaningful mistake
+    trajectory and a hash-exact oracle; a production deployment swaps
+    the teacher labels for human/LM quality annotations and keeps
+    every other line.
+
+    Synchronous batch rounds (w0 = 0): rows with y·(w·x) ≤ 0 are
+    mistakes, w += Σ_mistakes y·x once per round. After ``iterations``
+    updates one narrow scoring pass emits per-document
+    (id, score = w·x, label, keep = score > 0) — the quality-filter
+    output shape.
+
+    Scale shape: the feature working set (x array + y) materializes
+    once (localCheckpoint — each lazy re-reference would re-run the
+    tokenize+hash chain per round, pitfall 12); each round is ONE
+    scan with n_buckets+1 map-side-combinable BIGINT sums via
+    element_at (no explode — the kmeans lesson); only n_buckets
+    scalars cross the driver per round. Overflow: |x|₁ ≈ 2·tokens,
+    |w_j| ≤ rounds·Σdocs x_j — under 2^63 past 10⁹ docs.
+
+    Reference parity: the reference's closest surface is the
+    Map+Reduce loop (/root/reference/transformations.go:81,258 —
+    mapTransformation / reduceTransformation) driven per round; the
+    per-round shipping of w is its Broadcast
+    (/root/reference/pipeline.go:51-53)."""
+    dim = len(teacher)
+    x = hashed_ngram_features(text_col, dim)
+    t_lit = F.array(*[F.lit(int(t)).cast("bigint") for t in teacher])
+    tdot = F.aggregate(
+        F.zip_with(x, t_lit, lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        x.alias("_x"),
+        F.when(tdot > 0, F.lit(1)).otherwise(F.lit(-1)).cast("bigint").alias("_y"),
+    ).localCheckpoint(eager=True)
+
+    w = [0] * dim
+    for _ in range(iterations):
+        w_lit = F.array(*[F.lit(int(wi)).cast("bigint") for wi in w])
+        z = F.aggregate(
+            F.zip_with(F.col("_x"), w_lit, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        mis = (F.col("_y") * z) <= 0
+        row = base.agg(
+            *[
+                F.sum(
+                    F.when(mis, F.col("_y") * F.element_at("_x", j + 1)).otherwise(0)
+                ).alias(f"g{j}")
+                for j in range(dim)
+            ]
+        ).collect()[0]
+        w = [wi + int(row[f"g{j}"]) for j, wi in enumerate(w)]
+
+    w_fin = F.array(*[F.lit(int(wi)).cast("bigint") for wi in w])
+    score = F.aggregate(
+        F.zip_with(F.col("_x"), w_fin, lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    # the returned rows are derived from the checkpointed working set
+    # (live data, not a dead round) — the caller's collect consumes it
+    return base.select(
+        F.col("_id").alias(id_col),
+        score.alias("score"),
+        F.col("_y").alias("label"),
+        (score > 0).alias("keep"),
+    )
 
 
 def dup_token_spans(

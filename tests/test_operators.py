@@ -2652,6 +2652,71 @@ def test_ivfpq_delete_equals_rebuild_without_and_prunes_empty_lists(
     assert not os.path.exists(f"{p_del}/codes/part={one_part}")
 
 
+def _py_hashed_ngram_classifier(docs, teacher, rounds):
+    """Plain-python reference for hashed_ngram_classifier: md5-bucket
+    unigram+bigram counts, teacher labels, synchronous integer
+    perceptron rounds, final scoring."""
+    import hashlib
+
+    D = len(teacher)
+
+    def feats(text):
+        toks = [t for t in text.split() if t]
+        if len(toks) >= 2:
+            grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        else:
+            grams = toks + [" ".join(toks)]  # shingles' clamped gram
+        x = [0] * D
+        for g in grams:
+            h = hashlib.md5(f"q:{g}".encode()).hexdigest()[:6]
+            x[int(h, 16) % D] += 1
+        return x
+
+    data = []
+    for doc_id, text in docs:
+        x = feats(text)
+        y = 1 if sum(t * xi for t, xi in zip(teacher, x)) > 0 else -1
+        data.append((doc_id, x, y))
+    w = [0] * D
+    for _ in range(rounds):
+        g = [0] * D
+        for _, x, y in data:
+            if y * sum(wi * xi for wi, xi in zip(w, x)) <= 0:
+                for j in range(D):
+                    g[j] += y * x[j]
+        w = [wi + gi for wi, gi in zip(w, g)]
+    out = {}
+    for doc_id, x, y in data:
+        s = sum(wi * xi for wi, xi in zip(w, x))
+        out[doc_id] = (s, y, s > 0)
+    return out
+
+
+def test_hashed_ngram_classifier_matches_python_model(spark):
+    from lrmr_spark.catalog.corpus_ops import _QC_TEACHER
+
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(40)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 60))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(8)
+    got = {
+        r["doc_id"]: (r["score"], r["label"], r["keep"])
+        for r in TX.hashed_ngram_classifier(
+            df, "doc_id", "text", _QC_TEACHER, iterations=3
+        ).collect()
+    }
+    want = _py_hashed_ngram_classifier(docs, _QC_TEACHER, 3)
+    assert got == want
+    # the planted teacher must produce a non-trivial class split
+    labels = {y for _, y, _ in want.values()}
+    assert labels == {1, -1}
+
+
 def test_phash_index_delete_equals_rebuild_without_content(spark, sf_dir, tmp_path):
     """Content takedown from the stored pHash index must equal the
     index rebuilt WITHOUT every blob carrying the takedown content's
