@@ -156,9 +156,14 @@ _PRIORITY = [
 # streaming_line_dedup (rows-only twin), text_line_dedup_compacted,
 # ann_sq8_delete_topk, streaming_sliding_counts (rows-only),
 # corpus_bloom_stored, text_heavy_hitters.
+# Entries built during r7 AFTER the r7 window froze (all green in
+# check_oracle at sf0.01 + sf0.1 at build time): text_winnowing_index,
+# text_winnowing_index_compacted, streaming_winnowing_index_match
+# (rows-only twin), multimodal_phash_index_delete,
+# docs_quality_classifier.
 # r8 ROTATION NOTE (for the next session): r8 window = the 16
-# standing keeps + the 12 entries above + every entry added during r7
-# (see the per-entry registrations dated r7 in the ops modules);
+# standing keeps + the 12 entries above + the r7-built entries just
+# listed (~17 first-time rows — fits one window with room to spare);
 # keep the family pins and the pre-freeze green check at sf0.01 AND
 # sf0.1 before freezing the window.
 
