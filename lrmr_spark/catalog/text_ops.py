@@ -926,6 +926,80 @@ def text_winnowing_index_compacted(spark, sf_dir):
     ).orderBy("new_id", "base_id")
 
 
+def _winnowing_index_delete_oracle() -> str:
+    """_winnowing_index_oracle with the takedown applied: stored side
+    = even doc_ids MINUS the multiples of 6, df-capped post-delete."""
+    w = 4
+    least_args = ", ".join(f"h[i + {j}]" for j in range(w))
+    return f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform({grams_expr("toks", 3)},
+                            x -> substr(md5('w:' || x), 1, 8)) AS h
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) raw
+    ), sel AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, greatest(len(h) - {w} + 1, 1) + 1),
+                              i -> least({least_args})))) AS fps
+      FROM g
+    ), post AS (
+      SELECT doc_id, unnest(fps) AS fp FROM sel
+    ), stored AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+        FROM post WHERE doc_id % 2 = 0 AND doc_id % 6 <> 0
+      ) WHERE df <= 8
+    ), batch AS (
+      SELECT doc_id, fp FROM post WHERE doc_id % 2 = 1
+    )
+    SELECT b.doc_id AS new_id, s.doc_id AS base_id,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM batch b JOIN stored s USING (fp)
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    ORDER BY new_id, base_id
+    """
+
+
+@query("text_winnowing_index_delete", oracle=_winnowing_index_delete_oracle)
+def text_winnowing_index_delete(spark, sf_dir):
+    """The winnowing-index TAKEDOWN row, completing its CRUD (write →
+    append → match → compact → DELETE): the two-epoch even-doc index
+    has the multiple-of-6 documents removed by id — a takedown batch
+    spanning BOTH epochs, so the affected-partition-only rewrite is
+    inside the gated query — then the odd-doc batch is matched. The
+    oracle rebuilds the post-delete index from scratch (stored
+    postings minus those documents, df-cap applied post-delete — a
+    delete that forgets to re-open capped fingerprints whose df
+    dropped back under max_df turns this row red, exactly the subtle
+    bug the read-time cap design prevents). Double-delete-0
+    idempotence asserted inline; delete ≡ rebuild-without pytested."""
+    import os
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"lrmr_winidx_d_{tag}")
+    TX.write_winnowing_index(
+        d.filter(F.col("doc_id") % 4 == 0), path, "doc_id", "text", epoch=0
+    )
+    TX.write_winnowing_index(
+        d.filter(F.col("doc_id") % 4 == 2), path, "doc_id", "text", epoch=1
+    )
+    # the takedown batch: a bounded removal list, as in production
+    ids = [
+        r["doc_id"]
+        for r in d.filter(F.col("doc_id") % 6 == 0).select("doc_id").collect()
+    ]
+    TX.delete_winnowing_index_ids(spark, path, ids)
+    if TX.delete_winnowing_index_ids(spark, path, ids) != 0:
+        raise AssertionError("winnowing id delete is not idempotent")
+    return TX.match_winnowing_index(
+        d.filter(F.col("doc_id") % 2 == 1), path, "doc_id", "text",
+        min_shared=2,
+    ).orderBy("new_id", "base_id")
+
+
 @query("text_winnowing_matches", oracle=_winnowing_matches_oracle)
 def text_winnowing_matches(spark, sf_dir):
     """Winnowing MATCH pairs — the consumer the fingerprints exist for

@@ -255,16 +255,38 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     count over partitionBy(node)) was also measured and REJECTED:
     count windows sort within partitions and the hot nodes skew those
     sorts — 26-40 s at sf1 vs ~9 s for this shape. Nothing is
-    broadcast (node set is corpus-proportional); lineage truncates
-    per round with localCheckpoint (pitfall 12)."""
-    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    broadcast (node set is corpus-proportional).
+
+    Per-round materialization is persist(MEMORY_AND_DISK), NOT
+    localCheckpoint (the r7 disk-cliff experiment, tools/exp_kcore.py
+    → BENCH_r7_graphops.json): localCheckpoint stores raw serialized
+    rows — ~4 GB/round at sf10's 120 M edges, off the single-node
+    page-cache cliff at 62 s/round — while the DataFrame cache holds
+    compressed COLUMNAR batches (dict/RLE over two long columns) that
+    stay memory-resident: 165 s → 42 s at sf10, sf1→sf10 ratio
+    17.7× → 3.8×, inside the same-shape LPA envelope. (A
+    packed-single-bigint checkpoint variant was measured too — 107 s:
+    helps, but columnar compression beats hand-packing; a
+    keep-set-only variant regressed 4× at sf1 on its extra per-round
+    aggregation.) The tradeoff: persist keeps lineage, so each cached
+    round's plan nests the previous InMemoryRelation — bounded by the
+    fixed round count, and MEMORY_AND_DISK spills rather than evicts,
+    so lineage is never re-executed on a healthy executor. Each
+    round's caches are FORCED (the stats action) before the dead
+    round is unpersisted — with lazy persist, unpersisting the parent
+    first would silently recompute the child from the source scan —
+    then dead rounds release immediately (pitfall 19)."""
+    from pyspark.storagelevel import StorageLevel
+
+    _lvl = StorageLevel.MEMORY_AND_DISK
+    e = edges.select("src", "dst").persist(_lvl)
     spark = edges.sparkSession
 
     def _deg(edge_df):
         return (
             edge_df.groupBy("src")
             .agg(F.count(F.lit(1)).alias("_d"))
-            .localCheckpoint(eager=True)
+            .persist(_lvl)
         )
 
     def _stats(deg_df):
@@ -283,18 +305,21 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
             e.join(keep, "src", "left_semi")
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .persist(_lvl)
         )
         deg_new = _deg(e_new)  # degrees of the NEW e: next round's input AND this round's stats
-        # release the dead round's blocks NOW: per-round localCheckpoints
-        # otherwise accumulate in the block manager for the session's
-        # lifetime (the returned table is literal — nothing downstream
-        # reads them), and the leak compounds across runs — measured
+        # the stats action FORCES e_new + deg_new into the cache while
+        # the parents are still cached (persist is lazy; unpersisting
+        # first would recompute the round from the source scan) …
+        n_nodes, n_edges = _stats(deg_new)
+        # … then release the dead round's blocks NOW: they otherwise
+        # accumulate in the block manager for the session's lifetime
+        # (the returned table is literal — nothing downstream reads
+        # them), and the leak compounds across runs — measured
         # 22 s → 60 s run-over-run at sf1 before this unpersist
         e.unpersist()
         deg.unpersist()
         e, deg = e_new, deg_new
-        n_nodes, n_edges = _stats(deg)
         out.append((r, n_nodes, n_edges))
         if n_edges == prev_edges:
             # CONVERGENCE certificate: the peel only removes edges

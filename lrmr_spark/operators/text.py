@@ -32,6 +32,7 @@ __all__ = [
     "write_winnowing_index",
     "match_winnowing_index",
     "compact_winnowing_index",
+    "delete_winnowing_index_ids",
     "hashed_ngram_features",
     "hashed_ngram_classifier",
     "dup_token_spans",
@@ -414,6 +415,69 @@ def match_winnowing_index(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def delete_winnowing_index_ids(spark, path: str, ids: list) -> int:
+    """Document takedown from the stored winnowing index — the
+    DELETE that completes its CRUD (write → append → match → compact
+    → DELETE, matching every other stored index): postings are keyed
+    (id, fp), so removal is by document id and delete ≡
+    rebuild-without-those-documents EXACTLY (asserted in tests).
+    Returns postings removed; a second identical delete removes 0.
+
+    The epoch layout pays off on the write side exactly as the
+    IVF-PQ partition layout does: one postings-pruned scan finds the
+    epochs actually containing the ids (the takedown list is bounded
+    — broadcast isin), ONLY those epoch partitions are rewritten
+    under dynamic overwrite, and an epoch the delete EMPTIED is
+    dropped explicitly (dynamic overwrite only replaces partitions
+    present in the written data). Torn-write discipline: survivors
+    materialize first, _meta is deleted across the rewrite and
+    restored after, the checkpoint is unpersisted (pitfall 19)."""
+    meta = spark.read.json(f"{path}/_meta").collect()[0]
+    takedown = [int(i) for i in ids]
+    post = spark.read.parquet(f"{path}/postings")
+    affected = [
+        r["_epoch"]
+        for r in post.filter(F.col("id").isin(takedown))
+        .select("_epoch")
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return 0
+    hit = post.filter(F.col("_epoch").isin(affected))
+    survivors = hit.filter(~F.col("id").isin(takedown)).localCheckpoint(
+        eager=True
+    )
+    n_removed = hit.count() - survivors.count()
+    kept_epochs = {
+        r["_epoch"] for r in survivors.select("_epoch").distinct().collect()
+    }
+    jvm = spark.sparkContext._jvm
+    jmeta = jvm.org.apache.hadoop.fs.Path(f"{path}/_meta")
+    fs = jmeta.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(jmeta, True)
+    if kept_epochs:
+        (
+            survivors.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(f"{path}/postings")
+        )
+    for ep in affected:
+        if ep not in kept_epochs:
+            jp = jvm.org.apache.hadoop.fs.Path(f"{path}/postings/_epoch={ep}")
+            fs.delete(jp, True)
+    spark.range(1).select(
+        F.lit(int(meta["k"])).cast("int").alias("k"),
+        F.lit(int(meta["w"])).cast("int").alias("w"),
+        F.lit(int(meta["max_df"])).cast("int").alias("max_df"),
+        F.lit(meta["hash"]).alias("hash"),
+        F.lit(meta["id_col"]).alias("id_col"),
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    survivors.unpersist()  # pitfall 19: release the checkpoint blocks
+    return int(n_removed)
 
 
 def compact_winnowing_index(spark, path: str) -> int:

@@ -2859,6 +2859,44 @@ def test_winnowing_index_raises_on_param_drift(spark, tmp_path):
     TX.write_winnowing_index(docs, path, "doc_id", "text", k=3, w=4, epoch=1)
 
 
+def test_winnowing_index_delete_equals_rebuild_without(spark, tmp_path):
+    """Id takedown must equal the index rebuilt without those docs,
+    drop an emptied epoch's directory, preserve _meta, and be
+    idempotent."""
+    import os
+
+    docs = _win_docs(spark)
+    p_del = str(tmp_path / "wdel")
+    p_ref = str(tmp_path / "wref")
+    TX.write_winnowing_index(
+        docs.filter(F.col("doc_id") == 0), p_del, "doc_id", "text", epoch=0
+    )
+    TX.write_winnowing_index(
+        docs.filter(F.col("doc_id").isin([2, 4])), p_del, "doc_id", "text",
+        epoch=1,
+    )
+    # takedown: all of epoch 0 (doc 0 — exercises the emptied-epoch
+    # drop) plus doc 2 from epoch 1
+    n = TX.delete_winnowing_index_ids(spark, p_del, [0, 2])
+    assert n > 0
+    assert TX.delete_winnowing_index_ids(spark, p_del, [0, 2]) == 0
+    TX.write_winnowing_index(
+        docs.filter(F.col("doc_id") == 4), p_ref, "doc_id", "text", epoch=1
+    )
+    after = {
+        (r["id"], r["fp"])
+        for r in spark.read.parquet(f"{p_del}/postings").collect()
+    }
+    ref = {
+        (r["id"], r["fp"])
+        for r in spark.read.parquet(f"{p_ref}/postings").collect()
+    }
+    assert after == ref and after
+    assert not os.path.exists(f"{p_del}/postings/_epoch=0")
+    meta = spark.read.json(f"{p_del}/_meta").collect()[0]
+    assert (int(meta["k"]), int(meta["w"]), int(meta["max_df"])) == (3, 4, 8)
+
+
 def test_winnowing_index_read_df_cap_is_global_across_epochs(spark, tmp_path):
     """A fingerprint whose document frequency only exceeds max_df when
     SUMMED across epochs must be dropped — a write-time per-epoch cap
