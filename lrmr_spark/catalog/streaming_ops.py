@@ -302,6 +302,36 @@ def streaming_winnowing_index_match(spark, sf_dir):
     return matches.orderBy("new_id", "base_id")
 
 
+@query("streaming_quality_score")  # rows-only: incremental run-mode
+def streaming_quality_score(spark, sf_dir):
+    """The quality classifier's SERVING loop: weights trained offline
+    on the static corpus (operators.text.train_hashed_ngram_weights —
+    the same exact-integer rounds docs_quality_classifier
+    value-checks), then the document stream is scored as a PURE
+    incremental streaming projection into a parquet append sink — no
+    foreachBatch, no state: the stateless-scoring shape a filter
+    actually deploys at crawl time. Stream ≡ batch scoring asserted
+    in tests/test_streaming.py; the training math's value check lives
+    in docs_quality_classifier's hash-green row."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..catalog.corpus_ops import _QC_TEACHER
+    from ..operators import text as TX
+    from ..tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    w = TX.train_hashed_ngram_weights(docs, "text", _QC_TEACHER, iterations=3)
+    run = uuid.uuid4().hex[:8]
+    out = os.path.join(tempfile.gettempdir(), f"lrmr_qscore_out_{run}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"lrmr_qscore_ck_{run}")
+    scored = ST.run_quality_score_stream(
+        ST.stream_documents(spark, sf_dir), w, out, ckpt
+    )
+    return scored.orderBy("doc_id")
+
+
 @query("streaming_sliding_counts")  # rows-only: incremental/watermark semantics
 def streaming_sliding_counts(spark, sf_dir):
     """Watermarked sliding-window counts (1-hour windows every 30

@@ -34,6 +34,8 @@ __all__ = [
     "compact_winnowing_index",
     "delete_winnowing_index_ids",
     "hashed_ngram_features",
+    "hashed_ngram_score",
+    "train_hashed_ngram_weights",
     "hashed_ngram_classifier",
     "dup_token_spans",
 ]
@@ -606,6 +608,28 @@ def hashed_ngram_classifier(
         F.when(tdot > 0, F.lit(1)).otherwise(F.lit(-1)).cast("bigint").alias("_y"),
     ).localCheckpoint(eager=True)
 
+    w = _train_rounds(base, dim, iterations)
+    w_fin = F.array(*[F.lit(int(wi)).cast("bigint") for wi in w])
+    score = F.aggregate(
+        F.zip_with(F.col("_x"), w_fin, lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    # the returned rows are derived from the checkpointed working set
+    # (live data, not a dead round) — the caller's collect consumes it
+    return base.select(
+        F.col("_id").alias(id_col),
+        score.alias("score"),
+        F.col("_y").alias("label"),
+        (score > 0).alias("keep"),
+    )
+
+
+def _train_rounds(base, dim: int, iterations: int) -> list[int]:
+    """The synchronous perceptron driver loop over a materialized
+    (_x array, _y) working set: one scan with dim map-side BIGINT
+    sums per round, dim scalars across the driver. Shared by
+    hashed_ngram_classifier and train_hashed_ngram_weights."""
     w = [0] * dim
     for _ in range(iterations):
         w_lit = F.array(*[F.lit(int(wi)).cast("bigint") for wi in w])
@@ -624,20 +648,50 @@ def hashed_ngram_classifier(
             ]
         ).collect()[0]
         w = [wi + int(row[f"g{j}"]) for j, wi in enumerate(w)]
+    return w
 
-    w_fin = F.array(*[F.lit(int(wi)).cast("bigint") for wi in w])
-    score = F.aggregate(
-        F.zip_with(F.col("_x"), w_fin, lambda a, b: a * b),
+
+def train_hashed_ngram_weights(
+    df,
+    text_col: str,
+    teacher: list[int],
+    iterations: int = 3,
+) -> list[int]:
+    """Train the hashed-n-gram quality classifier and return ONLY the
+    integer weight vector — the artifact a serving path actually
+    ships (the model IS dim scalars; scoring is a stateless
+    projection). Same rounds as hashed_ngram_classifier; the working
+    set is released before returning (the weights are driver
+    scalars, nothing downstream reads the checkpoint)."""
+    dim = len(teacher)
+    x = hashed_ngram_features(text_col, dim)
+    t_lit = F.array(*[F.lit(int(t)).cast("bigint") for t in teacher])
+    tdot = F.aggregate(
+        F.zip_with(x, t_lit, lambda a, b: a * b),
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
-    # the returned rows are derived from the checkpointed working set
-    # (live data, not a dead round) — the caller's collect consumes it
-    return base.select(
-        F.col("_id").alias(id_col),
-        score.alias("score"),
-        F.col("_y").alias("label"),
-        (score > 0).alias("keep"),
+    base = df.select(
+        x.alias("_x"),
+        F.when(tdot > 0, F.lit(1)).otherwise(F.lit(-1)).cast("bigint").alias("_y"),
+    ).localCheckpoint(eager=True)
+    w = _train_rounds(base, dim, iterations)
+    base.unpersist()  # pitfall 19: weights are scalars, release the set
+    return w
+
+
+def hashed_ngram_score(col: Column | str, weights: list[int]) -> Column:
+    """Score a document with FROZEN integer weights: dot(w, hashed
+    n-gram counts). A pure column expression — stateless, so it runs
+    unchanged in a batch projection or an incremental streaming
+    select (the serving half of the classifier; see
+    streaming.run_quality_score_stream)."""
+    w_lit = F.array(*[F.lit(int(wi)).cast("bigint") for wi in weights])
+    return F.aggregate(
+        F.zip_with(hashed_ngram_features(col, len(weights)), w_lit,
+                   lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
     )
 
 

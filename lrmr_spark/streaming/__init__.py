@@ -51,6 +51,7 @@ __all__ = [
     "stream_embeddings",
     "run_pq_index_append_stream",
     "run_winnowing_index_match_stream",
+    "run_quality_score_stream",
 ]
 
 def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
@@ -699,6 +700,61 @@ def run_phash_index_match_stream(
                 T.StructField("new_id", T.LongType()),
                 T.StructField("base_id", T.LongType()),
                 T.StructField("hamming", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame([], schema)
+
+
+def run_quality_score_stream(
+    docs_stream: DataFrame,
+    weights: list[int],
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """STREAMING quality scoring with FROZEN classifier weights — the
+    serving half of the hashed-n-gram quality filter (train offline
+    on the corpus with train_hashed_ngram_weights, score the live
+    crawl here): because scoring is a stateless integer projection,
+    this is a PURE incremental streaming select + parquet append sink
+    — no foreachBatch, no state store, exactly-once from the file
+    sink's own commit log. Drains with Trigger.AvailableNow and
+    returns the accumulated (id, score, keep) rows as a batch DF.
+    Stream ≡ batch scoring is exact (deterministic per-row integer
+    arithmetic; asserted in tests)."""
+    from ..operators import text as TX
+
+    spark = docs_stream.sparkSession
+    scored = docs_stream.select(
+        F.col(id_col),
+        TX.hashed_ngram_score(text_col, weights).alias("score"),
+    ).withColumn("keep", F.col("score") > 0)
+    q = (
+        scored.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"availableNow quality-score stream did not drain in {timeout_s}s"
+            )
+    finally:
+        q.stop()
+    try:
+        return spark.read.parquet(out_path)
+    except AnalysisException:
+        id_type = docs_stream.schema[id_col].dataType
+        schema = T.StructType(
+            [
+                T.StructField(id_col, id_type),
+                T.StructField("score", T.LongType()),
+                T.StructField("keep", T.BooleanType()),
             ]
         )
         return spark.createDataFrame([], schema)

@@ -85,6 +85,10 @@ def test_every_query_has_oracle_or_is_documented_rows_only():
         "streaming_winnowing_index_match",  # foreachBatch run-mode;
         # stream == batch matcher asserted in tests/test_streaming.py;
         # match values hash-checked by text_winnowing_index
+        "streaming_quality_score",  # incremental run-mode (stateless
+        # scoring projection); stream == batch asserted in
+        # tests/test_streaming.py; training math hash-checked by
+        # docs_quality_classifier
         "streaming_sliding_counts",  # incremental/watermark semantics;
         # batch equivalence asserted in tests/test_streaming.py
         "streaming_line_dedup",  # foreachBatch accumulating loop;

@@ -503,6 +503,39 @@ def test_pq_index_append_stream_equals_batch_rebuild(spark, sf_dir, tmp_path):
     assert got == want and len(want) == emb.count()
 
 
+def test_quality_score_stream_equals_batch(spark, sf_dir, tmp_path):
+    # frozen-weight scoring is a stateless integer projection, so the
+    # streamed rows must equal the batch projection exactly
+    from pyspark.sql import functions as F
+
+    from lrmr_spark import streaming as ST
+    from lrmr_spark.catalog.corpus_ops import _QC_TEACHER
+    from lrmr_spark.operators import text as TX
+    from lrmr_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    w = TX.train_hashed_ngram_weights(docs, "text", _QC_TEACHER, iterations=2)
+    got = {
+        (r["doc_id"], r["score"], r["keep"])
+        for r in ST.run_quality_score_stream(
+            ST.stream_documents(spark, sf_dir),
+            w,
+            str(tmp_path / "qout"),
+            str(tmp_path / "qck"),
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["score"], r["keep"])
+        for r in docs.select(
+            "doc_id",
+            TX.hashed_ngram_score("text", w).alias("score"),
+        )
+        .withColumn("keep", F.col("score") > 0)
+        .collect()
+    }
+    assert got == want and want
+
+
 def test_winnowing_index_match_stream_equals_batch(spark, sf_dir, tmp_path):
     # the MOSS-style foreachBatch matcher must emit exactly the batch
     # matcher's (new_id, base_id, n_shared) rows — and the zero-match
