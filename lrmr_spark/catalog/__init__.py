@@ -161,7 +161,8 @@ _PRIORITY = [
 # text_winnowing_index_compacted, streaming_winnowing_index_match
 # (rows-only twin), multimodal_phash_index_delete,
 # docs_quality_classifier, text_winnowing_index_delete,
-# streaming_quality_score (rows-only serving twin).
+# streaming_quality_score (rows-only serving twin),
+# docs_quality_topfrac.
 # r8 ROTATION NOTE (for the next session): r8 window = the 16
 # standing keeps + the 12 entries above + the r7-built entries just
 # listed (~17 first-time rows — fits one window with room to spare);

@@ -2006,11 +2006,13 @@ _QC_D = 32
 _QC_TEACHER = [((j * 37 + 11) % 21) - 10 for j in range(_QC_D)]
 
 
-def _quality_classifier_oracle() -> str:
-    """Mirror of operators.text.hashed_ngram_classifier at 3 rounds:
-    hashed unigram+bigram counts, teacher labels, three unrolled
-    perceptron updates as CTE blocks (w1..w3 — round 1 is closed-form:
-    w0 = 0 makes every document a mistake), final w3 scoring."""
+def _quality_classifier_cte() -> str:
+    """The shared WITH-body mirroring hashed_ngram_classifier at 3
+    rounds: hashed unigram+bigram counts, teacher labels, three
+    unrolled perceptron updates (w1..w3 — round 1 is closed-form:
+    w0 = 0 makes every document a mistake), final w3 scores in
+    ``sc(doc_id, s)`` and labels in ``lab(doc_id, y)``. Composed by
+    _quality_classifier_oracle and _quality_topfrac_oracle."""
     t_rows = ", ".join(f"({j}, {t})" for j, t in enumerate(_QC_TEACHER))
     bucket = f"CAST(('0x' || substr(md5('q:' || g), 1, 6)) AS BIGINT) % {_QC_D}"
     return f"""
@@ -2047,11 +2049,38 @@ def _quality_classifier_oracle() -> str:
         FROM m3 m JOIN feat f USING (doc_id) GROUP BY f.j) g USING (j)),
     sc AS (SELECT f.doc_id, sum(f.cnt * w3.w) AS s
            FROM feat f JOIN w3 USING (j) GROUP BY 1)
+    """
+
+
+def _quality_classifier_oracle() -> str:
+    return (
+        _quality_classifier_cte()
+        + """
     SELECT l.doc_id, CAST(sc.s AS BIGINT) AS score,
            CAST(l.y AS BIGINT) AS label, sc.s > 0 AS keep
     FROM lab l JOIN sc USING (doc_id)
     ORDER BY doc_id
     """
+    )
+
+
+def _quality_topfrac_oracle() -> str:
+    """The classifier CTE + exact top-40% VALUE threshold: t = the
+    minimum of the top-k scores (k = 2N DIV 5), keep = score ≥ t —
+    ties at the threshold are kept, so the rule is a pure function of
+    the score multiset (no global doc-order tie-break needed)."""
+    return (
+        _quality_classifier_cte()
+        + """
+    , n AS (SELECT count(*) AS n FROM sc),
+    th AS (
+      SELECT min(s) AS t FROM (
+        SELECT s, row_number() OVER (ORDER BY s DESC) AS rn FROM sc) q, n
+      WHERE q.rn <= (2 * n.n) // 5)
+    SELECT sc.doc_id, CAST(sc.s AS BIGINT) AS score, sc.s >= th.t AS keep
+    FROM sc, th ORDER BY doc_id
+    """
+    )
 
 
 @query("docs_quality_classifier", oracle=_quality_classifier_oracle)
@@ -2075,3 +2104,50 @@ def docs_quality_classifier(spark, sf_dir):
     return TX.hashed_ngram_classifier(
         d, "doc_id", "text", _QC_TEACHER, iterations=3
     ).orderBy("doc_id")
+
+
+@query("docs_quality_topfrac", oracle=_quality_topfrac_oracle)
+def docs_quality_topfrac(spark, sf_dir):
+    """Corpus curation by QUANTILE, not sign: keep the top 40% of
+    documents by classifier score — the budgeted form of the quality
+    filter (a data-mixture plan says "keep the best X tokens", not
+    "keep positives"). The threshold is the exact k-th largest score
+    (k = 2N DIV 5) computed WITHOUT a global data sort: score-keyed
+    histogram (map-side combinable), a cumulative sum over the
+    DISTINCT-score histogram (single-partition window — bounded by
+    score cardinality, orders of magnitude below corpus rows; a
+    production variant pre-buckets scores first), then one broadcast
+    threshold join. Ties at the threshold are KEPT, so the decision
+    is a pure function of the score multiset — deterministic with no
+    global doc-order tie-break, hence hash-exact. Output: every doc
+    with (score, keep)."""
+    from pyspark.sql import Window as W
+
+    from ..operators import text as TX
+
+    d = load(spark, sf_dir, "documents")
+    w = TX.train_hashed_ngram_weights(d, "text", _QC_TEACHER, iterations=3)
+    scored = d.select(
+        "doc_id", TX.hashed_ngram_score("text", w).alias("score")
+    ).localCheckpoint(eager=True)
+    k = (2 * scored.count()) // 5
+    hist = scored.groupBy("score").agg(F.count(F.lit(1)).alias("_c"))
+    th = (
+        hist.withColumn(
+            "_cum",
+            F.sum("_c").over(
+                W.orderBy(F.desc("score")).rowsBetween(
+                    W.unboundedPreceding, W.currentRow
+                )
+            ),
+        )
+        .filter(F.col("_cum") >= k)
+        .agg(F.max("score").alias("_t"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .select(
+            "doc_id", "score", (F.col("score") >= F.col("_t")).alias("keep")
+        )
+        .orderBy("doc_id")
+    )
