@@ -162,7 +162,7 @@ _PRIORITY = [
 # (rows-only twin), multimodal_phash_index_delete,
 # docs_quality_classifier, text_winnowing_index_delete,
 # streaming_quality_score (rows-only serving twin),
-# docs_quality_topfrac.
+# docs_quality_topfrac, graph_kcore_numbers.
 # r8 ROTATION NOTE (for the next session): r8 window = the 16
 # standing keeps + the 12 entries above + the r7-built entries just
 # listed (~17 first-time rows — fits one window with room to spare);

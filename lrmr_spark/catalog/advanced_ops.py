@@ -969,3 +969,89 @@ def graph_kcore_peel(spark, sf_dir):
     from ..operators.graph import kcore_peel
 
     return kcore_peel(fwd.unionAll(rev), k=3, rounds=3)
+
+
+def _kcore_numbers_oracle() -> str:
+    """Unrolled mirror of operators.graph.kcore_numbers over the
+    order↔part bipartite graph: k = 1..4 levels × 2 peel sweeps each,
+    chained CTEs (level k starts from level k-1's survivor edges —
+    the documented sequential schedule), core = highest level
+    survived, output as the (core, n_nodes) histogram."""
+    k_max, rounds = 4, 2
+    # AS MATERIALIZED throughout: DuckDB INLINES plain CTEs, and each
+    # round references its predecessor 3× (t + both degree joins), so
+    # an inlined chain re-expands ~3^8 copies of the base scan — the
+    # same pitfall-15 blowup the Spark side breaks with the degree
+    # checkpoint. Materialization makes the chain linear.
+    parts = [
+        """e_0 AS MATERIALIZED (
+      SELECT DISTINCT CAST(l_orderkey AS BIGINT) * 2 AS src,
+                      CAST(l_partkey AS BIGINT) * 2 + 1 AS dst
+      FROM lineitem
+      UNION ALL
+      SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 + 1,
+                      CAST(l_orderkey AS BIGINT) * 2
+      FROM lineitem)"""
+    ]
+    cur = "e_0"
+    for k in range(1, k_max + 1):
+        for r in range(1, rounds + 1):
+            d, e = f"d_{k}_{r}", f"e_{k}_{r}"
+            parts.append(
+                f"{d} AS MATERIALIZED "
+                f"(SELECT src, count(*) AS c FROM {cur} GROUP BY src)"
+            )
+            parts.append(
+                f"""{e} AS MATERIALIZED (
+      SELECT t.src, t.dst FROM {cur} t
+      JOIN {d} a ON a.src = t.src AND a.c >= {k}
+      JOIN {d} b ON b.src = t.dst AND b.c >= {k})"""
+            )
+            cur = e
+        parts.append(
+            f"s_{k} AS MATERIALIZED "
+            f"(SELECT DISTINCT src AS node FROM {cur})"
+        )
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN node IN (SELECT node FROM s_{k}) THEN {k}"
+            for k in range(k_max, 0, -1)
+        )
+        + " ELSE 0 END"
+    )
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined},
+    nodes AS (SELECT DISTINCT src AS node FROM e_0)
+    SELECT {case} AS core, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM nodes GROUP BY 1 ORDER BY core
+    """
+
+
+@query("graph_kcore_numbers", oracle=_kcore_numbers_oracle)
+def graph_kcore_numbers(spark, sf_dir):
+    """CORE-NUMBER decomposition (bounded, capped at 4) over the
+    order↔part bipartite graph — the per-node refinement of
+    graph_kcore_peel's trajectory: instead of "what survives a 3-core
+    peel", every node gets the highest level it survived in the
+    sequential 1..4 peel, the standard graph-sanitization score
+    (spam/link-farm strength tiers, fringe-vs-core mass profile)
+    reported as the (core, n_nodes) histogram. Deterministic by the
+    bounded-schedule discipline (see operators/graph.py
+    kcore_numbers), so an 8-round iterative decomposition gets a
+    hash-exact SQL oracle of chained unrolled CTEs. Per-round
+    columnar caching per the r7 kcore experiment."""
+    li = load(spark, sf_dir, "lineitem")
+    o = F.col("l_orderkey").cast("long") * 2
+    p = F.col("l_partkey").cast("long") * 2 + 1
+    fwd = li.select(o.alias("src"), p.alias("dst")).distinct()
+    rev = li.select(p.alias("src"), o.alias("dst")).distinct()
+    from ..operators.graph import kcore_numbers
+
+    cores = kcore_numbers(fwd.unionAll(rev), k_max=4, rounds_per_k=2)
+    return (
+        cores.groupBy("core")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("core")
+    )

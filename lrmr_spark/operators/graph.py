@@ -18,7 +18,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_ppm", "triangle_count", "label_propagation", "kcore_peel"]
+__all__ = [
+    "pagerank_ppm",
+    "triangle_count",
+    "label_propagation",
+    "kcore_peel",
+    "kcore_numbers",
+]
+
+# k-core keep sets at or under this node count are explicitly
+# broadcast into the semi-joins (the checkpointed degree table is a
+# LogicalRDD without size statistics, so Catalyst can't make that
+# call itself — measured 40 s vs 12 s at sf1, tools/exp_kcore.py vD).
+# 2M longs ≈ 30 MB serialized: comfortably executor-resident; above
+# it the node set is corpus-proportional and must shuffle.
+_KEEP_BCAST_MAX = 2_000_000
 
 
 def pagerank_ppm(
@@ -254,28 +268,44 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     rows on every exchange. A count-window formulation (degree =
     count over partitionBy(node)) was also measured and REJECTED:
     count windows sort within partitions and the hot nodes skew those
-    sorts — 26-40 s at sf1 vs ~9 s for this shape. Nothing is
-    broadcast (node set is corpus-proportional).
+    sorts — 26-40 s at sf1 vs ~9 s for this shape.
 
-    Per-round materialization is persist(MEMORY_AND_DISK), NOT
-    localCheckpoint (the r7 disk-cliff experiment, tools/exp_kcore.py
-    → BENCH_r7_graphops.json): localCheckpoint stores raw serialized
-    rows — ~4 GB/round at sf10's 120 M edges, off the single-node
-    page-cache cliff at 62 s/round — while the DataFrame cache holds
-    compressed COLUMNAR batches (dict/RLE over two long columns) that
-    stay memory-resident: 165 s → 42 s at sf10, sf1→sf10 ratio
-    17.7× → 3.8×, inside the same-shape LPA envelope. (A
-    packed-single-bigint checkpoint variant was measured too — 107 s:
-    helps, but columnar compression beats hand-packing; a
-    keep-set-only variant regressed 4× at sf1 on its extra per-round
-    aggregation.) The tradeoff: persist keeps lineage, so each cached
-    round's plan nests the previous InMemoryRelation — bounded by the
-    fixed round count, and MEMORY_AND_DISK spills rather than evicts,
-    so lineage is never re-executed on a healthy executor. Each
-    round's caches are FORCED (the stats action) before the dead
-    round is unpersisted — with lazy persist, unpersisting the parent
-    first would silently recompute the child from the source scan —
-    then dead rounds release immediately (pitfall 19)."""
+    Per-round materialization (the r7 disk-cliff experiment,
+    tools/exp_kcore.py → BENCH_r7_graphops.json): the EDGE frame
+    rides persist(MEMORY_AND_DISK), NOT localCheckpoint —
+    localCheckpoint stores raw serialized rows (~4 GB/round at sf10's
+    120 M edges, off the single-node page-cache cliff at 62 s/round)
+    while the DataFrame cache holds compressed COLUMNAR batches
+    (dict/RLE over two long columns) that stay memory-resident:
+    sf10 165 s → 67 s. (A packed-single-bigint checkpoint was
+    measured too — 107 s: helps, but columnar compression beats
+    hand-packing; a keep-set-only variant regressed 4× at sf1 on its
+    extra per-round aggregation.) MEMORY_AND_DISK spills rather than
+    evicts, so lineage is never re-executed on a healthy executor;
+    each round's caches are FORCED (the degree checkpoint's eager
+    job) before the dead round is unpersisted — with lazy persist,
+    unpersisting the parent first would silently recompute the child
+    from the source scan — then dead rounds release immediately
+    (pitfall 19).
+
+    The keep set is EXPLICITLY broadcast when the previous round's
+    node count (already a driver scalar from the stats action) is
+    under _KEEP_BCAST_MAX: the checkpointed degree table is a
+    LogicalRDD with no size statistics, so Catalyst would otherwise
+    plan both semi-joins as full shuffles of the edge list — measured
+    40 s vs 12 s at sf1. Above the gate the node set is
+    corpus-proportional and the semi-joins shuffle, as they must.
+
+    Lineage discipline (pitfall 15): persist caches STORAGE but keeps
+    the LOGICAL plan, and e appears 3× per sweep (the two semi-joins
+    plus keep → deg → e), so an all-persist loop re-plans ~3^rounds
+    copies of the base plan — measured as a multi-second-per-sweep
+    Catalyst analysis stall on an 8-node graph at kcore_numbers' 8
+    sweeps. Breaking the multiplicative edge: the NODE-SIZED degree
+    table is localCheckpoint'd (cheap — two longs per node, no disk
+    cliff at any tested SF), which flattens keep's lineage, so e's
+    plan grows one join layer per round (linear). Only the EDGE-SIZED
+    table rides the columnar cache."""
     from pyspark.storagelevel import StorageLevel
 
     _lvl = StorageLevel.MEMORY_AND_DISK
@@ -283,10 +313,12 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     spark = edges.sparkSession
 
     def _deg(edge_df):
+        # eager localCheckpoint: forces the (persisted) parent edge
+        # frame too, and truncates the lineage path through keep
         return (
             edge_df.groupBy("src")
             .agg(F.count(F.lit(1)).alias("_d"))
-            .persist(_lvl)
+            .localCheckpoint(eager=True)
         )
 
     def _stats(deg_df):
@@ -298,9 +330,11 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
 
     out = []
     deg = _deg(e)
-    prev_edges = _stats(deg)[1]  # seed: a no-op round 1 also certifies
+    prev_nodes, prev_edges = _stats(deg)  # seed: a no-op round 1 also certifies
     for r in range(1, rounds + 1):
         keep = deg.filter(F.col("_d") >= k).select("src")
+        if prev_nodes <= _KEEP_BCAST_MAX:
+            keep = F.broadcast(keep)
         e_new = (
             e.join(keep, "src", "left_semi")
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
@@ -308,8 +342,8 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
             .persist(_lvl)
         )
         deg_new = _deg(e_new)  # degrees of the NEW e: next round's input AND this round's stats
-        # the stats action FORCES e_new + deg_new into the cache while
-        # the parents are still cached (persist is lazy; unpersisting
+        # _deg's eager checkpoint already FORCED e_new + deg_new while
+        # the parents were still cached (persist is lazy; unpersisting
         # first would recompute the round from the source scan) …
         n_nodes, n_edges = _stats(deg_new)
         # … then release the dead round's blocks NOW: they otherwise
@@ -330,7 +364,7 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
             # the measured 3-round cost, bit-identically).
             out.extend((rr, n_nodes, n_edges) for rr in range(r + 1, rounds + 1))
             break
-        prev_edges = n_edges
+        prev_nodes, prev_edges = n_nodes, n_edges
     e.unpersist()
     deg.unpersist()
     return spark.range(1).select(
@@ -347,3 +381,111 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
             )
         ).alias("_r")
     ).select("_r.round", "_r.n_nodes", "_r.n_edges")
+
+
+def kcore_numbers(
+    edges: DataFrame,
+    k_max: int = 4,
+    rounds_per_k: int = 2,
+) -> DataFrame:
+    """CORE-NUMBER decomposition, bounded (Seidman 1983: core(v) =
+    max k such that v belongs to the k-core): the sequential form of
+    kcore_peel — peel at k = 1, then continue peeling the SURVIVOR
+    graph at k = 2, and so on up to ``k_max``, ``rounds_per_k``
+    bulk-synchronous sweeps per level; a node's core number is the
+    last level it survived (capped at k_max — the usual production
+    cap: core numbers beyond the report range aren't distinguished).
+    ``edges`` must be symmetric (kcore_peel's contract). Output:
+    (node, core), one row per node of the input.
+
+    Bounded-round semantics, stated honestly: with rounds_per_k → ∞
+    each level reaches the true k-core and the output is the exact
+    (capped) core decomposition; a FIXED sweep count is a
+    deterministic snapshot of the peel schedule (the kcore_peel /
+    label_propagation discipline), which is what a cross-engine value
+    gate needs — the oracle unrolls the identical schedule. Starting
+    level k from level k-1's survivors is the standard sequential
+    peel (the k-core is a subset of the (k-1)-core, so nothing is
+    lost — and at bounded rounds it is the DOCUMENTED schedule, not
+    an approximation of a different one).
+
+    Scale shape: the kcore_peel loop per level (degree agg with
+    map-side partials + two semi-joins, (long, long) rows on every
+    exchange, persist(MEMORY_AND_DISK) columnar caching per round —
+    see kcore_peel's r7 experiment), plus ONE node-keyed left join
+    per level folding survivors into the (node-sized) core table.
+    Each level inherits the previous level's convergence certificate:
+    an unchanged edge count proves the level's fixed point, skipping
+    its remaining sweeps bit-identically."""
+    from pyspark.storagelevel import StorageLevel
+
+    _lvl = StorageLevel.MEMORY_AND_DISK
+    e = edges.select("src", "dst").persist(_lvl)
+    # node-sized tables (cores, degrees) are localCheckpoint'd — the
+    # kcore_peel pitfall-15 discipline: truncating their lineage keeps
+    # e's plan growth LINEAR in sweeps (an all-persist loop re-plans
+    # ~3^sweeps copies of the base plan — at this operator's 8-sweep
+    # schedule that stalled Catalyst for ~30 s on an 8-node graph)
+    cores = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("core", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _deg(edge_df):
+        # eager: forces the persisted parent edge frame too
+        return (
+            edge_df.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .localCheckpoint(eager=True)
+        )
+
+    deg = _deg(e)
+    seed = deg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("_d"), F.lit(0)).alias("m"),
+    ).collect()[0]
+    prev_nodes, prev_edges = int(seed["n"]), int(seed["m"])
+    for k in range(1, k_max + 1):
+        for _ in range(rounds_per_k):
+            keep = deg.filter(F.col("_d") >= k).select("src")
+            if prev_nodes <= _KEEP_BCAST_MAX:
+                # size-gated broadcast: see _KEEP_BCAST_MAX
+                keep = F.broadcast(keep)
+            e_new = (
+                e.join(keep, "src", "left_semi")
+                .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+                .select("src", "dst")
+                .persist(_lvl)
+            )
+            deg_new = _deg(e_new)  # eager: forces e_new while parents live
+            st = deg_new.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("_d"), F.lit(0)).alias("m"),
+            ).collect()[0]
+            n_nodes, n_edges = int(st["n"]), int(st["m"])
+            e.unpersist()
+            deg.unpersist()
+            e, deg = e_new, deg_new
+            if n_edges == prev_edges:
+                # level fixed point: remaining sweeps are the identity
+                prev_nodes = n_nodes
+                break
+            prev_nodes, prev_edges = n_nodes, n_edges
+        survivors = deg.select(F.col("src").alias("node")).withColumn(
+            "_k", F.lit(int(k))
+        )
+        cores_new = (
+            cores.join(survivors, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_k"), F.col("core")).cast("int").alias("core"),
+            )
+            .localCheckpoint(eager=True)  # flat lineage per level
+        )
+        cores.unpersist()
+        cores = cores_new
+    e.unpersist()
+    deg.unpersist()
+    return cores

@@ -2951,3 +2951,49 @@ def test_heavy_hitters_exact_matches_counter_even_when_skew_planted(spark):
     )
     assert got == want
     assert {t for t, _ in got} == {"h0", "h1", "h2"}
+
+
+def _py_kcore_numbers(edges, k_max, rounds_per_k):
+    """Plain-python reference for the bounded sequential peel: level
+    k runs rounds_per_k synchronous sweeps on level k-1's survivor
+    edges; core(v) = last level v survived."""
+    from collections import Counter
+
+    nodes = sorted({n for e in edges for n in e})
+    core = {n: 0 for n in nodes}
+    e = list(edges)
+    for k in range(1, k_max + 1):
+        for _ in range(rounds_per_k):
+            deg = Counter(s for s, _ in e)
+            keep = {n for n, d in deg.items() if d >= k}
+            e2 = [(s, d) for s, d in e if s in keep and d in keep]
+            if len(e2) == len(e):
+                break
+            e = e2
+        for n in {s for s, _ in e}:
+            core[n] = k
+    return core
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_kcore_numbers_matches_python_reference(spark, seed):
+    import random
+
+    from lrmr_spark.operators.graph import kcore_numbers
+
+    rng = random.Random(seed)
+    nodes = list(range(24))
+    und = {
+        (min(a, b), max(a, b))
+        for _ in range(70)
+        for a, b in [(rng.choice(nodes), rng.choice(nodes))]
+        if a != b
+    }
+    edges = [e for ab in und for e in (ab, ab[::-1])]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["core"]
+        for r in kcore_numbers(df, k_max=4, rounds_per_k=2).collect()
+    }
+    assert got == _py_kcore_numbers(edges, 4, 2)
+    assert max(got.values()) >= 2  # a 70-edge/24-node graph has a 2-core

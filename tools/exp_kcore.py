@@ -205,7 +205,8 @@ _ALL_VARIANTS = {
     "vC_keeponly": vC_keeponly,
 }
 _SEL = os.environ.get("KCORE_VARIANTS", ",".join(_ALL_VARIANTS))
-VARIANTS = {k: _ALL_VARIANTS[k] for k in _SEL.split(",")}
+# vD registers below; unknown names here are re-resolved after it
+VARIANTS = {k: _ALL_VARIANTS[k] for k in _SEL.split(",") if k in _ALL_VARIANTS}
 
 
 def main():
@@ -245,6 +246,67 @@ def main():
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results, indent=1))
+
+
+
+
+def vD_hybrid_bcast(spark, sf_dir):
+    # hybrid (persist edges, checkpoint degrees) + size-gated explicit
+    # broadcast of the keep set: checkpointed frames carry no stats,
+    # so Catalyst won't broadcast them — but the node count is already
+    # a driver scalar each round, making the gate free
+    from pyspark.storagelevel import StorageLevel
+
+    lvl = StorageLevel.MEMORY_AND_DISK
+    BCAST_MAX = 2_000_000
+    e = _edges(spark, sf_dir).select("src", "dst").persist(lvl)
+
+    def _deg(edge_df):
+        return (
+            edge_df.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .localCheckpoint(eager=True)
+        )
+
+    def _stats(deg_df):
+        row = deg_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("_d"), F.lit(0)).alias("m"),
+        ).collect()[0]
+        return int(row["n"]), int(row["m"])
+
+    out = []
+    deg = _deg(e)
+    prev_nodes, prev_edges = _stats(deg)
+    for r in range(1, ROUNDS + 1):
+        keep = deg.filter(F.col("_d") >= K).select("src")
+        if prev_nodes <= BCAST_MAX:
+            keep = F.broadcast(keep)
+        e_new = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+            .persist(lvl)
+        )
+        deg_new = _deg(e_new)
+        e.unpersist()
+        deg.unpersist()
+        e, deg = e_new, deg_new
+        n_nodes, n_edges = _stats(deg)
+        out.append((r, n_nodes, n_edges))
+        if n_edges == prev_edges:
+            out.extend((rr, n_nodes, n_edges) for rr in range(r + 1, ROUNDS + 1))
+            break
+        prev_nodes, prev_edges = n_nodes, n_edges
+    e.unpersist()
+    deg.unpersist()
+    return out
+
+
+_ALL_VARIANTS["vD_hybrid_bcast"] = vD_hybrid_bcast
+_SEL2 = os.environ.get("KCORE_VARIANTS", ",".join(_ALL_VARIANTS))
+VARIANTS.clear()
+VARIANTS.update({k: _ALL_VARIANTS[k] for k in _SEL2.split(",")})
 
 
 if __name__ == "__main__":
