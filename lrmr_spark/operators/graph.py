@@ -201,7 +201,13 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     max(struct) — and one node-keyed left join folding the votes back
     into the (node-sized, edge-count-independent) label table.
     Lineage truncates per round with localCheckpoint (pitfall 12), so
-    the plan stays flat at any iteration count."""
+    the plan stays flat at any iteration count. The node-sized sides
+    (labels, argmax) are EXPLICITLY broadcast under the
+    _KEEP_BCAST_MAX node-count gate — checkpointed frames carry no
+    size statistics (pitfall 20 corollary), so Catalyst would shuffle
+    the edge list against an 80k-node label table it should ship to
+    executors; above the gate the node set is corpus-proportional
+    and both joins shuffle, as they must."""
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -210,9 +216,11 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    small = labels.count() <= _KEEP_BCAST_MAX  # node count: driver scalar
     for _ in range(iterations):
+        lbl = F.broadcast(labels) if small else labels
         votes = (
-            edges.join(labels, edges.src == labels.node)
+            edges.join(lbl, edges.src == lbl.node)
             .groupBy(F.col("dst").alias("nd"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
@@ -221,6 +229,8 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
             .cast("long")
             .alias("_vl")
         )
+        if small:
+            argmax = F.broadcast(argmax)
         new_labels = (
             labels.join(argmax, "node", "left")
             .select(
