@@ -93,6 +93,9 @@ def main() -> None:
         print(f"bench {name}: {secs}", file=sys.stderr, flush=True)
         return secs[0], min(secs)
 
+    # host load snapshots bracket the run so scatter adjudication can
+    # read contention off the JSON instead of a separate session study
+    load_before = [round(x, 2) for x in os.getloadavg()]
     results, results_min = {}, {}
     for name in HEADLINE:
         results[name], results_min[name] = timed(name)
@@ -120,6 +123,8 @@ def main() -> None:
                     sum(results_min[n] for n in LEGACY11), 3
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "loadavg_before": load_before,
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

@@ -2076,7 +2076,7 @@ def _quality_topfrac_oracle() -> str:
     th AS (
       SELECT min(s) AS t FROM (
         SELECT s, row_number() OVER (ORDER BY s DESC) AS rn FROM sc) q, n
-      WHERE q.rn <= (2 * n.n) // 5)
+      WHERE q.rn <= greatest(1, (2 * n.n) // 5))
     SELECT sc.doc_id, CAST(sc.s AS BIGINT) AS score, sc.s >= th.t AS keep
     FROM sc, th ORDER BY doc_id
     """
@@ -2130,7 +2130,11 @@ def docs_quality_topfrac(spark, sf_dir):
     scored = d.select(
         "doc_id", TX.hashed_ngram_score("text", w).alias("score")
     ).localCheckpoint(eager=True)
-    k = (2 * scored.count()) // 5
+    # k >= 1 (mirrored by greatest(1, …) in the oracle): at N < 3 docs
+    # a zero k would make the cumulative filter vacuous and the
+    # threshold collapse to the global max — the oracle's empty top-k
+    # would yield NULL instead, a latent small-input mismatch
+    k = max(1, (2 * scored.count()) // 5)
     hist = scored.groupBy("score").agg(F.count(F.lit(1)).alias("_c"))
     th = (
         hist.withColumn(

@@ -291,6 +291,90 @@ def winnowing_matches(
     return pairs.filter(F.col("n_shared") >= min_shared)
 
 
+def _winnowing_fs(spark, p: str):
+    """(hadoop FileSystem, jvm) for a path — driver-side FS ops."""
+    jvm = spark.sparkContext._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(p)
+    return jp.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), jvm
+
+
+def _winnowing_epochs(spark, path: str) -> list[int]:
+    """Epoch ids present in ``path/postings`` by DRIVER-SIDE directory
+    listing (no Spark job, no footer reads) — the partition layout IS
+    the epoch catalog. Empty list when the dir is absent."""
+    fs, jvm = _winnowing_fs(spark, path)
+    jdir = jvm.org.apache.hadoop.fs.Path(f"{path}/postings")
+    if not fs.exists(jdir):
+        return []
+    out = []
+    for st in fs.listStatus(jdir):
+        name = st.getPath().getName()
+        if name.startswith("_epoch="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def _read_winnowing_meta(spark, path: str) -> dict | None:
+    """``path/_meta`` as a dict, or None when absent. Back-compat:
+    indexes written before the df side table lack ``empty``/``id_type``
+    — callers use .get with defaults."""
+    try:
+        return spark.read.json(f"{path}/_meta").collect()[0].asDict()
+    except AnalysisException:
+        return None
+
+
+def _write_winnowing_meta(
+    spark, path: str, *, k, w, max_df, hash_name, id_col, id_type, empty
+) -> None:
+    spark.range(1).select(
+        F.lit(int(k)).cast("int").alias("k"),
+        F.lit(int(w)).cast("int").alias("w"),
+        F.lit(int(max_df)).cast("int").alias("max_df"),
+        F.lit(hash_name).alias("hash"),
+        F.lit(id_col).alias("id_col"),
+        F.lit(id_type).alias("id_type"),
+        F.lit(bool(empty)).alias("empty"),
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+
+
+def _apply_winnowing_df_delta(spark, path: str, inc, dec) -> None:
+    """Merge (fp, _delta) increments/decrements into the per-fp
+    document-frequency side table at ``path/df`` — the maintained
+    statistic that lets the matcher ban over-df fingerprints WITHOUT
+    re-windowing the full posting table per serving call. Counts are
+    DISTINCT indexed documents per fingerprint (exactly what the
+    read-time window computed). Merge = union the current table with
+    the deltas, sum per fp, drop non-positive rows; the merged frame
+    is materialized (eager checkpoint) before overwriting the dir it
+    was read from — never read-and-overwrite in one plan."""
+    frames = []
+    try:
+        frames.append(
+            spark.read.parquet(f"{path}/df").select(
+                "fp", F.col("df").cast("bigint").alias("_delta")
+            )
+        )
+    except AnalysisException:
+        pass
+    for d in (inc, dec):
+        if d is not None:
+            frames.append(d.select("fp", F.col("_delta").cast("bigint")))
+    if not frames:
+        return
+    merged = frames[0]
+    for f in frames[1:]:
+        merged = merged.unionByName(f)
+    merged = (
+        merged.groupBy("fp")
+        .agg(F.sum("_delta").cast("bigint").alias("df"))
+        .filter(F.col("df") > 0)
+        .localCheckpoint(eager=True)
+    )
+    merged.write.mode("overwrite").parquet(f"{path}/df")
+    merged.unpersist()  # pitfall 19: release the checkpoint blocks
+
+
 def write_winnowing_index(
     df,
     path: str,
@@ -320,16 +404,45 @@ def write_winnowing_index(
     silently never match the earlier epochs, so the write raises on
     parameter drift (the codebook-fingerprint discipline).
 
+    The per-fp document-frequency side table (``path/df``) is
+    maintained INCREMENTALLY here (and by delete; compaction leaves
+    it untouched — folding preserves the distinct (id, fp) multiset):
+    the new epoch's postings are anti-joined against the OTHER epochs
+    to find first-appearance pairs (the stored side is scanned ONCE,
+    narrowly, pre-filtered by a broadcast semi-join on the batch's own
+    fingerprints — no stored-side shuffle), and a replayed epoch's old
+    contribution is decremented the same way, so replay nets to zero.
+    This moves the df cost from EVERY serving call (the old read-time
+    window over the full index) to each maintenance op — the
+    write-amplified/read-optimized trade a serving index wants.
+
+    Torn-write discipline: _meta is deleted before the postings/df
+    writes and restored after, so an interruption leaves a
+    loudly-failing index, not a postings/df disagreement. A missing
+    _meta OVER existing postings is exactly that torn state, so this
+    write RAISES on it instead of minting fresh parameters over
+    mixed-selection epochs.
+
     100 TB shape: the index stores only (id, 8-hex fp) — ~16 bytes a
     posting, no text; each epoch write is the one doc-keyed
-    winnowing exchange plus a partition-local sink."""
+    winnowing exchange plus a partition-local sink plus the narrow
+    df-maintenance scan."""
     spark = df.sparkSession
-    try:
-        prev = spark.read.json(f"{path}/_meta").collect()[0]
+    meta = _read_winnowing_meta(spark, path)
+    epochs = _winnowing_epochs(spark, path)
+    if meta is None:
+        if epochs:
+            raise ValueError(
+                f"winnowing index at {path} is TORN: postings epochs "
+                f"{epochs} exist but _meta is missing (interrupted "
+                f"compact/delete) — refusing to mint fresh parameters "
+                f"over epochs of unknown (k, w)"
+            )
+    else:
         drift = {
-            "k": (int(prev["k"]), int(k)),
-            "w": (int(prev["w"]), int(w)),
-            "max_df": (int(prev["max_df"]), int(max_df)),
+            "k": (int(meta["k"]), int(k)),
+            "w": (int(meta["w"]), int(w)),
+            "max_df": (int(meta["max_df"]), int(max_df)),
         }
         bad = {n: v for n, v in drift.items() if v[0] != v[1]}
         if bad:
@@ -339,11 +452,49 @@ def write_winnowing_index(
                 f"supplied { {n: v[1] for n, v in bad.items()} } — "
                 f"mixed selections never match across epochs"
             )
-    except AnalysisException:
-        pass  # first write: no _meta yet
-    post = winnowing_postings(df, id_col, text_col, k, w).select(
-        F.col("_id").alias("id"), "fp"
+    post = (
+        winnowing_postings(df, id_col, text_col, k, w)
+        .select(F.col("_id").alias("id"), "fp")
+        .localCheckpoint(eager=True)  # referenced by the epoch write AND the df delta
     )
+    old_e = hit = None
+    if epochs:
+        allp = spark.read.parquet(f"{path}/postings")
+        probe = post.select("fp").distinct()
+        if int(epoch) in epochs:
+            # epoch REPLAY (checkpoint recovery): materialize the old
+            # contribution BEFORE the overwrite replaces its partition
+            old_e = (
+                allp.filter(F.col("_epoch") == int(epoch))
+                .select("id", "fp")
+                .localCheckpoint(eager=True)
+            )
+            probe = probe.union(old_e.select("fp")).distinct()
+        # pairs from OTHER epochs sharing a fingerprint with this batch:
+        # one narrow stored-side scan behind a broadcast semi-join
+        hit = (
+            allp.filter(F.col("_epoch") != int(epoch))
+            .select("id", "fp")
+            .join(F.broadcast(probe), "fp", "left_semi")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        inc = post.join(hit, ["id", "fp"], "left_anti")
+        dec_src = (
+            old_e.join(hit, ["id", "fp"], "left_anti") if old_e is not None else None
+        )
+    else:
+        inc, dec_src = post, None
+    inc = inc.groupBy("fp").agg(F.count(F.lit(1)).cast("bigint").alias("_delta"))
+    dec = (
+        dec_src.groupBy("fp").agg(
+            (-F.count(F.lit(1))).cast("bigint").alias("_delta")
+        )
+        if dec_src is not None
+        else None
+    )
+    fs, jvm = _winnowing_fs(spark, path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_meta"), True)
     (
         post.withColumn("_epoch", F.lit(int(epoch)))
         .write.mode("overwrite")
@@ -351,13 +502,21 @@ def write_winnowing_index(
         .partitionBy("_epoch")
         .parquet(f"{path}/postings")
     )
-    spark.range(1).select(
-        F.lit(int(k)).cast("int").alias("k"),
-        F.lit(int(w)).cast("int").alias("w"),
-        F.lit(int(max_df)).cast("int").alias("max_df"),
-        F.lit("md5-8").alias("hash"),
-        F.lit(id_col).alias("id_col"),
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    _apply_winnowing_df_delta(spark, path, inc, dec)
+    _write_winnowing_meta(
+        spark,
+        path,
+        k=k,
+        w=w,
+        max_df=max_df,
+        hash_name="md5-8",
+        id_col=id_col,
+        id_type=df.schema[id_col].dataType.simpleString(),
+        empty=False,
+    )
+    for cp in (post, old_e, hit):
+        if cp is not None:
+            cp.unpersist()  # pitfall 19: release the checkpoint blocks
 
 
 def match_winnowing_index(
@@ -367,6 +526,7 @@ def match_winnowing_index(
     text_col: str = "text",
     min_shared: int = 2,
     before_epoch: int | None = None,
+    use_df_table: bool = True,
 ) -> DataFrame:
     """Match a batch of NEW documents against the stored winnowing
     index: fingerprint the batch with the INDEX'S OWN (k, w) from
@@ -377,27 +537,72 @@ def match_winnowing_index(
     min_shared shared window-minima ⇒ shared verbatim runs of length
     ≥ w+k−1 — the plagiarism / benchmark-contamination signal.
 
-    The MOSS boilerplate guard applies at READ time with the _meta-
-    recorded ``max_df``: stored fingerprints appearing in more than
-    max_df indexed documents are template noise AND the quadratic join
-    fanout, so they are dropped before pairing. Computing df at read
-    keeps it GLOBAL across epochs (a per-epoch write-time cap would
-    under-count split boilerplate) and makes compaction answer-
-    invariant. Stored postings are deduped on (id, fp) first, so a
-    document re-landed in a later epoch (re-crawl upsert) counts once.
+    The MOSS boilerplate guard applies with the _meta-recorded
+    ``max_df``: stored fingerprints appearing in more than max_df
+    indexed documents are template noise AND the quadratic join
+    fanout, so they are dropped before pairing. The SERVING path reads
+    the banned set off the maintained per-fp document-frequency side
+    table (``path/df``, kept exact by write/append/delete; compaction
+    is df-invariant): over-df fingerprints are anti-joined out of the
+    BOUNDED batch side (equivalent to dropping them from the stored
+    side — a banned fp produces no pairs either way), the batch is
+    broadcast into the stored postings scan, and cross-epoch re-lands
+    of the same (id, fp) are collapsed by counting DISTINCT shared
+    fingerprints per pair — so a serving call is ONE narrow stored
+    scan with ZERO stored-side shuffles and no full-index window.
+    ``use_df_table=False`` (and any restricted ``before_epoch`` view,
+    where the global df table does not apply) falls back to computing
+    df at read time with a window over the deduped stored postings —
+    kept as the equivalence check the tests pin against the fast path.
 
     ``before_epoch`` restricts the stored side to earlier epochs —
-    the streaming twin passes its own epoch id so checkpoint REPLAY
-    matches against exactly the pre-failure index state.
+    the streaming twin snapshots max(stored epoch)+1 at STREAM START
+    and passes it for every micro-batch, so checkpoint replay and
+    mid-stream appends cannot change a batch's answer.
 
     Output: (new_id, base_id, n_shared). Scale shape: only 8-hex
-    fingerprints + ids shuffle; the batch side is bounded, the stored
-    side is fp-keyed once for the df window and once for the join."""
+    fingerprints + ids move; the batch side is bounded (the serving
+    contract), the stored side is scanned once."""
     from pyspark.sql import Window as W
 
     spark = df.sparkSession
-    meta = spark.read.json(f"{path}/_meta").collect()[0]
+    meta = _read_winnowing_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"no winnowing index _meta at {path}")
+    if meta.get("empty", False):
+        base_t = meta.get("id_type", "bigint")
+        new_t = df.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"new_id {new_t}, base_id {base_t}, n_shared bigint"
+        )
     k, w, max_df = int(meta["k"]), int(meta["w"]), int(meta["max_df"])
+    batch = winnowing_postings(df, id_col, text_col, k, w).select(
+        F.col("_id").alias("new_id"), "fp"
+    )
+    epochs = _winnowing_epochs(spark, path)
+    fs, jvm = _winnowing_fs(spark, path)
+    fast = (
+        use_df_table
+        and epochs
+        and fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/df"))
+        and (before_epoch is None or int(before_epoch) > max(epochs))
+    )
+    if fast:
+        banned = (
+            spark.read.parquet(f"{path}/df")
+            .filter(F.col("df") > max_df)
+            .select("fp")
+        )
+        stored = spark.read.parquet(f"{path}/postings").select(
+            F.col("id").alias("base_id"), "fp"
+        )
+        return (
+            F.broadcast(batch.join(F.broadcast(banned), "fp", "left_anti"))
+            .join(stored, "fp")
+            .groupBy("new_id", "base_id")
+            .agg(F.count_distinct("fp").cast("bigint").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+        )
     stored = spark.read.parquet(f"{path}/postings")
     if before_epoch is not None:
         stored = stored.filter(F.col("_epoch") < int(before_epoch))
@@ -407,9 +612,6 @@ def match_winnowing_index(
         .withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("fp")))
         .filter(F.col("_df") <= max_df)
         .select(F.col("id").alias("base_id"), "fp")
-    )
-    batch = winnowing_postings(df, id_col, text_col, k, w).select(
-        F.col("_id").alias("new_id"), "fp"
     )
     return (
         batch.join(stored, "fp")
@@ -430,14 +632,25 @@ def delete_winnowing_index_ids(spark, path: str, ids: list) -> int:
     The epoch layout pays off on the write side exactly as the
     IVF-PQ partition layout does: one postings-pruned scan finds the
     epochs actually containing the ids (the takedown list is bounded
-    — broadcast isin), ONLY those epoch partitions are rewritten
-    under dynamic overwrite, and an epoch the delete EMPTIED is
-    dropped explicitly (dynamic overwrite only replaces partitions
-    present in the written data). Torn-write discipline: survivors
+    — broadcast isin, passed through at the id column's OWN type, so
+    string-id indexes take down cleanly), ONLY those epoch partitions
+    are rewritten under dynamic overwrite, and an epoch the delete
+    EMPTIED is dropped explicitly (dynamic overwrite only replaces
+    partitions present in the written data). A takedown that empties
+    EVERY epoch records ``empty`` in _meta (and drops postings + df
+    dirs) so subsequent match/append/compact treat the index as
+    validly empty instead of failing schema inference. The per-fp df
+    side table is decremented by the removed documents' distinct
+    (id, fp) pairs — exact, because a takedown removes every posting
+    of the id. Torn-write discipline: survivors and the df decrement
     materialize first, _meta is deleted across the rewrite and
-    restored after, the checkpoint is unpersisted (pitfall 19)."""
-    meta = spark.read.json(f"{path}/_meta").collect()[0]
-    takedown = [int(i) for i in ids]
+    restored after, checkpoints are unpersisted (pitfall 19)."""
+    meta = _read_winnowing_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"no winnowing index _meta at {path}")
+    if meta.get("empty", False):
+        return 0
+    takedown = list(ids)
     post = spark.read.parquet(f"{path}/postings")
     affected = [
         r["_epoch"]
@@ -452,33 +665,58 @@ def delete_winnowing_index_ids(spark, path: str, ids: list) -> int:
     survivors = hit.filter(~F.col("id").isin(takedown)).localCheckpoint(
         eager=True
     )
+    dec = (
+        hit.filter(F.col("id").isin(takedown))
+        .select("id", "fp")
+        .distinct()
+        .groupBy("fp")
+        .agg((-F.count(F.lit(1))).cast("bigint").alias("_delta"))
+        .localCheckpoint(eager=True)  # reads postings: materialize pre-rewrite
+    )
     n_removed = hit.count() - survivors.count()
     kept_epochs = {
         r["_epoch"] for r in survivors.select("_epoch").distinct().collect()
     }
-    jvm = spark.sparkContext._jvm
-    jmeta = jvm.org.apache.hadoop.fs.Path(f"{path}/_meta")
-    fs = jmeta.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    fs.delete(jmeta, True)
-    if kept_epochs:
-        (
-            survivors.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_epoch")
-            .parquet(f"{path}/postings")
-        )
-    for ep in affected:
-        if ep not in kept_epochs:
-            jp = jvm.org.apache.hadoop.fs.Path(f"{path}/postings/_epoch={ep}")
-            fs.delete(jp, True)
-    spark.range(1).select(
-        F.lit(int(meta["k"])).cast("int").alias("k"),
-        F.lit(int(meta["w"])).cast("int").alias("w"),
-        F.lit(int(meta["max_df"])).cast("int").alias("max_df"),
-        F.lit(meta["hash"]).alias("hash"),
-        F.lit(meta["id_col"]).alias("id_col"),
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    fs, jvm = _winnowing_fs(spark, path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_meta"), True)
+    emptied = not kept_epochs and len(affected) == len(
+        _winnowing_epochs(spark, path)
+    )
+    if emptied:
+        # every epoch emptied: drop postings + df wholesale and record
+        # emptiness in _meta — an empty index is a valid index
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/postings"), True)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/df"), True)
+    else:
+        if kept_epochs:
+            (
+                survivors.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_epoch")
+                .parquet(f"{path}/postings")
+            )
+        for ep in affected:
+            if ep not in kept_epochs:
+                jp = jvm.org.apache.hadoop.fs.Path(
+                    f"{path}/postings/_epoch={ep}"
+                )
+                fs.delete(jp, True)
+        _apply_winnowing_df_delta(spark, path, None, dec)
+    _write_winnowing_meta(
+        spark,
+        path,
+        k=meta["k"],
+        w=meta["w"],
+        max_df=meta["max_df"],
+        hash_name=meta["hash"],
+        id_col=meta["id_col"],
+        id_type=meta.get(
+            "id_type", survivors.schema["id"].dataType.simpleString()
+        ),
+        empty=emptied,
+    )
     survivors.unpersist()  # pitfall 19: release the checkpoint blocks
+    dec.unpersist()
     return int(n_removed)
 
 
@@ -492,8 +730,15 @@ def compact_winnowing_index(spark, path: str) -> int:
     read-and-overwrite one parquet dir in a plan), _meta is
     invalidated across the static overwrite and restored after, so an
     interruption leaves a loudly-failing index, not a half-folded
-    one. Returns the number of epochs folded."""
-    meta = spark.read.json(f"{path}/_meta").collect()[0]
+    one. The df side table is untouched: folding preserves the
+    distinct (id, fp) multiset, so per-fp document frequency is
+    compaction-invariant by construction. Returns the number of
+    epochs folded (0 for a validly-empty index)."""
+    meta = _read_winnowing_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"no winnowing index _meta at {path}")
+    if meta.get("empty", False):
+        return 0
     post = spark.read.parquet(f"{path}/postings")
     n_epochs = post.select("_epoch").distinct().count()
     folded = (
@@ -512,13 +757,19 @@ def compact_winnowing_index(spark, path: str) -> int:
     folded.write.mode("overwrite").option(
         "partitionOverwriteMode", "static"
     ).partitionBy("_epoch").parquet(f"{path}/postings")
-    spark.range(1).select(
-        F.lit(int(meta["k"])).cast("int").alias("k"),
-        F.lit(int(meta["w"])).cast("int").alias("w"),
-        F.lit(int(meta["max_df"])).cast("int").alias("max_df"),
-        F.lit(meta["hash"]).alias("hash"),
-        F.lit(meta["id_col"]).alias("id_col"),
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    _write_winnowing_meta(
+        spark,
+        path,
+        k=meta["k"],
+        w=meta["w"],
+        max_df=meta["max_df"],
+        hash_name=meta["hash"],
+        id_col=meta["id_col"],
+        id_type=meta.get(
+            "id_type", folded.schema["id"].dataType.simpleString()
+        ),
+        empty=False,
+    )
     folded.unpersist()  # pitfall 19: release the checkpoint blocks
     return int(n_epochs)
 

@@ -777,7 +777,16 @@ def run_winnowing_index_match_stream(
     and matched (operators.text.match_winnowing_index) inside
     foreachBatch; matches land in an epoch-partitioned parquet sink
     under dynamic partition overwrite (idempotent under checkpoint
-    replay). Drains with Trigger.AvailableNow and returns the
+    replay). The stored index's max epoch is SNAPSHOT at stream start
+    and passed as ``before_epoch`` for every micro-batch, so a
+    replayed batch — and every live batch — matches against exactly
+    the index state the stream started from even if a concurrent
+    append lands new epochs mid-stream (note the stream's own
+    micro-batch epoch_id numbering is unrelated to the index's epoch
+    numbering — forwarding it would be wrong). While no newer epoch
+    exists the snapshot filter is vacuous, so the serving call still
+    takes the df-side-table fast path (no full-index window).
+    Drains with Trigger.AvailableNow and returns the
     accumulated (new_id, base_id, n_shared) matches as a batch DF —
     empty-schema-safe when no micro-batch matched anything. Stream ==
     batch matcher is asserted in tests (the matcher is stateless per
@@ -785,10 +794,14 @@ def run_winnowing_index_match_stream(
     from ..operators import text as TX
 
     spark = docs_stream.sparkSession
+    # index-state snapshot: everything strictly before this is visible
+    _index_epochs = TX._winnowing_epochs(spark, index_path)
+    _snap = (max(_index_epochs) + 1) if _index_epochs else 0
 
     def _match_batch(batch_df: DataFrame, epoch_id: int) -> None:
         matches = TX.match_winnowing_index(
-            batch_df, index_path, id_col, text_col, min_shared=min_shared
+            batch_df, index_path, id_col, text_col,
+            min_shared=min_shared, before_epoch=_snap,
         ).withColumn("_epoch", F.lit(int(epoch_id)))
         (
             matches.write.mode("overwrite")

@@ -2924,6 +2924,129 @@ def test_winnowing_index_read_df_cap_is_global_across_epochs(spark, tmp_path):
     assert got.count() == 0
 
 
+def test_winnowing_index_df_table_equals_read_time_window(spark, tmp_path):
+    """The maintained per-fp df side table (the serving fast path)
+    must give the SAME matches as the read-time window fallback after
+    EVERY maintenance op — append, epoch replay, delete, compact."""
+    import os
+
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(i, f"{boiler} unique{i} x{i} y{i}") for i in range(lo, hi)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, f"{boiler} unique2 x2 y2")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "dfidx")
+
+    def both():
+        fast = {
+            (r["new_id"], r["base_id"], r["n_shared"])
+            for r in TX.match_winnowing_index(
+                batch, path, "doc_id", "text", min_shared=1
+            ).collect()
+        }
+        slow = {
+            (r["new_id"], r["base_id"], r["n_shared"])
+            for r in TX.match_winnowing_index(
+                batch, path, "doc_id", "text", min_shared=1,
+                use_df_table=False,
+            ).collect()
+        }
+        assert fast == slow
+        return fast
+
+    # max_df = 5: the boilerplate run crosses the cap only as epochs
+    # accumulate, so the banned set actually changes per op
+    TX.write_winnowing_index(mk(0, 4), path, "doc_id", "text", max_df=5, epoch=0)
+    assert os.path.exists(f"{path}/df")
+    assert both()  # df = 4: boilerplate still under the cap, matches
+    TX.write_winnowing_index(mk(4, 8), path, "doc_id", "text", max_df=5, epoch=1)
+    m = both()  # df = 8: banned; only the unique2 overlap remains
+    assert {b for _, b, _ in m} == {2}
+    # epoch REPLAY (checkpoint recovery): df delta must net to zero
+    TX.write_winnowing_index(mk(4, 8), path, "doc_id", "text", max_df=5, epoch=1)
+    assert both() == m
+    # delete 5 docs: boilerplate df drops to 3 — back under the cap
+    TX.delete_winnowing_index_ids(spark, path, [3, 4, 5, 6, 7])
+    m2 = both()
+    assert {b for _, b, _ in m2} == {0, 1, 2}
+    assert TX.compact_winnowing_index(spark, path) >= 1
+    assert both() == m2
+    TX.write_winnowing_index(mk(8, 12), path, "doc_id", "text", max_df=5, epoch=2)
+    assert both()  # df = 7 again: banned once more
+
+
+def test_winnowing_index_delete_to_empty_then_reuse(spark, tmp_path):
+    """A takedown that empties EVERY epoch leaves a VALIDLY EMPTY
+    index: match returns a typed empty frame, compact/delete are
+    0-work no-ops, the drift guard still applies, and a later append
+    revives the index."""
+    import pytest as _pytest
+
+    docs = _win_docs(spark)
+    batch = docs.filter(F.col("doc_id") == 1)
+    path = str(tmp_path / "empt")
+    TX.write_winnowing_index(
+        docs.filter(F.col("doc_id").isin([0, 2])), path, "doc_id", "text",
+        epoch=0,
+    )
+    assert TX.delete_winnowing_index_ids(spark, path, [0, 2]) > 0
+    got = TX.match_winnowing_index(batch, path, "doc_id", "text")
+    assert got.columns == ["new_id", "base_id", "n_shared"]
+    assert got.count() == 0
+    assert TX.compact_winnowing_index(spark, path) == 0
+    assert TX.delete_winnowing_index_ids(spark, path, [0]) == 0
+    with _pytest.raises(ValueError, match="parameter drift"):
+        TX.write_winnowing_index(docs, path, "doc_id", "text", w=5, epoch=1)
+    TX.write_winnowing_index(
+        docs.filter(F.col("doc_id") == 0), path, "doc_id", "text", epoch=1
+    )
+    assert TX.match_winnowing_index(batch, path, "doc_id", "text").count() > 0
+
+
+def test_winnowing_index_string_id_takedown(spark, tmp_path):
+    """Takedown ids pass through at the id column's own type — a
+    string-keyed index (URL/UUID ids) must delete cleanly."""
+    docs = _win_docs(spark).select(
+        F.concat(F.lit("d"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    batch = docs.filter(F.col("doc_id") == "d1")
+    path = str(tmp_path / "sidx")
+    TX.write_winnowing_index(
+        docs.filter(F.col("doc_id").isin(["d0", "d2"])), path,
+        "doc_id", "text", epoch=0,
+    )
+    before = {
+        r["base_id"]
+        for r in TX.match_winnowing_index(batch, path, "doc_id", "text").collect()
+    }
+    assert before == {"d0", "d2"}
+    assert TX.delete_winnowing_index_ids(spark, path, ["d0"]) > 0
+    after = {
+        r["base_id"]
+        for r in TX.match_winnowing_index(batch, path, "doc_id", "text").collect()
+    }
+    assert after == {"d2"}
+
+
+def test_winnowing_index_write_raises_on_torn_meta(spark, tmp_path):
+    """_meta missing OVER existing postings is the documented torn
+    state (interrupted compact/delete) — a later write must REFUSE to
+    mint fresh parameters over epochs of unknown (k, w)."""
+    import shutil
+
+    import pytest as _pytest
+
+    docs = _win_docs(spark)
+    path = str(tmp_path / "torn")
+    TX.write_winnowing_index(docs, path, "doc_id", "text", epoch=0)
+    shutil.rmtree(f"{path}/_meta")
+    with _pytest.raises(ValueError, match="TORN"):
+        TX.write_winnowing_index(docs, path, "doc_id", "text", epoch=1)
+
+
 def test_heavy_hitters_exact_matches_counter_even_when_skew_planted(spark):
     """The two-pass MG output must equal the naive exact answer on an
     adversarial layout: a few heavy tokens drowned in a long tail,

@@ -479,6 +479,30 @@ def test_sq8_stored_scan_reads_codes_only(spark):
     assert "TakeOrderedAndProject" in physical_plan(df)
 
 
+def test_winnowing_match_serving_plan_has_no_full_index_window(spark, tmp_path):
+    # the serving path reads the banned set off the maintained per-fp
+    # df side table: the STORED side must carry no window at all (the
+    # only windows left are the batch's own doc-keyed winnowing
+    # selection) and the bounded batch broadcasts into the stored scan
+    from lrmr_spark.operators import text as TX
+    from lrmr_spark.tables import load
+
+    docs = load(spark, SF, "documents").limit(50)
+    path = str(tmp_path / "widx")
+    TX.write_winnowing_index(docs, path, "doc_id", "text", epoch=0)
+    batch = load(spark, SF, "documents").limit(5)
+    fast = TX.match_winnowing_index(batch, path, "doc_id", "text")
+    plan = physical_plan(fast)
+    assert "windowspecdefinition(fp" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    # the read-time-window fallback (the equivalence reference) still
+    # carries the fp-keyed df window — proving the fast path dropped it
+    slow = TX.match_winnowing_index(
+        batch, path, "doc_id", "text", use_df_table=False
+    )
+    assert "windowspecdefinition(fp" in physical_plan(slow)
+
+
 def test_batch_topk_plan_broadcasts_queries_and_prelimits_window(spark):
     # the one-pass multi-query scorer: bounded query table broadcast
     # (never shuffled corpus-side), and WindowGroupLimit so each task
