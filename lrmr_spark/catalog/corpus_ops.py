@@ -2155,3 +2155,188 @@ def docs_quality_topfrac(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- document chunking for embedding pipelines (r8) ------------------
+
+_CHUNK_T, _CHUNK_OV = 32, 8  # window / overlap (stride 24)
+
+_CHUNK_CTE = f"""
+    WITH raw AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    st AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(range(0, greatest(len(toks), 1), {_CHUNK_T - _CHUNK_OV})) AS s
+      FROM raw),
+    fst AS (
+      SELECT doc_id, toks, n, s,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+                  AS BIGINT) AS chunk_idx
+      FROM st WHERE s = 0 OR s < n - {_CHUNK_OV}),
+    ch AS (
+      SELECT doc_id, chunk_idx,
+             array_to_string(toks[s+1:s+{_CHUNK_T}], ' ') AS chunk_text,
+             CAST(len(toks[s+1:s+{_CHUNK_T}]) AS BIGINT) AS n_tokens,
+             CASE WHEN s = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(coalesce(list_sum(
+                         list_transform(toks[1:s], t -> length(t))), 0) + s
+                       AS BIGINT)
+             END AS char_start
+      FROM fst)
+"""
+
+
+def _chunk_windows_oracle() -> str:
+    return (
+        _CHUNK_CTE
+        + """
+    SELECT doc_id, chunk_idx, chunk_text, n_tokens, char_start,
+           CAST(char_start + length(chunk_text) AS BIGINT) AS char_end
+    FROM ch WHERE n_tokens > 0
+    ORDER BY doc_id, chunk_idx
+    """
+    )
+
+
+@query("docs_chunk_windows", oracle=_chunk_windows_oracle)
+def docs_chunk_windows(spark, sf_dir):
+    """Fixed-token chunk windows with overlap + provenance — the
+    pre-embedding step every retrieval pipeline runs before the ANN
+    family's write side (which until now consumed pre-made
+    embeddings). Boundaries are deterministic integer arithmetic
+    (stride = chunk − overlap, contained-tail drop), char spans index
+    the whitespace-normalized text, so the row is hash-exact against
+    the unrolled SQL. Pure map-side sequence/slice/posexplode work —
+    zero shuffles, zero UDFs (operators.text.chunk_documents)."""
+    d = load(spark, sf_dir, "documents")
+    return TX.chunk_documents(
+        d, "doc_id", "text", chunk_tokens=_CHUNK_T, overlap=_CHUNK_OV
+    ).orderBy("doc_id", "chunk_idx")
+
+
+_CEMB_D = 8
+
+
+def _chunk_query_vec() -> list[int]:
+    import hashlib as _h
+
+    return [
+        int(_h.md5(f"embq:{d}".encode()).hexdigest()[:6], 16) % 1001 - 500
+        for d in range(_CEMB_D)
+    ]
+
+
+def _chunk_emb_ann_oracle() -> str:
+    dims = ", ".join(
+        f"CAST(CAST(('0x' || substr(md5('emb{d}:' || chunk_text), 1, 6)) "
+        f"AS BIGINT) % 1001 - 500 AS DOUBLE)"
+        for d in range(_CEMB_D)
+    )
+    qv = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in _chunk_query_vec()) + "]"
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {_CEMB_D + 1}), "
+            f"i -> CAST(({a})[i] AS DOUBLE) * CAST(({b})[i] AS DOUBLE))), "
+            f"(acc, v) -> acc + v)"
+        )
+
+    return (
+        _CHUNK_CTE
+        + f"""
+    , emb AS (
+      SELECT doc_id * 10000 + chunk_idx AS chunk_id, [{dims}] AS e
+      FROM ch WHERE n_tokens > 0),
+    q AS (SELECT {qv} AS qv)
+    SELECT emb.chunk_id,
+           round({dot("emb.e", "q.qv")}
+                 / (sqrt({dot("emb.e", "emb.e")}) * sqrt({dot("q.qv", "q.qv")})),
+                 6) AS score
+    FROM emb, q
+    ORDER BY score DESC, chunk_id ASC
+    LIMIT 10
+    """
+    )
+
+
+@query("docs_chunk_embed_ann_topk", oracle=_chunk_emb_ann_oracle)
+def docs_chunk_embed_ann_topk(spark, sf_dir):
+    """The COMPOSED chunk → embed-stub → ANN handoff: chunk the
+    corpus, derive a deterministic integer-valued stub embedding per
+    chunk (md5-per-dimension — the multimodal fake-decode discipline:
+    the real model is environment-gated, the Spark-side plumbing is
+    real and hash-exact), and feed the (chunk_id, embedding) frame
+    into the ANN family's exact-cosine baseline for a fixed stub
+    query. Proves the chunker's output schema drives the similarity
+    operators end-to-end; the stored-index handoff (same frame
+    through the SQ8 index write/read lifecycle) is pinned by pytest.
+    Plan shape: chunking is map-side, scoring is a broadcast-literal
+    projection, top-k is TakeOrderedAndProject — no shuffle."""
+    from ..operators import similarity as SIM
+
+    d = load(spark, sf_dir, "documents")
+    chunks = TX.chunk_documents(
+        d, "doc_id", "text", chunk_tokens=_CHUNK_T, overlap=_CHUNK_OV
+    )
+    emb = chunks.select(
+        (F.col("doc_id") * 10000 + F.col("chunk_idx"))
+        .cast("bigint")
+        .alias("chunk_id"),
+        F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"emb{d}:"), F.col("chunk_text"))),
+                            1,
+                            6,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % 1001
+                    - 500
+                ).cast("double")
+                for d in range(_CEMB_D)
+            ]
+        ).alias("embedding"),
+    )
+    return SIM.cosine_topk(
+        emb, [float(x) for x in _chunk_query_vec()], k=10, id_col="chunk_id"
+    )
+
+
+# --- stored quality model: the registry serving path (r8) ------------
+
+
+def _quality_model_score_oracle() -> str:
+    return (
+        _quality_classifier_cte()
+        + """
+    SELECT sc.doc_id, CAST(sc.s AS BIGINT) AS score, sc.s > 0 AS keep
+    FROM sc ORDER BY doc_id
+    """
+    )
+
+
+@query("docs_quality_model_score", oracle=_quality_model_score_oracle)
+def docs_quality_model_score(spark, sf_dir):
+    """Serving from the STORED model registry: train + persist the
+    hashed-n-gram quality model (weights + feature geometry under a
+    _meta-disciplined dir — operators.text.write_quality_model), then
+    score the corpus FROM THE STORED artifact. The oracle replays
+    training + scoring from scratch in SQL, so the row is red if the
+    store/load round-trip perturbs a single weight or the drift/torn
+    guards mis-load. This is the model-registry shape a production
+    curation pipeline serves from: train once per release, every
+    scoring job (batch, streaming twin, top-fraction curation) loads
+    the same frozen artifact."""
+    import os as _os
+    import tempfile as _tempfile
+
+    d = load(spark, sf_dir, "documents")
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    path = _os.path.join(_tempfile.gettempdir(), f"lrmr_qmodel_{tag}")
+    TX.write_quality_model(d, path, "text", _QC_TEACHER, iterations=3)
+    return TX.score_with_quality_model(d, path, "doc_id", "text").orderBy(
+        "doc_id"
+    )

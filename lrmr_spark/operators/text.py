@@ -57,6 +57,92 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+def chunk_documents(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Fixed-token chunk WINDOWS with overlap + provenance — the
+    standard pre-embedding step of a retrieval/embedding pipeline
+    (documents are longer than an embedding model's context, so they
+    are split into ``chunk_tokens``-token windows that overlap by
+    ``overlap`` tokens and each window is embedded separately, keyed
+    back to its source span). Output: one row per chunk —
+    (id, chunk_idx, chunk_text, n_tokens, char_start, char_end).
+    Char spans index into the WHITESPACE-NORMALIZED text (tokens
+    joined by single spaces — the same text the chunk_text column is
+    built from), so ``normalized[char_start:char_end] == chunk_text``
+    exactly.
+
+    Boundary rule (pure integer arithmetic, engine-portable): window
+    starts are 0, s, 2s, … with stride s = chunk_tokens − overlap; a
+    trailing start whose window would be FULLY CONTAINED in the
+    previous window (start ≥ n_tokens − overlap, possible only for
+    the last start) is dropped, so every emitted chunk contributes at
+    least one new token. A document shorter than chunk_tokens yields
+    exactly one chunk; an empty document yields none.
+
+    100 TB shape: pure map-side column work — tokenize once per doc,
+    ``sequence`` + array ``filter`` for the starts, one posexplode
+    (the only row expansion), ``slice``/``array_join`` per chunk —
+    zero shuffles, zero UDFs, nothing wide. char_start is a prefix
+    sum over a token-LENGTH array slice (integer adds; O(tokens ×
+    chunks/doc) per doc — bounded by document length, never by corpus
+    size), not a prefix string join."""
+    if not 0 <= int(overlap) < int(chunk_tokens):
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got overlap={overlap}, "
+            f"chunk_tokens={chunk_tokens}"
+        )
+    stride = int(chunk_tokens) - int(overlap)
+    base = df.select(F.col(id_col), tokens(text_col).alias("_toks")).select(
+        id_col,
+        "_toks",
+        F.size("_toks").alias("_n"),
+        F.transform("_toks", lambda t: F.length(t).cast("bigint")).alias(
+            "_lens"
+        ),
+    )
+    starts = F.filter(
+        F.sequence(
+            F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride)
+        ),
+        lambda s: (s == F.lit(0)) | (s < F.col("_n") - F.lit(int(overlap))),
+    )
+    ex = base.select(
+        id_col,
+        "_toks",
+        "_lens",
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    )
+    chunk = F.slice("_toks", F.col("_start") + 1, F.lit(int(chunk_tokens)))
+    staged = ex.select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        # first `_start` token lengths + `_start` joining spaces; the
+        # aggregate (an interpreted HOF) is evaluated ONCE here and
+        # char_end derives from the materialized column (pitfall 16)
+        F.when(F.col("_start") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.aggregate(
+                F.slice("_lens", 1, F.col("_start")),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            + F.col("_start")
+        )
+        .alias("char_start"),
+    )
+    return staged.filter(F.col("n_tokens") > 0).withColumn(
+        "char_end",
+        (F.col("char_start") + F.length("chunk_text")).cast("bigint"),
+    )
+
+
 def distinct_tokens(col: Column | str) -> Column:
     return F.array_sort(F.array_distinct(tokens(col)))
 
@@ -457,8 +543,18 @@ def write_winnowing_index(
         .select(F.col("_id").alias("id"), "fp")
         .localCheckpoint(eager=True)  # referenced by the epoch write AND the df delta
     )
+    fs, jvm = _winnowing_fs(spark, path)
+    # appending to a PRE-df-era index (epochs exist, no side table —
+    # e.g. one written before the table shipped): the incremental
+    # delta has no base to merge into, so BOOTSTRAP df from the full
+    # postings after the write (one-time migration scan) instead
+    bootstrap = bool(epochs) and not fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{path}/df")
+    )
     old_e = hit = None
-    if epochs:
+    if bootstrap:
+        inc = dec = None
+    elif epochs:
         allp = spark.read.parquet(f"{path}/postings")
         probe = post.select("fp").distinct()
         if int(epoch) in epochs:
@@ -485,15 +581,17 @@ def write_winnowing_index(
         )
     else:
         inc, dec_src = post, None
-    inc = inc.groupBy("fp").agg(F.count(F.lit(1)).cast("bigint").alias("_delta"))
-    dec = (
-        dec_src.groupBy("fp").agg(
-            (-F.count(F.lit(1))).cast("bigint").alias("_delta")
+    if not bootstrap:
+        inc = inc.groupBy("fp").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_delta")
         )
-        if dec_src is not None
-        else None
-    )
-    fs, jvm = _winnowing_fs(spark, path)
+        dec = (
+            dec_src.groupBy("fp").agg(
+                (-F.count(F.lit(1))).cast("bigint").alias("_delta")
+            )
+            if dec_src is not None
+            else None
+        )
     fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_meta"), True)
     (
         post.withColumn("_epoch", F.lit(int(epoch)))
@@ -502,7 +600,19 @@ def write_winnowing_index(
         .partitionBy("_epoch")
         .parquet(f"{path}/postings")
     )
-    _apply_winnowing_df_delta(spark, path, inc, dec)
+    if bootstrap:
+        full = (
+            spark.read.parquet(f"{path}/postings")
+            .select("id", "fp")
+            .distinct()
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+            .localCheckpoint(eager=True)
+        )
+        full.write.mode("overwrite").parquet(f"{path}/df")
+        full.unpersist()
+    else:
+        _apply_winnowing_df_delta(spark, path, inc, dec)
     _write_winnowing_meta(
         spark,
         path,
@@ -701,7 +811,10 @@ def delete_winnowing_index_ids(spark, path: str, ids: list) -> int:
                     f"{path}/postings/_epoch={ep}"
                 )
                 fs.delete(jp, True)
-        _apply_winnowing_df_delta(spark, path, None, dec)
+        # a pre-df-era index has no side table to decrement — the
+        # matcher's window fallback stays correct without one
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/df")):
+            _apply_winnowing_df_delta(spark, path, None, dec)
     _write_winnowing_meta(
         spark,
         path,
@@ -944,6 +1057,109 @@ def hashed_ngram_score(col: Column | str, weights: list[int]) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
+
+
+# feature-geometry constants the stored quality model pins: a model
+# trained under a different gram mix or bucket-hash convention would
+# score garbage silently, so _meta records these and load refuses drift
+_QM_FEATURE = "uni+bigram"
+_QM_HASH = "md5-q-6"
+
+
+def write_quality_model(
+    df,
+    path: str,
+    text_col: str,
+    teacher: list[int],
+    iterations: int = 3,
+) -> list[int]:
+    """Train the hashed-n-gram quality classifier and PERSIST it as a
+    model-registry artifact — the stored-model lifecycle every index
+    in this engine already has, applied to the curation classifier: a
+    production pipeline trains once per release and serves the frozen
+    weights from storage (batch scoring, the streaming twin, budgeted
+    curation), exactly like the reference ships a compiled stage to
+    every worker (/root/reference/pipeline.go:51-53 Broadcast — the
+    model IS dim scalars).
+
+    Layout: ``path/weights`` (bucket, weight) parquet +
+    ``path/_meta`` recording the FEATURE GEOMETRY — n_buckets, the
+    gram mix, the bucket-hash convention, a teacher fingerprint and
+    the round count — so a scorer can refuse a model trained under
+    different geometry (the codebook-fingerprint discipline). Torn-
+    write: _meta is deleted before the weights write and restored
+    after. Training is exact integer arithmetic, so RETRAIN ≡ REBUILD
+    bit-for-bit (asserted in tests). Returns the weights."""
+    import hashlib as _hashlib
+
+    spark = df.sparkSession
+    w = train_hashed_ngram_weights(df, text_col, teacher, iterations)
+    fs, jvm = _winnowing_fs(spark, path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_meta"), True)
+    spark.createDataFrame(
+        [(j, int(wi)) for j, wi in enumerate(w)], "bucket int, weight bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/weights")
+    teacher_fp = _hashlib.md5(
+        ",".join(str(int(t)) for t in teacher).encode()
+    ).hexdigest()[:16]
+    spark.range(1).select(
+        F.lit(len(teacher)).cast("int").alias("n_buckets"),
+        F.lit(int(iterations)).cast("int").alias("iterations"),
+        F.lit(_QM_FEATURE).alias("feature"),
+        F.lit(_QM_HASH).alias("hash"),
+        F.lit(teacher_fp).alias("teacher_fp"),
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    return w
+
+
+def load_quality_model(spark, path: str) -> tuple[list[int], dict]:
+    """Load a stored quality model: (weights, meta). RAISES on a
+    missing _meta (absent or torn model), on feature-geometry drift
+    (a model trained under a different gram mix / bucket-hash
+    convention than this library scores with), and on a weights table
+    that does not cover exactly buckets 0..n_buckets−1 (torn)."""
+    try:
+        meta = spark.read.json(f"{path}/_meta").collect()[0].asDict()
+    except AnalysisException:
+        raise ValueError(
+            f"no quality model _meta at {path} (absent or torn)"
+        ) from None
+    if meta["feature"] != _QM_FEATURE or meta["hash"] != _QM_HASH:
+        raise ValueError(
+            f"quality-model feature-geometry drift: stored "
+            f"(feature={meta['feature']}, hash={meta['hash']}), this "
+            f"library scores with (feature={_QM_FEATURE}, hash={_QM_HASH}) "
+            f"— scoring would be silent garbage"
+        )
+    n = int(meta["n_buckets"])
+    rows = spark.read.parquet(f"{path}/weights").collect()
+    by_bucket = {int(r["bucket"]): int(r["weight"]) for r in rows}
+    if len(rows) != n or sorted(by_bucket) != list(range(n)):
+        raise ValueError(
+            f"quality-model weights at {path} are torn: expected buckets "
+            f"0..{n - 1}, got {len(rows)} rows"
+        )
+    return [by_bucket[j] for j in range(n)], meta
+
+
+def score_with_quality_model(
+    df, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Score documents FROM THE STORED model — the registry serving
+    path (load_quality_model's drift/torn guards apply). A stateless
+    integer projection: (id, score, keep)."""
+    w, _ = load_quality_model(df.sparkSession, path)
+    return df.select(
+        F.col(id_col), hashed_ngram_score(text_col, w).alias("score")
+    ).withColumn("keep", F.col("score") > 0)
+
+
+def delete_quality_model(spark, path: str) -> bool:
+    """Remove a stored quality model wholesale. Returns whether it
+    existed. Delete + retrain ≡ rebuild (training is deterministic
+    exact-integer arithmetic; asserted in tests)."""
+    fs, jvm = _winnowing_fs(spark, path)
+    return bool(fs.delete(jvm.org.apache.hadoop.fs.Path(path), True))
 
 
 def dup_token_spans(

@@ -2978,6 +2978,44 @@ def test_winnowing_index_df_table_equals_read_time_window(spark, tmp_path):
     assert both()  # df = 7 again: banned once more
 
 
+def test_winnowing_index_bootstraps_df_for_pre_df_index(spark, tmp_path):
+    """Appending to an index written BEFORE the df side table existed
+    must bootstrap the table from the full postings — merging a delta
+    into no base would silently under-count df, under-ban boilerplate,
+    and emit extra match pairs (the sf0.1 regression this pins)."""
+    import os
+    import shutil
+
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [(i, f"{boiler} unique{i} x{i} y{i}") for i in range(lo, hi)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, f"{boiler} unique2 x2 y2")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "preidx")
+    TX.write_winnowing_index(mk(0, 4), path, "doc_id", "text", max_df=5, epoch=0)
+    shutil.rmtree(f"{path}/df")  # simulate a pre-df-era index
+    TX.write_winnowing_index(mk(4, 8), path, "doc_id", "text", max_df=5, epoch=1)
+    assert os.path.exists(f"{path}/df")
+    fast = {
+        (r["new_id"], r["base_id"], r["n_shared"])
+        for r in TX.match_winnowing_index(
+            batch, path, "doc_id", "text", min_shared=1
+        ).collect()
+    }
+    slow = {
+        (r["new_id"], r["base_id"], r["n_shared"])
+        for r in TX.match_winnowing_index(
+            batch, path, "doc_id", "text", min_shared=1, use_df_table=False
+        ).collect()
+    }
+    # boilerplate df = 8 > 5: banned on BOTH paths — only the unique2
+    # overlap survives
+    assert fast == slow and {b for _, b, _ in fast} == {2}
+
+
 def test_winnowing_index_delete_to_empty_then_reuse(spark, tmp_path):
     """A takedown that empties EVERY epoch leaves a VALIDLY EMPTY
     index: match returns a typed empty frame, compact/delete are
@@ -3120,3 +3158,142 @@ def test_kcore_numbers_matches_python_reference(spark, seed):
     }
     assert got == _py_kcore_numbers(edges, 4, 2)
     assert max(got.values()) >= 2  # a 70-edge/24-node graph has a 2-core
+
+
+# ----------------------------------------------- chunking + model store
+def test_chunk_documents_spans_and_boundaries(spark):
+    """Chunk boundaries: stride walk, contained-tail drop, empty-doc
+    drop, single-chunk short doc — and char spans must index the
+    whitespace-normalized text EXACTLY."""
+    rows_in = [
+        (1, "  a bb  ccc dddd e ff\tggg hh "),  # 8 tokens, messy ws
+        (2, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  # 10 tokens
+        (3, ""),  # empty: no chunks
+        (4, "only"),  # short: one chunk
+    ]
+    out = TX.chunk_documents(
+        spark.createDataFrame(rows_in, "doc_id long, text string"),
+        "doc_id", "text", chunk_tokens=4, overlap=2,
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by
+    assert [(r["chunk_idx"], r["chunk_text"]) for r in by[4]] == [(0, "only")]
+    # doc 2: starts 0,2,4,6 — start 8 is >= n - overlap, fully
+    # contained in the previous window, dropped
+    d2 = sorted(by[2], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in d2] == [0, 1, 2, 3]
+    assert d2[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert d2[-1]["chunk_text"] == "t6 t7 t8 t9"
+    norm = {i: " ".join(t.split()) for i, t in rows_in}
+    for did, rows in by.items():
+        for r in rows:
+            assert (
+                norm[did][r["char_start"]:r["char_end"]] == r["chunk_text"]
+            ), (did, r)
+    with pytest.raises(ValueError, match="overlap"):
+        TX.chunk_documents(
+            spark.createDataFrame(rows_in, "doc_id long, text string"),
+            "doc_id", "text", chunk_tokens=4, overlap=4,
+        )
+
+
+def test_chunk_embed_sq8_index_handoff(spark, docs, tmp_path):
+    """The chunker's output frame must drive the stored-ANN write side
+    end-to-end: chunk → stub-embed → SQ8 codes write → stored top-k."""
+    chunks = TX.chunk_documents(docs, "doc_id", "text", 32, 8)
+    dims = [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"emb{d}:"), F.col("chunk_text"))), 1, 6
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 1001
+            - 500
+        ).cast("double")
+        for d in range(8)
+    ]
+    emb8 = chunks.select(
+        (F.col("doc_id") * 10000 + F.col("chunk_idx"))
+        .cast("bigint")
+        .alias("chunk_id"),
+        F.array(*dims).alias("embedding"),
+    )
+    mins, scales = [-500.0] * 8, [1000.0 / 255] * 8
+    path = str(tmp_path / "sq8")
+    SIM.write_sq8_codes(emb8, path, mins, scales, id_col="chunk_id")
+    qv = [float((d * 131 + 7) % 1001 - 500) for d in range(8)]
+    qcodes = [
+        int(c)
+        for c in spark.createDataFrame([(qv,)], "v array<double>")
+        .select(SIM.sq8_codes_col(F.col("v"), mins, scales).alias("c"))
+        .collect()[0]["c"]
+    ]
+    top = SIM.sq8_sdc_topk_stored(spark, path, qcodes, mins, scales, k=10).collect()
+    assert len(top) == 10
+    dists = [r["sdc_dist"] for r in top]
+    assert dists == sorted(dists)
+    all_ids = {r["chunk_id"] for r in emb8.select("chunk_id").collect()}
+    assert {r["chunk_id"] for r in top} <= all_ids
+
+
+_QM_TEACHER16 = [((j * 37 + 11) % 21) - 10 for j in range(16)]
+
+
+def test_quality_model_store_load_score_lifecycle(spark, docs, tmp_path):
+    """write → load → score from the stored artifact must equal direct
+    scoring; retrain ≡ rebuild bit-for-bit; delete is idempotent."""
+    path = str(tmp_path / "qm")
+    d = docs.limit(60)
+    w1 = TX.write_quality_model(d, path, "text", _QM_TEACHER16, iterations=2)
+    w2, meta = TX.load_quality_model(spark, path)
+    assert w2 == w1 and int(meta["n_buckets"]) == 16
+    stored = {
+        r["doc_id"]: (r["score"], r["keep"])
+        for r in TX.score_with_quality_model(d, path).collect()
+    }
+    direct = {
+        r["doc_id"]: (r["score"], r["score"] > 0)
+        for r in d.select(
+            "doc_id", TX.hashed_ngram_score("text", w1).alias("score")
+        ).collect()
+    }
+    assert stored == direct and stored
+    # retrain ≡ rebuild (exact-integer training is deterministic)
+    assert TX.write_quality_model(d, path, "text", _QM_TEACHER16, 2) == w1
+    assert TX.delete_quality_model(spark, path)
+    with pytest.raises(ValueError, match="_meta"):
+        TX.load_quality_model(spark, path)
+    assert not TX.delete_quality_model(spark, path)
+
+
+def test_quality_model_drift_and_torn_raise(spark, docs, tmp_path):
+    """A model trained under a different feature geometry must refuse
+    to score; a weights table not covering 0..n-1 is torn."""
+    path = str(tmp_path / "qmd")
+    d = docs.limit(40)
+    TX.write_quality_model(d, path, "text", _QM_TEACHER16, iterations=1)
+    # tamper: claim a different bucket-hash convention in _meta
+    spark.range(1).select(
+        F.lit(16).cast("int").alias("n_buckets"),
+        F.lit(1).cast("int").alias("iterations"),
+        F.lit("uni+bigram").alias("feature"),
+        F.lit("xxhash-q-8").alias("hash"),
+        F.lit("deadbeef").alias("teacher_fp"),
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    with pytest.raises(ValueError, match="drift"):
+        TX.load_quality_model(spark, path)
+    # restore meta, then tear the weights table (drop bucket 0)
+    TX.write_quality_model(d, path, "text", _QM_TEACHER16, iterations=1)
+    kept = (
+        spark.read.parquet(f"{path}/weights")
+        .filter(F.col("bucket") != 0)
+        .localCheckpoint(eager=True)
+    )
+    kept.write.mode("overwrite").parquet(f"{path}/weights")
+    with pytest.raises(ValueError, match="torn"):
+        TX.load_quality_model(spark, path)
