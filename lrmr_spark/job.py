@@ -29,8 +29,10 @@ from pyspark.sql import DataFrame, Observation
 __all__ = [
     "Result",
     "JobHandle",
+    "StreamingJobHandle",
     "DetachedJobView",
     "start_background",
+    "start_background_stream",
     "get_job",
     "list_jobs",
 ]
@@ -171,6 +173,128 @@ def start_background(
     handle = JobHandle(job_id, df, observations)
     with _registry_lock:
         _registry[job_id] = handle
+    handle._thread.start()
+    return handle
+
+
+class StreamingJobHandle:
+    """Detached CONTINUOUS job over a Structured Streaming query — the
+    RunInBackground mapping for streams (the reference's detached jobs
+    are long-running by design: /root/reference/running_job.go:33-77
+    tracks a job until the cluster reports completion or abort, and
+    clients attach by id — a streaming query IS that continuous job on
+    Spark). Same surface as JobHandle: ``status`` / ``wait`` /
+    ``abort`` / ``metrics`` / cross-process attach via the same
+    checkpoint files (DetachedJobView works unchanged).
+
+    Status mapping: RUNNING while the query is active; SUCCEEDED when
+    it terminates cleanly (an ``availableNow``/``once`` trigger
+    draining, or an external ``query.stop()``); FAILED when it
+    terminates with a StreamingQueryException; ABORTED via
+    ``abort()`` (the job-group-cancel analogue — for a stream the
+    cooperative cancel IS ``stop()``, which lets the in-flight
+    micro-batch commit so the sink stays exactly-once and a restart
+    from the same checkpointLocation resumes cleanly — asserted in
+    tests). Metrics publish the last committed micro-batch id and
+    cumulative input rows from the query's progress feed."""
+
+    def __init__(self, job_id: str, query):
+        self.job_id = job_id
+        self._query = query
+        self._status = RUNNING
+        self._error: BaseException | None = None
+        self._metrics: dict[str, Any] = {}
+        self._seen_batches: set[int] = set()
+        self._done = threading.Event()
+        self._started_at = time.time()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._checkpoint()
+
+    def _refresh_metrics(self) -> None:
+        try:
+            for p in self._query.recentProgress:
+                bid = int(p["batchId"])
+                if bid not in self._seen_batches:
+                    self._seen_batches.add(bid)
+                    self._metrics["input_rows_total"] = self._metrics.get(
+                        "input_rows_total", 0
+                    ) + int(p.get("numInputRows", 0))
+            if self._seen_batches:
+                self._metrics["last_batch_id"] = max(self._seen_batches)
+                self._metrics["n_batches"] = len(self._seen_batches)
+        except Exception:
+            pass  # progress feed is best-effort telemetry
+
+    def _checkpoint(self) -> None:
+        try:
+            _write_checkpoint(
+                self.job_id,
+                {
+                    "job_id": self.job_id,
+                    "status": self._status,
+                    "started_at": self._started_at,
+                    "finished_at": time.time() if self._done.is_set() else None,
+                    "metrics": dict(self._metrics),
+                    "error": repr(self._error) if self._error else None,
+                    "n_rows": None,
+                    "streaming": True,
+                },
+            )
+        except OSError:
+            pass
+
+    def _run(self) -> None:
+        try:
+            while not self._query.awaitTermination(0.5):
+                self._refresh_metrics()
+                self._checkpoint()
+            self._refresh_metrics()
+            if self._status == RUNNING:
+                self._status = SUCCEEDED
+        except BaseException as exc:  # StreamingQueryException → FAILED
+            if self._status != ABORTED:
+                self._status = FAILED
+                self._error = exc
+        finally:
+            self._done.set()
+            self._checkpoint()
+
+    @property
+    def status(self) -> str:
+        return self._status
+
+    @property
+    def error(self) -> BaseException | None:
+        return self._error
+
+    def metrics(self) -> dict[str, Any]:
+        return dict(self._metrics)
+
+    def wait(self, timeout: float | None = None) -> "StreamingJobHandle":
+        """Block until the query terminates (drains, is stopped, or
+        fails) — awaitTermination with the handle's status book."""
+        self._done.wait(timeout)
+        return self
+
+    def abort(self) -> None:
+        if not self._done.is_set():
+            self._status = ABORTED
+            self._query.stop()
+            self._checkpoint()
+
+    # a stream's graceful stop IS its cooperative cancel
+    stop = abort
+
+
+def start_background_stream(job_id: str, writer) -> StreamingJobHandle:
+    """Start a configured ``DataStreamWriter`` as a DETACHED job: the
+    streaming face of ``start_background`` (SURVEY §7.4.4 —
+    RunInBackground-as-continuous-job). The writer must carry its own
+    checkpointLocation; restarting the same writer+checkpoint after an
+    abort resumes exactly-once from committed offsets."""
+    handle = StreamingJobHandle(job_id, writer.start())
+    with _registry_lock:
+        _registry[job_id] = handle  # duck-typed alongside JobHandle
     handle._thread.start()
     return handle
 

@@ -759,3 +759,105 @@ def test_sliding_counts_match_batch(spark, sf_dir, events_stream):
     # and every emitted (overlapping) window must agree exactly
     assert got_set <= batch_set
     assert len(got_set) > 0
+
+
+# ------------------------- RunInBackground over a streaming query (r8)
+def test_streaming_job_handle_lifecycle(spark, tmp_path):
+    """SURVEY §7.4.4: a Structured Streaming query attached to a
+    JobHandle — status/metrics/wait by job id, cross-process view via
+    the same checkpoint file (the reference's detached continuous job,
+    /root/reference/running_job.go:33-77)."""
+    from lrmr_spark import job as J
+
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    spark.range(0, 100).selectExpr("id", "id * 2 AS v").write.parquet(src)
+    writer = (
+        spark.readStream.schema("id bigint, v bigint")
+        .parquet(src)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    h = J.start_background_stream("sbg-life", writer)
+    assert J.get_job("sbg-life") is h
+    h.wait(120)
+    assert h.status == "succeeded" and h.error is None
+    m = h.metrics()
+    assert m["input_rows_total"] == 100 and m["n_batches"] >= 1
+    # cross-process attach: the checkpoint-file view sees final state
+    view = J.DetachedJobView("sbg-life")
+    assert view.status == "succeeded"
+    assert view.metrics()["input_rows_total"] == 100
+    assert spark.read.parquet(sink).count() == 100
+
+
+def test_streaming_job_abort_then_checkpoint_resume(spark, tmp_path):
+    """abort() on a live stream is the cooperative cancel (stop lets
+    the in-flight micro-batch commit); a restart from the SAME
+    checkpointLocation resumes exactly-once — no lost, no duplicated
+    rows across the abort."""
+    import time as _t
+
+    from lrmr_spark import job as J
+
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    # 50 single-row files, one per micro-batch, so the stream is
+    # long-lived enough to abort mid-run
+    spark.range(0, 50).repartition(50).write.parquet(src)
+
+    def writer():
+        return (
+            spark.readStream.schema("id bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+        )
+
+    h = J.start_background_stream("sbg-abort", writer().trigger(availableNow=True))
+    deadline = _t.time() + 120
+    while _t.time() < deadline and h.metrics().get("n_batches", 0) < 2:
+        if h.status != "running":
+            break  # drained faster than we could abort — still valid
+        _t.sleep(0.05)
+    h.abort()
+    h.wait(60)
+    assert h.status in ("aborted", "succeeded")
+    # resume from the same checkpoint: committed batches are never
+    # re-emitted, the remainder lands exactly once
+    h2 = J.start_background_stream("sbg-resume", writer().trigger(availableNow=True))
+    h2.wait(180)
+    assert h2.status == "succeeded"
+    out = spark.read.parquet(sink)
+    assert out.count() == 50
+    assert out.select("id").distinct().count() == 50
+
+
+def test_streaming_job_failure_surfaces(spark, tmp_path):
+    from lrmr_spark import job as J
+
+    src = str(tmp_path / "in")
+    spark.range(0, 5).write.parquet(src)
+
+    def _boom(batch_df, epoch_id):
+        raise RuntimeError("planted streaming failure")
+
+    writer = (
+        spark.readStream.schema("id bigint")
+        .parquet(src)
+        .writeStream.foreachBatch(_boom)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+    )
+    h = J.start_background_stream("sbg-fail", writer)
+    h.wait(120)
+    assert h.status == "failed"
+    assert h.error is not None
