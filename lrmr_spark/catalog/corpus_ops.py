@@ -2340,3 +2340,34 @@ def docs_quality_model_score(spark, sf_dir):
     return TX.score_with_quality_model(d, path, "doc_id", "text").orderBy(
         "doc_id"
     )
+
+
+@query("docs_quality_topfrac_bucketed", oracle=_quality_topfrac_oracle)
+def docs_quality_topfrac_bucketed(spark, sf_dir):
+    """The PRE-BUCKETED top-fraction curation variant — SHARES
+    docs_quality_topfrac's oracle verbatim (the threshold rule is a
+    pure function of the score multiset, so both forms must answer
+    identically): the exact k-th-largest score is located via a
+    coarse score-bucket histogram → threshold bucket + rank remainder
+    → refinement inside that one bucket
+    (operators.text.exact_topk_threshold_bucketed), so threshold
+    selection never funnels the distinct-score histogram through one
+    partition — the scale path when scores are high-cardinality
+    (the single-window form is the adversarial-input victim: an
+    all-distinct-score corpus pushes one row per document through a
+    single task). Equivalence on exactly that adversarial input is
+    pytested."""
+    d = load(spark, sf_dir, "documents")
+    w = TX.train_hashed_ngram_weights(d, "text", _QC_TEACHER, iterations=3)
+    scored = d.select(
+        "doc_id", TX.hashed_ngram_score("text", w).alias("score")
+    ).localCheckpoint(eager=True)
+    k = max(1, (2 * scored.count()) // 5)
+    th = TX.exact_topk_threshold_bucketed(scored, "score", k, bucket_width=1024)
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .select(
+            "doc_id", "score", (F.col("score") >= F.col("_t")).alias("keep")
+        )
+        .orderBy("doc_id")
+    )

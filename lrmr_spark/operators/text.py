@@ -1162,6 +1162,68 @@ def delete_quality_model(spark, path: str) -> bool:
     return bool(fs.delete(jvm.org.apache.hadoop.fs.Path(path), True))
 
 
+def exact_topk_threshold_bucketed(
+    scored, score_col: str, k: int, bucket_width: int = 1024
+) -> DataFrame:
+    """EXACT k-th-largest VALUE over a BIGINT score column without
+    funneling the distinct-score histogram through one partition —
+    the production form of the top-fraction threshold (the
+    single-window variant is exact too, but its unpartitioned cumsum
+    window sees one row per DISTINCT score: an adversarial
+    all-distinct corpus pushes the whole table through one task).
+    Three bounded stages: (1) a coarse histogram over score DIV
+    bucket_width — map-side combinable, bucket count = score range /
+    bucket_width, independent of corpus size; (2) a cumsum over
+    BUCKETS locates the threshold bucket and the rank remainder k′
+    inside it (truncating DIV is monotone in the score, so bucket
+    order is score order — the around-zero bucket is merely wider,
+    never wrong); (3) a per-score histogram over THAT ONE BUCKET
+    (≤ 2·bucket_width − 1 distinct scores) refines the exact value.
+    Ties at the threshold rank resolve identically to the
+    single-window form: the returned value IS the k-th largest, so a
+    ``score >= t`` keep-rule is a pure function of the score multiset.
+    Returns a 1-row DataFrame (_t bigint; NULL when k > corpus size).
+    Both windows run over bounded row sets, so nothing
+    corpus-proportional crosses one partition. Equivalence with the
+    single-window form is pytested on an all-distinct-score corpus."""
+    from pyspark.sql import Window as W
+
+    bw = int(bucket_width)
+    s = scored.select(F.col(score_col).cast("bigint").alias("_s"))
+    buckets = s.groupBy(F.expr(f"_s DIV {bw}").alias("_b")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    cum = buckets.withColumn(
+        "_cum",
+        F.sum("_c").over(
+            W.orderBy(F.desc("_b")).rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        ),
+    )
+    tb = (
+        cum.filter(F.col("_cum") >= int(k))
+        .orderBy(F.desc("_b"))
+        .limit(1)
+        .select(
+            "_b", (F.lit(int(k)) - (F.col("_cum") - F.col("_c"))).alias("_kp")
+        )
+    )
+    inb = s.join(F.broadcast(tb), F.expr(f"_s DIV {bw}") == F.col("_b"))
+    fine = inb.groupBy("_s", "_kp").agg(F.count(F.lit(1)).alias("_c"))
+    fine_cum = fine.withColumn(
+        "_cum",
+        F.sum("_c").over(
+            W.orderBy(F.desc("_s")).rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        ),
+    )
+    return fine_cum.filter(F.col("_cum") >= F.col("_kp")).agg(
+        F.max("_s").alias("_t")
+    )
+
+
 def dup_token_spans(
     df,
     id_col: str,

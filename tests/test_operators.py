@@ -3297,3 +3297,41 @@ def test_quality_model_drift_and_torn_raise(spark, docs, tmp_path):
     kept.write.mode("overwrite").parquet(f"{path}/weights")
     with pytest.raises(ValueError, match="torn"):
         TX.load_quality_model(spark, path)
+
+
+def test_topk_threshold_bucketed_exact_on_adversarial_inputs(spark):
+    """The pre-bucketed threshold must equal the k-th largest VALUE on
+    the single-window form's adversarial input — all-distinct scores
+    (one histogram row per document), crossing the zero bucket — plus
+    all-tied scores and k > N."""
+    vals = [(i * 37) % 10007 - 5000 for i in range(10000)]  # distinct
+    assert len(set(vals)) == len(vals)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, score long"
+    ).repartition(16)
+    ranked = sorted(vals, reverse=True)
+    for k in (1, 17, 4000, 9999, 10000):
+        got = TX.exact_topk_threshold_bucketed(
+            df, "score", k, bucket_width=256
+        ).collect()[0]["_t"]
+        assert got == ranked[k - 1], (k, got, ranked[k - 1])
+    # k beyond the corpus: NULL threshold (matches the window form)
+    assert (
+        TX.exact_topk_threshold_bucketed(df, "score", 10001, 256)
+        .collect()[0]["_t"]
+        is None
+    )
+    # massive ties at the threshold value
+    tied = spark.createDataFrame(
+        [(i, 7 if i < 90 else 9) for i in range(100)], "id long, score long"
+    )
+    assert (
+        TX.exact_topk_threshold_bucketed(tied, "score", 40, 16)
+        .collect()[0]["_t"]
+        == 7
+    )
+    assert (
+        TX.exact_topk_threshold_bucketed(tied, "score", 10, 16)
+        .collect()[0]["_t"]
+        == 9
+    )
