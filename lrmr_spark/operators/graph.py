@@ -343,14 +343,41 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     prev_nodes, prev_edges = _stats(deg)  # seed: a no-op round 1 also certifies
     for r in range(1, rounds + 1):
         keep = deg.filter(F.col("_d") >= k).select("src")
-        if prev_nodes <= _KEEP_BCAST_MAX:
-            keep = F.broadcast(keep)
-        e_new = (
-            e.join(keep, "src", "left_semi")
-            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
-            .select("src", "dst")
-            .persist(_lvl)
-        )
+        # IDENTITY-SWEEP PRECHECK (r8 experiment, tools/exp_kcore_numbers.py):
+        # every node in deg has >= 1 edge, so "no node below threshold"
+        # PROVES "no edge removed" — the fixed-point certificate moves
+        # from after the sweep (an edge-list materialization wasted on
+        # an identical frame) to a node-table count on the checkpointed
+        # degree table, costing milliseconds
+        keep_cnt = keep.count()
+        if keep_cnt == prev_nodes:
+            out.extend(
+                (rr, prev_nodes, prev_edges) for rr in range(r, rounds + 1)
+            )
+            break
+        removed_cnt = prev_nodes - keep_cnt
+        if removed_cnt <= _KEEP_BCAST_MAX and removed_cnt <= keep_cnt:
+            # the REMOVED set is the smaller side (the common case once
+            # a level starts converging): filter both endpoints with a
+            # broadcast ANTI-join against it — same answer as the keep
+            # semi-join (keep ∪ removed partitions deg), far smaller
+            # broadcast
+            rem = F.broadcast(deg.filter(F.col("_d") < k).select("src"))
+            e_new = (
+                e.join(rem, "src", "left_anti")
+                .join(rem.select(F.col("src").alias("dst")), "dst", "left_anti")
+                .select("src", "dst")
+                .persist(_lvl)
+            )
+        else:
+            if prev_nodes <= _KEEP_BCAST_MAX:
+                keep = F.broadcast(keep)
+            e_new = (
+                e.join(keep, "src", "left_semi")
+                .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+                .select("src", "dst")
+                .persist(_lvl)
+            )
         deg_new = _deg(e_new)  # degrees of the NEW e: next round's input AND this round's stats
         # _deg's eager checkpoint already FORCED e_new + deg_new while
         # the parents were still cached (persist is lazy; unpersisting
@@ -365,15 +392,10 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
         deg.unpersist()
         e, deg = e_new, deg_new
         out.append((r, n_nodes, n_edges))
-        if n_edges == prev_edges:
-            # CONVERGENCE certificate: the peel only removes edges
-            # (e_r ⊆ e_{r-1}), so an unchanged COUNT proves an
-            # unchanged SET — every later round is the identical fixed
-            # point. Emit the remaining rows without recomputing them
-            # (at sf10 the fixed point arrives by round 2; this halves
-            # the measured 3-round cost, bit-identically).
-            out.extend((rr, n_nodes, n_edges) for rr in range(r + 1, rounds + 1))
-            break
+        # (the former post-sweep n_edges == prev_edges certificate is
+        # subsumed: a node-removing sweep always removes an edge, so
+        # the precheck above catches every fixed point one sweep
+        # earlier and without materializing the identical frame)
         prev_nodes, prev_edges = n_nodes, n_edges
     e.unpersist()
     deg.unpersist()
@@ -460,15 +482,43 @@ def kcore_numbers(
     for k in range(1, k_max + 1):
         for _ in range(rounds_per_k):
             keep = deg.filter(F.col("_d") >= k).select("src")
-            if prev_nodes <= _KEEP_BCAST_MAX:
-                # size-gated broadcast: see _KEEP_BCAST_MAX
-                keep = F.broadcast(keep)
-            e_new = (
-                e.join(keep, "src", "left_semi")
-                .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
-                .select("src", "dst")
-                .persist(_lvl)
-            )
+            # IDENTITY-SWEEP PRECHECK (r8 experiment,
+            # tools/exp_kcore_numbers.py): "no node below threshold"
+            # PROVES "no edge removed" (every deg node carries >= 1
+            # edge), so the level's fixed point is certified by a
+            # node-table count on the checkpointed degree table
+            # INSTEAD of materializing an identical 120 M-edge frame —
+            # at kcore_numbers' 8-sweep schedule roughly half the
+            # sweeps are exactly such confirmations (each level's last
+            # sweep, plus every level the threshold doesn't bite)
+            keep_cnt = keep.count()
+            if keep_cnt == prev_nodes:
+                break  # level fixed point: zero edge work
+            removed_cnt = prev_nodes - keep_cnt
+            if removed_cnt <= _KEEP_BCAST_MAX and removed_cnt <= keep_cnt:
+                # broadcast the smaller REMOVED side as an anti-join
+                # (answer-identical: keep ∪ removed partitions deg)
+                rem = F.broadcast(deg.filter(F.col("_d") < k).select("src"))
+                e_new = (
+                    e.join(rem, "src", "left_anti")
+                    .join(
+                        rem.select(F.col("src").alias("dst")), "dst", "left_anti"
+                    )
+                    .select("src", "dst")
+                    .persist(_lvl)
+                )
+            else:
+                if prev_nodes <= _KEEP_BCAST_MAX:
+                    # size-gated broadcast: see _KEEP_BCAST_MAX
+                    keep = F.broadcast(keep)
+                e_new = (
+                    e.join(keep, "src", "left_semi")
+                    .join(
+                        keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+                    )
+                    .select("src", "dst")
+                    .persist(_lvl)
+                )
             deg_new = _deg(e_new)  # eager: forces e_new while parents live
             st = deg_new.agg(
                 F.count(F.lit(1)).alias("n"),
@@ -478,10 +528,6 @@ def kcore_numbers(
             e.unpersist()
             deg.unpersist()
             e, deg = e_new, deg_new
-            if n_edges == prev_edges:
-                # level fixed point: remaining sweeps are the identity
-                prev_nodes = n_nodes
-                break
             prev_nodes, prev_edges = n_nodes, n_edges
         survivors = deg.select(F.col("src").alias("node")).withColumn(
             "_k", F.lit(int(k))

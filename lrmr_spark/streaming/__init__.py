@@ -760,6 +760,33 @@ def run_quality_score_stream(
         return spark.createDataFrame([], schema)
 
 
+def run_quality_score_stream_from_model(
+    docs_stream: DataFrame,
+    model_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """run_quality_score_stream serving FROM THE STORED MODEL
+    REGISTRY (operators.text.write_quality_model's artifact): the
+    weights and feature geometry are loaded ONCE at stream start —
+    load_quality_model's drift/torn guards apply, so a stream can
+    never start scoring with a model trained under a different gram
+    mix or bucket hash — and the scoring plan is the same stateless
+    integer projection. This is the production wiring: the trainer
+    publishes a model dir per release, every serving stream (re)starts
+    against it by path."""
+    from ..operators import text as TX
+
+    w, _ = TX.load_quality_model(docs_stream.sparkSession, model_path)
+    return run_quality_score_stream(
+        docs_stream, w, out_path, checkpoint_dir,
+        id_col=id_col, text_col=text_col, timeout_s=timeout_s,
+    )
+
+
 def run_winnowing_index_match_stream(
     docs_stream: DataFrame,
     index_path: str,

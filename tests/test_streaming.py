@@ -861,3 +861,48 @@ def test_streaming_job_failure_surfaces(spark, tmp_path):
     h.wait(120)
     assert h.status == "failed"
     assert h.error is not None
+
+
+def test_quality_score_stream_from_stored_model(spark, sf_dir, tmp_path):
+    # the registry wiring: a serving stream started against the stored
+    # model dir must score exactly like batch serving from the same
+    # artifact — and refuse to start on a geometry-drifted model
+    from pyspark.sql import functions as F
+
+    from lrmr_spark import streaming as ST
+    from lrmr_spark.catalog.corpus_ops import _QC_TEACHER
+    from lrmr_spark.operators import text as TX
+    from lrmr_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    model = str(tmp_path / "model")
+    TX.write_quality_model(docs, model, "text", _QC_TEACHER, iterations=2)
+    got = {
+        (r["doc_id"], r["score"], r["keep"])
+        for r in ST.run_quality_score_stream_from_model(
+            ST.stream_documents(spark, sf_dir),
+            model,
+            str(tmp_path / "qmout"),
+            str(tmp_path / "qmck"),
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["score"], r["keep"])
+        for r in TX.score_with_quality_model(docs, model).collect()
+    }
+    assert got == want and got
+    # drift guard applies at stream START, before any micro-batch runs
+    spark.range(1).select(
+        F.lit(len(_QC_TEACHER)).cast("int").alias("n_buckets"),
+        F.lit(2).cast("int").alias("iterations"),
+        F.lit("uni-only").alias("feature"),
+        F.lit("md5-q-6").alias("hash"),
+        F.lit("deadbeef").alias("teacher_fp"),
+    ).coalesce(1).write.mode("overwrite").json(f"{model}/_meta")
+    with pytest.raises(ValueError, match="drift"):
+        ST.run_quality_score_stream_from_model(
+            ST.stream_documents(spark, sf_dir),
+            model,
+            str(tmp_path / "qmout2"),
+            str(tmp_path / "qmck2"),
+        )
