@@ -89,7 +89,30 @@ _PRIORITY = [
     # text_winnowing_matches_capped, the 15 events-tail entries,
     # cogroup_click_purchase_profile, feature_store_pit_join, and the
     # 6 streaming-tail entries.
-    # --- keeps: bench headliners (the 11 queries bench.py times)
+    # ROTATION (r8) — BACKLOG TO ZERO: 16 standing keeps + ALL 21
+    # never-gated entries (the 12 r6-session deferrals + the 9 built
+    # after the r7 freeze, exactly as the r8 rotation note and VERDICT
+    # r7 task 1 prescribe) + the 5 entries built THIS round + 8
+    # longest-unrefreshed pass* rows (gated r1-r3, rotated out in r4 —
+    # the oldest official rows in the catalog). 16+21+5+8 = 50.
+    # All 34 non-keeps verified green by tools/check_oracle.py at
+    # sf0.01 AND sf0.1 before freezing.
+    # Rotated out this round (green official rows in r6/r7; still
+    # fully covered by check_oracle): ann_ivfpq_rerank_topk,
+    # docs_dsir_weights, text_dup_span_removal, ann_pq_recall_at_k,
+    # pq_train_codebook_iter, embedding_pq_distortion,
+    # decontaminate_span_removal, the 4 BPE rows, the 3 mixture rows,
+    # embedding_sq8_codes, ann_sq8_sdc_topk, ann_ivf_recall_at_nprobe,
+    # multimodal_phash_dedup, token_diversity_index,
+    # ann_sq8_stored_topk, ann_sq8_recall_at_k, dedup_threshold_sweep,
+    # source_overlap_matrix, multimodal_curation_pipeline,
+    # multimodal_phash_index_match, streaming_phash_index_match,
+    # ann_sq8_append_topk, ann_pq_delete_topk,
+    # dedup_minhash_index_delete, ann_cosine_topk_batch,
+    # text_line_dedup, ann_hybrid_rrf, embedding_matryoshka_recall,
+    # graph_label_propagation.
+    # --- keeps: bench headliners (the legacy-11 bench queries; the 3
+    # r7-added headliners are window'd as backlog/pass* rows below)
     "flagship_event_counts",
     "tpch_q1",
     "tpch_q6_forecast_revenue",
@@ -107,45 +130,45 @@ _PRIORITY = [
     "zorder_locality_index",
     "source_mixture_weights",
     "streaming_sessionization",  # rows-only by contract
-    # --- first-time rows 1-30: the r6-session backlog in build order
-    # (two-stage rerank, DSIR, span removal, PQ/SQ8 eval + CRUD, BPE,
-    # mixture, phash, sweep/overlap diagnostics)
-    "ann_ivfpq_rerank_topk",
-    "docs_dsir_weights",
-    "text_dup_span_removal",
-    "ann_pq_recall_at_k",
-    "pq_train_codebook_iter",
-    "embedding_pq_distortion",
-    "decontaminate_span_removal",
-    "bpe_pair_counts",
-    "bpe_merge_apply",
-    "mixture_temperature_weights",
-    "bpe_train_merges",
-    "bpe_encode_corpus",
-    "mixture_unimax_weights",
-    "embedding_sq8_codes",
-    "ann_sq8_sdc_topk",
-    "ann_ivf_recall_at_nprobe",
-    "multimodal_phash_dedup",
-    "token_diversity_index",
-    "ann_sq8_stored_topk",
-    "ann_sq8_recall_at_k",
-    "mixture_unimax_sample",
-    "dedup_threshold_sweep",
-    "source_overlap_matrix",
-    "multimodal_curation_pipeline",
-    "multimodal_phash_index_match",
-    "streaming_phash_index_match",  # rows-only: foreachBatch loop
-    "ann_sq8_append_topk",
-    "ann_pq_delete_topk",
-    "dedup_minhash_index_delete",
-    "ann_cosine_topk_batch",
-    # --- first-time rows 31-34: the next-oldest four, filling the
-    # window to exactly 50
-    "text_line_dedup",
-    "ann_hybrid_rrf",
-    "embedding_matryoshka_recall",
-    "graph_label_propagation",
+    # --- first-time rows 1-12: the r6-session deferrals, build order
+    "embedding_perceptron_probe",
+    "corpus_bloom_decontaminate",
+    "graph_kcore_peel",
+    "ann_ivfpq_delete_topk",
+    "sample_weighted_priority",
+    "text_line_dedup_index",
+    "streaming_line_dedup",  # rows-only: prefix-causal foreachBatch twin
+    "text_line_dedup_compacted",
+    "ann_sq8_delete_topk",
+    "streaming_sliding_counts",  # rows-only: watermark semantics
+    "corpus_bloom_stored",
+    "text_heavy_hitters",
+    # --- first-time rows 13-21: built in r7 after the freeze
+    "text_winnowing_index",
+    "text_winnowing_index_compacted",
+    "streaming_winnowing_index_match",  # rows-only: foreachBatch twin
+    "multimodal_phash_index_delete",
+    "docs_quality_classifier",
+    "text_winnowing_index_delete",
+    "streaming_quality_score",  # rows-only: serving twin
+    "docs_quality_topfrac",
+    "graph_kcore_numbers",
+    # --- first-time rows 22-26: built this round (r8)
+    "docs_chunk_windows",
+    "docs_chunk_embed_ann_topk",
+    "docs_quality_model_score",
+    "docs_quality_topfrac_bucketed",
+    "text_winnowing_index_empty_delete",
+    # --- refresh rows 27-34: the longest-unrefreshed pass* rows
+    # (official rows r1-r3, out of the window since r4)
+    "dedup_minhash_shingles",
+    "dedup_incremental",
+    "snapshot_diff",
+    "ann_lsh_buckets",
+    "ann_ivf_topk",
+    "ann_ivf_pruned_topk",
+    "embedding_kmeans_iter",
+    "decontaminate_ngram_overlap",
 ]
 # r8 window candidates (the 12 r6-session entries the 50-slot r7
 # window could not hold — the newest builds, per the rotation note —

@@ -825,6 +825,14 @@ def _winnowing_index_oracle() -> str:
     """The _winnowing_oracle postings split into stored (even doc_ids,
     df-capped at 8 over the stored side only — the matcher's read-time
     MOSS guard) and batch (odd doc_ids), joined on fingerprint."""
+    return _winnowing_index_oracle_for("doc_id % 2 = 0")
+
+
+def _winnowing_index_oracle_for(stored_pred: str) -> str:
+    """_winnowing_index_oracle parameterized on the stored-side
+    predicate — shared by the base lifecycle row and the
+    delete-to-empty row (whose final stored state is a different doc
+    subset)."""
     w = 4
     least_args = ", ".join(f"h[i + {j}]" for j in range(w))
     return f"""
@@ -844,7 +852,7 @@ def _winnowing_index_oracle() -> str:
     ), stored AS (
       SELECT doc_id, fp FROM (
         SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
-        FROM post WHERE doc_id % 2 = 0
+        FROM post WHERE {stored_pred}
       ) WHERE df <= 8
     ), batch AS (
       SELECT doc_id, fp FROM post WHERE doc_id % 2 = 1
@@ -994,6 +1002,50 @@ def text_winnowing_index_delete(spark, sf_dir):
     TX.delete_winnowing_index_ids(spark, path, ids)
     if TX.delete_winnowing_index_ids(spark, path, ids) != 0:
         raise AssertionError("winnowing id delete is not idempotent")
+    return TX.match_winnowing_index(
+        d.filter(F.col("doc_id") % 2 == 1), path, "doc_id", "text",
+        min_shared=2,
+    ).orderBy("new_id", "base_id")
+
+
+@query(
+    "text_winnowing_index_empty_delete",
+    oracle=lambda: _winnowing_index_oracle_for("doc_id % 4 = 2"),
+)
+def text_winnowing_index_empty_delete(spark, sf_dir):
+    """The VALIDLY-EMPTY index lifecycle: write one epoch, take down
+    EVERY document in it (the full-corpus takedown — a GDPR purge or
+    a poisoned-crawl rollback), then REVIVE the index by appending a
+    fresh epoch and match against it. An emptied index records its
+    emptiness in _meta (postings + df dirs dropped wholesale) so the
+    intermediate state is queryable, the parameter-drift guard still
+    applies across the gap, and the revival append rebuilds the df
+    side table from scratch — the oracle's stored side is EXACTLY the
+    revived epoch's documents, so a leaked pre-delete posting, a lost
+    _meta field, or a stale df ban turns this row red. Fresh temp dir
+    per run (the lifecycle's emptied state is the point; a reused dir
+    would take the replay shortcut instead)."""
+    import os
+    import tempfile
+    import uuid
+
+    d = load(spark, sf_dir, "documents")
+    run = uuid.uuid4().hex[:8]
+    path = os.path.join(tempfile.gettempdir(), f"lrmr_winidx_e_{run}")
+    TX.write_winnowing_index(
+        d.filter(F.col("doc_id") % 4 == 0), path, "doc_id", "text", epoch=0
+    )
+    ids = [
+        r["doc_id"]
+        for r in d.filter(F.col("doc_id") % 4 == 0).select("doc_id").collect()
+    ]
+    if TX.delete_winnowing_index_ids(spark, path, ids) <= 0:
+        raise AssertionError("full takedown removed nothing")
+    if TX.delete_winnowing_index_ids(spark, path, ids) != 0:
+        raise AssertionError("empty-index delete is not a no-op")
+    TX.write_winnowing_index(
+        d.filter(F.col("doc_id") % 4 == 2), path, "doc_id", "text", epoch=1
+    )
     return TX.match_winnowing_index(
         d.filter(F.col("doc_id") % 2 == 1), path, "doc_id", "text",
         min_shared=2,

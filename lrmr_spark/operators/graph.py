@@ -356,12 +356,24 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
             )
             break
         removed_cnt = prev_nodes - keep_cnt
-        if removed_cnt <= _KEEP_BCAST_MAX and removed_cnt <= keep_cnt:
-            # the REMOVED set is the smaller side (the common case once
-            # a level starts converging): filter both endpoints with a
-            # broadcast ANTI-join against it — same answer as the keep
-            # semi-join (keep ∪ removed partitions deg), far smaller
-            # broadcast
+        if prev_nodes <= _KEEP_BCAST_MAX:
+            # size-gated keep broadcast (under the gate the semi-join
+            # measured faster than a removed-side anti even when
+            # removed is smaller — EXP_KCORE_NUMBERS.json sf1)
+            e_new = (
+                e.join(F.broadcast(keep), "src", "left_semi")
+                .join(
+                    F.broadcast(keep.select(F.col("src").alias("dst"))),
+                    "dst",
+                    "left_semi",
+                )
+                .select("src", "dst")
+                .persist(_lvl)
+            )
+        elif removed_cnt <= _KEEP_BCAST_MAX:
+            # keep too big to broadcast, REMOVED not: broadcast anti on
+            # the removed side replaces two full edge-list shuffles
+            # (answer-identical — keep ∪ removed partitions deg)
             rem = F.broadcast(deg.filter(F.col("_d") < k).select("src"))
             e_new = (
                 e.join(rem, "src", "left_anti")
@@ -370,8 +382,6 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
                 .persist(_lvl)
             )
         else:
-            if prev_nodes <= _KEEP_BCAST_MAX:
-                keep = F.broadcast(keep)
             e_new = (
                 e.join(keep, "src", "left_semi")
                 .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
@@ -495,9 +505,27 @@ def kcore_numbers(
             if keep_cnt == prev_nodes:
                 break  # level fixed point: zero edge work
             removed_cnt = prev_nodes - keep_cnt
-            if removed_cnt <= _KEEP_BCAST_MAX and removed_cnt <= keep_cnt:
-                # broadcast the smaller REMOVED side as an anti-join
-                # (answer-identical: keep ∪ removed partitions deg)
+            if prev_nodes <= _KEEP_BCAST_MAX:
+                # size-gated broadcast: see _KEEP_BCAST_MAX (under the
+                # gate the keep semi-join measured faster than a
+                # removed-side anti even when removed is smaller —
+                # EXP_KCORE_NUMBERS.json sf1)
+                e_new = (
+                    e.join(F.broadcast(keep), "src", "left_semi")
+                    .join(
+                        F.broadcast(keep.select(F.col("src").alias("dst"))),
+                        "dst",
+                        "left_semi",
+                    )
+                    .select("src", "dst")
+                    .persist(_lvl)
+                )
+            elif removed_cnt <= _KEEP_BCAST_MAX:
+                # keep is too big to broadcast but REMOVED is not: a
+                # broadcast anti-join on the removed side replaces two
+                # full edge-list shuffles (answer-identical — keep ∪
+                # removed partitions deg; the sf10 regime where every
+                # level's node set exceeds the gate)
                 rem = F.broadcast(deg.filter(F.col("_d") < k).select("src"))
                 e_new = (
                     e.join(rem, "src", "left_anti")
@@ -508,9 +536,6 @@ def kcore_numbers(
                     .persist(_lvl)
                 )
             else:
-                if prev_nodes <= _KEEP_BCAST_MAX:
-                    # size-gated broadcast: see _KEEP_BCAST_MAX
-                    keep = F.broadcast(keep)
                 e_new = (
                     e.join(keep, "src", "left_semi")
                     .join(

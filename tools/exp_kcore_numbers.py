@@ -11,15 +11,26 @@ removes nothing). Variants:
               checkpointed node-sized degree table proves "no node below
               threshold" == "no edge removed", so confirmation sweeps
               cost a node agg instead of an edge-frame materialization
-  v2_shipped  v1 + removed-set gating (the r8-shipped code, imported
-              from operators.graph): when the REMOVED side is smaller
-              (and under _KEEP_BCAST_MAX), filter both endpoints with a
-              broadcast ANTI-join against it instead of broadcasting the
-              much larger keep set twice
+  v2_removedpref v1 + removed-set PREFERENCE: whenever the removed side
+              is smaller (and under _KEEP_BCAST_MAX), filter both
+              endpoints with a broadcast ANTI-join against it instead
+              of broadcasting the larger keep set. MEASURED AND
+              REJECTED as the under-gate strategy: sf10 improved
+              112.6 → 103.7 s (the anti replaces two full edge
+              shuffles once keep exceeds the gate) but sf1 regressed
+              20.2 → 56.2 s on stable back-to-back runs — under the
+              gate the keep semi-join is the faster plan even when
+              removed is smaller.
+  v3_hybrid   the r8-SHIPPED gating (imported from operators.graph):
+              keep-semi broadcast while prev_nodes <= gate (the sf1
+              regime), removed-anti broadcast only when keep exceeds
+              the gate but removed does not (the sf10 regime), shuffle
+              semi otherwise — dominates both columns.
 
-All three return identical rows (asserted per dir before timing).
+All variants return identical rows (asserted per dir before timing).
 
-Usage: python tools/exp_kcore_numbers.py OUT.json SF_DIR [SF_DIR...]
+Usage: python tools/exp_kcore_numbers.py OUT.json SF_DIR [SF_DIR...] \
+           [--variants v0_r7,v3_hybrid]
 Protocol: per variant per dir, 1 warm + 2 timed runs, min recorded
 (the bench_scale discipline).
 """
@@ -53,9 +64,11 @@ def _edges(spark, sf_dir):
     return fwd.unionAll(rev)
 
 
-def _core_loop(edges, precheck: bool):
+def _core_loop(edges, precheck: bool, removed_pref: bool = False):
     """v0 (precheck=False) / v1 (precheck=True): the r7 loop shape with
-    keep-set semi-joins; v1 adds only the identity-sweep precheck."""
+    keep-set semi-joins; v1 adds only the identity-sweep precheck;
+    removed_pref=True is v2 (prefer the removed-side anti-join whenever
+    removed is the smaller broadcastable side)."""
     e = edges.select("src", "dst").persist(_LVL)
     cores = (
         edges.select(F.col("src").alias("node"))
@@ -80,16 +93,35 @@ def _core_loop(edges, precheck: bool):
     for k in range(1, K_MAX + 1):
         for _ in range(ROUNDS_PER_K):
             keep = deg.filter(F.col("_d") >= k).select("src")
-            if precheck and keep.count() == prev_nodes:
+            keep_cnt = keep.count() if precheck else None
+            if precheck and keep_cnt == prev_nodes:
                 break
-            if prev_nodes <= _KEEP_BCAST_MAX:
-                keep = F.broadcast(keep)
-            e_new = (
-                e.join(keep, "src", "left_semi")
-                .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
-                .select("src", "dst")
-                .persist(_LVL)
-            )
+            if (
+                removed_pref
+                and keep_cnt is not None
+                and (removed := prev_nodes - keep_cnt) <= _KEEP_BCAST_MAX
+                and removed <= keep_cnt
+            ):
+                rem = F.broadcast(deg.filter(F.col("_d") < k).select("src"))
+                e_new = (
+                    e.join(rem, "src", "left_anti")
+                    .join(
+                        rem.select(F.col("src").alias("dst")), "dst", "left_anti"
+                    )
+                    .select("src", "dst")
+                    .persist(_LVL)
+                )
+            else:
+                if prev_nodes <= _KEEP_BCAST_MAX:
+                    keep = F.broadcast(keep)
+                e_new = (
+                    e.join(keep, "src", "left_semi")
+                    .join(
+                        keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+                    )
+                    .select("src", "dst")
+                    .persist(_LVL)
+                )
             deg_new = _deg(e_new)
             st = deg_new.agg(
                 F.count(F.lit(1)).alias("n"),
@@ -129,7 +161,13 @@ def v1_precheck(spark, sf_dir):
     return _core_loop(_edges(spark, sf_dir), precheck=True).collect()
 
 
-def v2_shipped(spark, sf_dir):
+def v2_removedpref(spark, sf_dir):
+    return _core_loop(
+        _edges(spark, sf_dir), precheck=True, removed_pref=True
+    ).collect()
+
+
+def v3_hybrid(spark, sf_dir):
     return kcore_numbers(
         _edges(spark, sf_dir), k_max=K_MAX, rounds_per_k=ROUNDS_PER_K
     ).collect()
@@ -138,25 +176,35 @@ def v2_shipped(spark, sf_dir):
 VARIANTS = [
     ("v0_r7", v0_r7),
     ("v1_precheck", v1_precheck),
-    ("v2_shipped", v2_shipped),
+    ("v2_removedpref", v2_removedpref),
+    ("v3_hybrid", v3_hybrid),
 ]
 
 
 def main() -> None:
     out_path = sys.argv[1]
-    dirs = sys.argv[2:] or ["/root/testdata/sf1"]
+    args = sys.argv[2:]
+    only: set[str] | None = None
+    if "--variants" in args:
+        i = args.index("--variants")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    dirs = args or ["/root/testdata/sf1"]
     spark = get_spark("exp-kcore-numbers")
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm-up
     results: dict[str, dict] = {}
+    variants = [(n, f) for n, f in VARIANTS if only is None or n in only]
     for sf_dir in dirs:
         tag = os.path.basename(os.path.normpath(sf_dir))
         golden = None
-        for name, fn in VARIANTS:
+        for name, fn in variants:
             rows = sorted(map(tuple, fn(spark, sf_dir)))  # warm + verify
             if golden is None:
                 golden = rows
             elif rows != golden:
-                raise AssertionError(f"{name} diverges from v0_r7 at {tag}")
+                raise AssertionError(
+                    f"{name} diverges from the first variant at {tag}"
+                )
             secs = []
             for _ in range(2):
                 t0 = time.time()
