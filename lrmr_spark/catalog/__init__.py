@@ -170,27 +170,20 @@ _PRIORITY = [
     "embedding_kmeans_iter",
     "decontaminate_ngram_overlap",
 ]
-# r8 window candidates (the 12 r6-session entries the 50-slot r7
-# window could not hold — the newest builds, per the rotation note —
-# plus anything built this round after the r7 window froze; all green
-# in check_oracle at sf0.01 + sf0.1): embedding_perceptron_probe,
-# corpus_bloom_decontaminate, graph_kcore_peel, ann_ivfpq_delete_topk,
-# sample_weighted_priority, text_line_dedup_index,
-# streaming_line_dedup (rows-only twin), text_line_dedup_compacted,
-# ann_sq8_delete_topk, streaming_sliding_counts (rows-only),
-# corpus_bloom_stored, text_heavy_hitters.
-# Entries built during r7 AFTER the r7 window froze (all green in
-# check_oracle at sf0.01 + sf0.1 at build time): text_winnowing_index,
-# text_winnowing_index_compacted, streaming_winnowing_index_match
-# (rows-only twin), multimodal_phash_index_delete,
-# docs_quality_classifier, text_winnowing_index_delete,
-# streaming_quality_score (rows-only serving twin),
-# docs_quality_topfrac, graph_kcore_numbers.
-# r8 ROTATION NOTE (for the next session): r8 window = the 16
-# standing keeps + the 12 entries above + the r7-built entries just
-# listed (~17 first-time rows — fits one window with room to spare);
-# keep the family pins and the pre-freeze green check at sf0.01 AND
-# sf0.1 before freezing the window.
+# r9 ROTATION NOTE (for the next session): the never-gated backlog is
+# ZERO as of r8 — every catalog entry has (or has had) an official
+# hash-green row. From r9 on the window is 16 standing keeps + any
+# entries built in r9 + the LONGEST-UNREFRESHED pass* rows (continue
+# where r8's refresh tail stopped: sample_split_hash,
+# text_tfidf_top_terms, text_pii_redaction, pack_sequences,
+# text_repetition_signals, corpus_curation_pipeline,
+# multimodal_binary_meta, range_join_error_context,
+# percentiles_by_priority, approx_stats, streaming_tumbling_counts,
+# streaming_stateful_dedup, skew_replicated_join, bucketed_join_orders,
+# tpch_q3, tpch_q6, parallelize_kv_counts, python_datasource_feeder,
+# feeder_route_do_pipeline, orders_abc_pareto, … then the r4-r7
+# rotated-out rows in rotation-note order). Keep the family pins and
+# the pre-freeze green check at sf0.01 AND sf0.1 before freezing.
 
 
 def _ordered(names: list[str]) -> list[str]:
