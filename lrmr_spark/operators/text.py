@@ -980,13 +980,14 @@ def hashed_ngram_classifier(
         lambda acc, v: acc + v,
     )
     # the returned rows are derived from the checkpointed working set
-    # (live data, not a dead round) — the caller's collect consumes it
+    # (live data, not a dead round) — the caller's collect consumes it.
+    # score materializes as a column FIRST so keep derives from the
+    # attribute, not a second copy of the aggregate HOF (pitfall 16)
     return base.select(
         F.col("_id").alias(id_col),
         score.alias("score"),
         F.col("_y").alias("label"),
-        (score > 0).alias("keep"),
-    )
+    ).withColumn("keep", F.col("score") > 0)
 
 
 def _train_rounds(base, dim: int, iterations: int) -> list[int]:
