@@ -92,9 +92,9 @@ _PRIORITY = [
     # ROTATION (r8) — BACKLOG TO ZERO: 16 standing keeps + ALL 21
     # never-gated entries (the 12 r6-session deferrals + the 9 built
     # after the r7 freeze, exactly as the r8 rotation note and VERDICT
-    # r7 task 1 prescribe) + the 5 entries built THIS round + 8
+    # r7 task 1 prescribe) + the 6 entries built THIS round + 7
     # longest-unrefreshed pass* rows (gated r1-r3, rotated out in r4 —
-    # the oldest official rows in the catalog). 16+21+5+8 = 50.
+    # the oldest official rows in the catalog). 16+21+6+7 = 50.
     # All 34 non-keeps verified green by tools/check_oracle.py at
     # sf0.01 AND sf0.1 before freezing.
     # Rotated out this round (green official rows in r6/r7; still
@@ -153,14 +153,16 @@ _PRIORITY = [
     "streaming_quality_score",  # rows-only: serving twin
     "docs_quality_topfrac",
     "graph_kcore_numbers",
-    # --- first-time rows 22-26: built this round (r8)
+    # --- first-time rows 22-27: built this round (r8)
     "docs_chunk_windows",
     "docs_chunk_embed_ann_topk",
+    "docs_chunk_embed_sq8_topk",
     "docs_quality_model_score",
     "docs_quality_topfrac_bucketed",
     "text_winnowing_index_empty_delete",
-    # --- refresh rows 27-34: the longest-unrefreshed pass* rows
-    # (official rows r1-r3, out of the window since r4)
+    # --- refresh rows 28-34: the longest-unrefreshed pass* rows
+    # (official rows r1-r3, out of the window since r4;
+    # decontaminate_ngram_overlap is next in line for r9)
     "dedup_minhash_shingles",
     "dedup_incremental",
     "snapshot_diff",
@@ -168,7 +170,6 @@ _PRIORITY = [
     "ann_ivf_topk",
     "ann_ivf_pruned_topk",
     "embedding_kmeans_iter",
-    "decontaminate_ngram_overlap",
 ]
 # r9 ROTATION NOTE (for the next session): the never-gated backlog is
 # ZERO as of r8 — every catalog entry has (or has had) an official

@@ -2371,3 +2371,101 @@ def docs_quality_topfrac_bucketed(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# chunk-embedding SQ8 quantizer literals: the stub embedding is integer
+# -valued in [-500, 500] per dimension, so the full-range parameters
+# are exact driver literals on both engines
+_CEMB_MIN, _CEMB_SCALE = -500.0, 255.0 / 1000.0
+
+
+def _chunk_sq8_qcodes() -> list[int]:
+    import math as _math
+
+    return [
+        max(0, min(255, _math.floor((x - _CEMB_MIN) * _CEMB_SCALE)))
+        for x in _chunk_query_vec()
+    ]
+
+
+def _chunk_emb_sq8_oracle() -> str:
+    dims = ", ".join(
+        f"CAST(CAST(('0x' || substr(md5('emb{d}:' || chunk_text), 1, 6)) "
+        f"AS BIGINT) % 1001 - 500 AS DOUBLE)"
+        for d in range(_CEMB_D)
+    )
+    q = "[" + ", ".join(str(c) for c in _chunk_sq8_qcodes()) + "]::BIGINT[]"
+    codes = (
+        f"list_transform(range(1, {_CEMB_D + 1}), i -> CAST(greatest(0, "
+        f"least(255, CAST(floor((e[i] - CAST('{_CEMB_MIN!r}' AS DOUBLE)) * "
+        f"CAST('{_CEMB_SCALE!r}' AS DOUBLE)) AS BIGINT))) AS BIGINT))"
+    )
+    return (
+        _CHUNK_CTE
+        + f"""
+    , emb AS (
+      SELECT doc_id * 10000 + chunk_idx AS chunk_id, [{dims}] AS e
+      FROM ch WHERE n_tokens > 0),
+    c AS (SELECT chunk_id, {codes} AS codes FROM emb)
+    SELECT chunk_id,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, {_CEMB_D + 1}),
+               i -> (codes[i] - ({q})[i]) * (codes[i] - ({q})[i]))),
+             (acc, v) -> acc + v) AS BIGINT) AS sdc_dist
+    FROM c ORDER BY sdc_dist ASC, chunk_id ASC LIMIT 10
+    """
+    )
+
+
+@query("docs_chunk_embed_sq8_topk", oracle=_chunk_emb_sq8_oracle)
+def docs_chunk_embed_sq8_topk(spark, sf_dir):
+    """The chunk → embed-stub → STORED-INDEX lifecycle as a hash-green
+    row (docs_chunk_embed_ann_topk's exact-baseline twin through the
+    persisted path): chunk the corpus, stub-embed each chunk, WRITE
+    the SQ8 codes table (operators.similarity.write_sq8_codes — _meta
+    fingerprint, codes-only layout), then answer a symmetric-distance
+    top-10 FROM THE STORED TABLE with a driver-quantized query. The
+    oracle replays chunking, embedding, quantization, and SDC in SQL,
+    so a drifted chunk boundary, a flipped boundary code, or a
+    store/read perturbation turns the row red. Distances are exact
+    BIGINT (the SQ8 discipline) — no float tolerance anywhere."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..operators import similarity as SIM
+
+    d = load(spark, sf_dir, "documents")
+    chunks = TX.chunk_documents(
+        d, "doc_id", "text", chunk_tokens=_CHUNK_T, overlap=_CHUNK_OV
+    )
+    emb = chunks.select(
+        (F.col("doc_id") * 10000 + F.col("chunk_idx"))
+        .cast("bigint")
+        .alias("chunk_id"),
+        F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"emb{d}:"), F.col("chunk_text"))),
+                            1,
+                            6,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % 1001
+                    - 500
+                ).cast("double")
+                for d in range(_CEMB_D)
+            ]
+        ).alias("embedding"),
+    )
+    mins = [_CEMB_MIN] * _CEMB_D
+    scales = [_CEMB_SCALE] * _CEMB_D
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    path = _os.path.join(_tempfile.gettempdir(), f"lrmr_chunk_sq8_{tag}")
+    SIM.write_sq8_codes(emb, path, mins, scales, id_col="chunk_id")
+    return SIM.sq8_sdc_topk_stored(
+        spark, path, _chunk_sq8_qcodes(), mins, scales, k=10
+    )
