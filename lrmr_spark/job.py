@@ -94,6 +94,7 @@ class JobHandle:
         self._rows: list[Any] | None = None
         self._metrics: dict[str, Any] = {}
         self._done = threading.Event()
+        self._finished_at: float | None = None
         self._started_at = time.time()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._checkpoint()
@@ -108,7 +109,7 @@ class JobHandle:
                     "job_id": self.job_id,
                     "status": self._status,
                     "started_at": self._started_at,
-                    "finished_at": time.time() if self._done.is_set() else None,
+                    "finished_at": self._finished_at,
                     "metrics": {k: repr(v) if not isinstance(v, (int, float, str, bool, type(None))) else v
                                 for k, v in self._metrics.items()},
                     "error": repr(self._error) if self._error else None,
@@ -132,8 +133,12 @@ class JobHandle:
                 self._status = FAILED
                 self._error = exc
         finally:
-            self._done.set()
+            # publish the FINAL checkpoint before releasing waiters: a
+            # wait()er attaching a DetachedJobView the instant wait()
+            # returns must never read a stale 'running' file
+            self._finished_at = time.time()
             self._checkpoint()
+            self._done.set()
 
     # -- mirror of running_job.go:79-143 ------------------------------
     @property
@@ -206,6 +211,7 @@ class StreamingJobHandle:
         self._metrics: dict[str, Any] = {}
         self._seen_batches: set[int] = set()
         self._done = threading.Event()
+        self._finished_at: float | None = None
         self._started_at = time.time()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._checkpoint()
@@ -233,7 +239,7 @@ class StreamingJobHandle:
                     "job_id": self.job_id,
                     "status": self._status,
                     "started_at": self._started_at,
-                    "finished_at": time.time() if self._done.is_set() else None,
+                    "finished_at": self._finished_at,
                     "metrics": dict(self._metrics),
                     "error": repr(self._error) if self._error else None,
                     "n_rows": None,
@@ -256,8 +262,10 @@ class StreamingJobHandle:
                 self._status = FAILED
                 self._error = exc
         finally:
-            self._done.set()
+            # final checkpoint BEFORE releasing waiters (see JobHandle)
+            self._finished_at = time.time()
             self._checkpoint()
+            self._done.set()
 
     @property
     def status(self) -> str:
