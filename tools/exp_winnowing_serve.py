@@ -1,0 +1,118 @@
+"""Winnowing-index SERVING-path rehearsal (r7 verdict task 2's scale
+claim, measured): the maintained per-fp df side table lets
+match_winnowing_index read the banned set instead of re-windowing the
+full posting table per serving call. This times one serving call —
+a bounded batch of new documents matched against a stored index built
+from the corpus — with the df-table fast path vs the read-time-window
+fallback, at each SF dir.
+
+  fast  use_df_table=True  (shipped serving path: banned-fp anti-join
+        on the bounded batch, batch broadcast into ONE narrow stored
+        scan, countDistinct pair collapse — zero stored-side shuffles)
+  slow  use_df_table=False (the r7 read path: stored distinct +
+        fp-keyed count window + join — the full-index exchange the
+        side table exists to delete)
+
+Match answers are verified identical before timing. The INDEX BUILD is
+outside the timed region — the experiment isolates the per-call serving
+cost, which is what a decontamination service pays per submission.
+
+Usage: python tools/exp_winnowing_serve.py OUT.json SF_DIR [SF_DIR...]
+Protocol: 1 warm+verify + 2 timed per path per dir, min recorded.
+
+MEASURED (EXP_WINNOWING_SERVE.json, stated honestly): there is a
+CROSSOVER. At toy index sizes the window fallback is cheaper (sf0.1,
+51k postings: 0.83 vs 1.10 s — the fast path pays two extra jobs for
+the banned-set read and the broadcast build). The fast path wins from
+sf1 up and grows with the SCAN, not the shuffle: sf1 (593k postings)
+1.10 vs 1.22 s; sf10 (6.8M) 1.69 vs 1.83 s min-of-2 and 1.68 vs 3.24 s
+first-run — 11.5× more postings cost the fast path 1.5× and the window
+path's first-run 2.7×. At a 100 TB index the window path re-shuffles
+the entire posting table per serving call while the fast path stays a
+narrow broadcast-probed scan; the df side table is what makes the
+serving cost independent of index-wide distinct/exchange work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from lrmr_spark.operators import text as TX
+from lrmr_spark.session import get_spark
+from lrmr_spark.tables import load
+
+BATCH_DOCS = 200  # the bounded serving batch (a submission burst)
+
+
+def main() -> None:
+    out_path = sys.argv[1]
+    dirs = sys.argv[2:] or ["/root/repo/.scratch/sf1"]
+    spark = get_spark("exp-winnowing-serve")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    results: dict[str, dict] = {}
+    for sf_dir in dirs:
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        d = load(spark, sf_dir, "documents")
+        idx = os.path.join("/root/repo/.scratch", f"winserve_{tag}")
+        if not os.path.exists(os.path.join(idx, "_meta")):
+            # two epochs so the stored side is genuinely multi-epoch
+            TX.write_winnowing_index(
+                d.filter(F.col("doc_id") % 4 == 0), idx, "doc_id", "text",
+                epoch=0,
+            )
+            TX.write_winnowing_index(
+                d.filter(F.col("doc_id") % 4 == 2), idx, "doc_id", "text",
+                epoch=1,
+            )
+        batch = d.filter(F.col("doc_id") % 2 == 1).orderBy("doc_id").limit(
+            BATCH_DOCS
+        ).localCheckpoint(eager=True)
+        n_post = spark.read.parquet(f"{idx}/postings").count()
+
+        def run(use_df: bool):
+            return TX.match_winnowing_index(
+                batch, idx, "doc_id", "text", min_shared=2,
+                use_df_table=use_df,
+            )
+
+        golden = None
+        for name, use_df in (("fast_df_table", True), ("slow_window", False)):
+            rows = sorted(map(tuple, run(use_df).collect()))  # warm+verify
+            if golden is None:
+                golden = rows
+            elif rows != golden:
+                raise AssertionError(f"{name} diverges at {tag}")
+            secs = []
+            for _ in range(2):
+                t0 = time.time()
+                run(use_df).count()
+                secs.append(round(time.time() - t0, 3))
+            results.setdefault(name, {})[tag] = {
+                "min_sec": min(secs),
+                "runs": secs,
+                "n_matches": len(rows),
+                "index_postings": n_post,
+            }
+            print(f"{name} @ {tag}: {secs} (postings={n_post})",
+                  file=sys.stderr, flush=True)
+    payload = {
+        "experiment": "winnowing index serving path: df side table vs read-time window (r8)",
+        "batch_docs": BATCH_DOCS,
+        "protocol": "index build excluded; 1 warm+verify + 2 timed per path per dir, min recorded",
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "paths": results,
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()
