@@ -195,19 +195,28 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     input every node receives votes every round and the carry-forward
     never fires, so the undirected answer is unchanged.
 
-    Scale shape, per round: one edges⋈labels join shuffling
-    (node, long) pairs, a (dst, label)-keyed count with map-side
-    partials, a dst-keyed argmax — also map-side combinable via
-    max(struct) — and one node-keyed left join folding the votes back
-    into the (node-sized, edge-count-independent) label table.
-    Lineage truncates per round with localCheckpoint (pitfall 12), so
-    the plan stays flat at any iteration count. The node-sized sides
-    (labels, argmax) are EXPLICITLY broadcast under the
-    _KEEP_BCAST_MAX node-count gate — checkpointed frames carry no
-    size statistics (pitfall 20 corollary), so Catalyst would shuffle
-    the edge list against an 80k-node label table it should ship to
-    executors; above the gate the node set is corpus-proportional
-    and both joins shuffle, as they must."""
+    Scale shape, per round: one edges⋈labels join, a (dst, label)-
+    keyed count with map-side partials, a dst-keyed argmax — also
+    map-side combinable via max(struct) — and one node-keyed left join
+    folding the votes back into the (node-sized,
+    edge-count-independent) label table. Lineage truncates per round
+    with localCheckpoint (pitfall 12), so the plan stays flat at any
+    iteration count. The node-sized sides (labels, argmax) are
+    EXPLICITLY broadcast under the _KEEP_BCAST_MAX node-count gate —
+    checkpointed frames carry no size statistics (pitfall 20
+    corollary), so Catalyst would shuffle the edge list against an
+    80k-node label table it should ship to executors. ABOVE the gate
+    the edge working set switches shape (r8 experiment,
+    tools/exp_lpa.py → EXP_LPA.json): the STATIC edge frame moves off
+    row-serialized checkpoint blocks onto the columnar cache (the
+    kcore disk-cliff lesson — sf10 167.6 → 116.3 s min-of-2) and is
+    hash-partitioned by src ONCE, so every round's edges⋈labels join
+    reuses the cached partitioning and exchanges ONLY the node-sized
+    label table (one upfront edge shuffle buys back one edge-sized
+    exchange per round; sf10 best run 106.4 s). Below the gate the
+    broadcast join never shuffles edges anyway and the checkpoint
+    shape measured faster (sf1 22.7 vs 23.7/25.3 s), so the switch is
+    gated on the same node-count scalar as the broadcasts."""
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -217,6 +226,18 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     small = labels.count() <= _KEEP_BCAST_MAX  # node count: driver scalar
+    base = None
+    if not small:
+        from pyspark.storagelevel import StorageLevel
+
+        spark = edges.sparkSession
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        base = edges  # the row-serialized checkpoint: released below
+        edges = edges.repartition(n_part, "src").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        edges.count()  # fill the columnar cache while base is alive
+        base.unpersist()  # 120 M-edge row blocks released before round 1
     for _ in range(iterations):
         lbl = F.broadcast(labels) if small else labels
         votes = (
