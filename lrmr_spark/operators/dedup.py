@@ -770,10 +770,19 @@ def connected_components(
         return _connected_components_star(pairs, a_col, b_col, max_iter)
     if algorithm != "hashmin":
         raise ValueError(f"unknown algorithm {algorithm!r} ('hashmin' or 'star')")
+    from pyspark.storagelevel import StorageLevel
+
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    # the symmetrized edge list is STATIC across rounds and referenced
+    # once per round — without a cache every round would re-execute the
+    # caller's whole pair-building subtree (for LSH near-dup pairs
+    # that's the banded self-join, re-run O(rounds) times). Columnar
+    # persist, not checkpoint: static lineage needs no truncation and
+    # the cached format is the measured winner for big two-column
+    # frames (the kcore/LPA working-set experiments)
     both = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     labels = (
         both.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)
@@ -797,6 +806,7 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    both.unpersist()  # labels is checkpointed self-contained
     return labels
 
 

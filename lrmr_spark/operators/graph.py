@@ -50,12 +50,21 @@ def pagerank_ppm(
     graphs add both directions — dangling-node mass redistribution is a
     caller-side extension).
 
-    Scale shape: per iteration one join (edges ⋈ ranks, shuffles only
-    (node, long) pairs) and one dst-keyed aggregation with map-side
-    partial sums; lineage is truncated per round with localCheckpoint so
-    plans stay flat (same pattern as connected_components). The node
-    count is a driver scalar (one count() over the bounded node set) —
-    the same driver-loop posture as the k-means operator."""
+    Scale shape: per iteration one join (edges ⋈ ranks) and one
+    dst-keyed aggregation with map-side partial sums; lineage is
+    truncated per round with localCheckpoint so plans stay flat (same
+    pattern as connected_components). The node count is a driver
+    scalar (one count() over the bounded node set) — the same
+    driver-loop posture as the k-means operator. The node-sized rank
+    table is EXPLICITLY broadcast under the _KEEP_BCAST_MAX gate
+    (checkpointed frames carry no size statistics — pitfall 20
+    corollary); ABOVE the gate the STATIC pre-joined edge frame moves
+    onto the columnar cache hash-partitioned by src once, so each
+    round's join reuses the cached partitioning and exchanges only the
+    node-sized rank table — the label_propagation regime switch
+    (tools/exp_lpa.py → EXP_LPA.json: sf10 167.6 → 116.3 s for the
+    columnar cache, best 106.4 s with copartitioning; below the gate
+    the checkpoint + broadcast shape measured faster)."""
     # materialize the edge list once: it is referenced every iteration
     # (plus deg/nodes), and each lazy reference would re-evaluate the
     # caller's whole edge-building subtree (e.g. a lineitem self-join)
@@ -78,14 +87,27 @@ def pagerank_ppm(
     raw.unpersist()
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()
+    small = n_nodes <= _KEEP_BCAST_MAX
+    if not small:
+        from pyspark.storagelevel import StorageLevel
+
+        spark = edges.sparkSession
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        base = edges  # row-serialized checkpoint: released below
+        edges = edges.repartition(n_part, "src").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        edges.count()  # fill the columnar cache while base is alive
+        base.unpersist()
     teleport = 1_000_000 // max(n_nodes, 1)
     keep = 100 - damping_pct
     ranks = nodes.withColumn(
         "rank_ppm", F.lit(teleport).cast("long")
     ).localCheckpoint(eager=True)
     for _ in range(iterations):
+        r = F.broadcast(ranks) if small else ranks
         contribs = (
-            edges.join(ranks, edges.src == ranks.node)
+            edges.join(r, edges.src == r.node)
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank_ppm DIV outdeg").alias("c"),
