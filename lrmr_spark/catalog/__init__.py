@@ -181,10 +181,13 @@ _PRIORITY = [
 # multimodal_binary_meta, range_join_error_context,
 # percentiles_by_priority, approx_stats, streaming_tumbling_counts,
 # streaming_stateful_dedup, skew_replicated_join, bucketed_join_orders,
-# tpch_q3, tpch_q6, parallelize_kv_counts, python_datasource_feeder,
-# feeder_route_do_pipeline, orders_abc_pareto, … then the r4-r7
-# rotated-out rows in rotation-note order). Keep the family pins and
-# the pre-freeze green check at sf0.01 AND sf0.1 before freezing.
+# tpch_q3_shipping_priority, parallelize_kv_counts,
+# python_datasource_feeder, feeder_route_do_pipeline, orders_abc_pareto,
+# decontaminate_ngram_overlap, … then the r4-r7 rotated-out rows in
+# rotation-note order). All 20 named above were PRE-VERIFIED green by
+# check_oracle at sf0.1 during r8 close-out (and at sf0.01 by the full
+# 279/279 sweep). Keep the family pins and the pre-freeze green check
+# at sf0.01 AND sf0.1 before freezing.
 
 
 def _ordered(names: list[str]) -> list[str]:
