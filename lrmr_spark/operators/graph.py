@@ -499,9 +499,12 @@ def kcore_numbers(
     exchange, persist(MEMORY_AND_DISK) columnar caching per round —
     see kcore_peel's r7 experiment), plus ONE node-keyed left join
     per level folding survivors into the (node-sized) core table.
-    Each level inherits the previous level's convergence certificate:
-    an unchanged edge count proves the level's fixed point, skipping
-    its remaining sweeps bit-identically."""
+    Each level certifies its fixed point BEFORE paying for a sweep:
+    "no node below threshold" proves "no edge removed" (every degree-
+    table node carries ≥ 1 edge), so confirmation sweeps cost one
+    node-table count instead of an edge-frame materialization — at
+    this operator's 8-sweep schedule roughly half the sweeps are such
+    confirmations (the r8 experiment, tools/exp_kcore_numbers.py)."""
     from pyspark.storagelevel import StorageLevel
 
     _lvl = StorageLevel.MEMORY_AND_DISK
