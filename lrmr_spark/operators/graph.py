@@ -88,6 +88,16 @@ def pagerank_ppm(
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()
     small = n_nodes <= _KEEP_BCAST_MAX
+    teleport = 1_000_000 // max(n_nodes, 1)
+    keep = 100 - damping_pct
+    # ranks materializes BEFORE any edge-frame conversion below: nodes
+    # reads the checkpointed pre-join frame, and unpersisting that
+    # frame first would race the (non-blocking) block removal against
+    # this eager job — a checkpointed frame cannot recompute lost
+    # blocks (its lineage is truncated by design)
+    ranks = nodes.withColumn(
+        "rank_ppm", F.lit(teleport).cast("long")
+    ).localCheckpoint(eager=True)
     if not small:
         from pyspark.storagelevel import StorageLevel
 
@@ -99,11 +109,6 @@ def pagerank_ppm(
         )
         edges.count()  # fill the columnar cache while base is alive
         base.unpersist()
-    teleport = 1_000_000 // max(n_nodes, 1)
-    keep = 100 - damping_pct
-    ranks = nodes.withColumn(
-        "rank_ppm", F.lit(teleport).cast("long")
-    ).localCheckpoint(eager=True)
     for _ in range(iterations):
         r = F.broadcast(ranks) if small else ranks
         contribs = (
