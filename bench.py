@@ -93,6 +93,35 @@ def main() -> None:
         print(f"bench {name}: {secs}", file=sys.stderr, flush=True)
         return secs[0], min(secs)
 
+    # host calibration (r8 extension): loadavg captures CONTENTION but
+    # not the host's intrinsic speed — the same build measured 8-10×
+    # slower on a 173 MB/s-disk VM for shuffle-heavy queries while
+    # sub-second scan+agg queries moved <1.5×. Two pinned
+    # micro-workloads make cross-host adjudication readable off the
+    # JSON: a fixed 20 M-row shuffle (exercises the same local-disk
+    # shuffle machinery the heavy queries bottleneck on) and a 256 MiB
+    # fsync'd sequential write (the spill/shuffle-write path itself).
+    t0 = time.time()
+    (
+        spark.range(20_000_000)
+        .repartition(32, "id")
+        .selectExpr("id % 1000 AS k")
+        .groupBy("k")
+        .count()
+        .count()
+    )
+    cal_shuffle = round(time.time() - t0, 3)
+    cal_path = "/tmp/.bench_diskcal"
+    buf = b"\0" * (4 << 20)
+    t0 = time.time()
+    with open(cal_path, "wb") as f:
+        for _ in range(64):  # 256 MiB
+            f.write(buf)
+        f.flush()
+        os.fsync(f.fileno())
+    cal_disk = round(256 / max(time.time() - t0, 1e-9), 1)
+    os.remove(cal_path)
+
     # host load snapshots bracket the run so scatter adjudication can
     # read contention off the JSON instead of a separate session study
     load_before = [round(x, 2) for x in os.getloadavg()]
@@ -125,6 +154,10 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "loadavg_before": load_before,
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+                "host_cal": {
+                    "shuffle_20m_sec": cal_shuffle,
+                    "disk_write_mb_s": cal_disk,
+                },
             }
         )
     )

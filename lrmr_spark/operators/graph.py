@@ -34,6 +34,14 @@ __all__ = [
 # it the node set is corpus-proportional and must shuffle.
 _KEEP_BCAST_MAX = 2_000_000
 
+# pagerank's SHUFFLE_HASH hint engages only above this node count:
+# 4M (node, rank_ppm) rows ≈ the session's 64 MB auto-broadcast
+# threshold. In the 2M-4M band (above the explicit-broadcast gate but
+# under the threshold) Catalyst can still broadcast the checkpointed
+# rank table off its propagated stats, and a SHUFFLE_HASH hint would
+# OVERRIDE that strictly better plan — hints win join selection.
+_RANKS_SHJ_MIN = 4_000_000
+
 
 def pagerank_ppm(
     edges: DataFrame,
@@ -110,7 +118,27 @@ def pagerank_ppm(
         edges.count()  # fill the columnar cache while base is alive
         base.unpersist()
     for _ in range(iterations):
-        r = F.broadcast(ranks) if small else ranks
+        # above the gate the contribution join would plan as a
+        # SortMergeJoin whose edge side RE-SORTS the cached static
+        # frame every round; hinting SHUFFLE_HASH builds a hash table
+        # on the rank-table slice instead (the same per-partition slice
+        # the SMJ would hold sorted) and streams the cached edges with
+        # no sort. Measured (tools/exp_shj.py → EXP_SHJ.json, sf3 at a
+        # regime-faithful 8 MB broadcast threshold): vSHJ beat shipped
+        # in every interleaved rep, min-of-3 19.8 vs 33.7 s. Pagerank
+        # wins where label_propagation measured a WASH because its
+        # per-round exchange is node-sized (map-side partial sums
+        # collapse contributions per dst), so the edge-side sort is a
+        # large fraction of round cost; LPA's (dst, label) exchange
+        # stays edge-sized and drowns the sort (rejection recorded in
+        # EXP_SHJ.json — pitfall 24). Gated on _RANKS_SHJ_MIN so the
+        # 2M-4M-node band keeps Catalyst's stats-driven broadcast.
+        if small:
+            r = F.broadcast(ranks)
+        elif n_nodes > _RANKS_SHJ_MIN:
+            r = ranks.hint("SHUFFLE_HASH")
+        else:
+            r = ranks
         contribs = (
             edges.join(r, edges.src == r.node)
             .select(
