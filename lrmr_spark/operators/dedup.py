@@ -32,6 +32,15 @@ from .text import distinct_tokens, fingerprint, tokens
 # tools/ab_reps_fusion.py to measure the trade at scale.
 _FUSE_REPS_EXCHANGE = True
 
+# connected_components switches its loop shape above this node count:
+# 4M (id, comp) rows ≈ the session's 64 MB auto-broadcast threshold
+# (same row-equivalent as graph._RANKS_SHJ_MIN — kept local because
+# operators.graph imports from this module). Below it the checkpointed
+# label table broadcasts off its propagated stats; above it the edge
+# cache is hash-partitioned by the join key once and the label side is
+# SHUFFLE_HASH-hinted (pitfall 24, EXP_SHJ_HASHMIN.json).
+_CC_SHJ_MIN = 4_000_000
+
 __all__ = [
     "exact_dedup",
     "tokenset_dedup",
@@ -786,9 +795,33 @@ def connected_components(
     labels = (
         both.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)
+    # Above ~4M nodes the label table exceeds the session's 64 MB
+    # auto-broadcast threshold, so each round's both⋈labels join would
+    # exchange AND sort the edge frame (the cache above is not
+    # key-partitioned). In that regime: hash-partition the static edge
+    # cache by the join key ONCE, and hint SHUFFLE_HASH on the
+    # node-sized label side so the cached edges stream with no sort —
+    # measured 3× on the reps that matter (tools/exp_shj.py →
+    # EXP_SHJ_HASHMIN.json, sf1 at a pinned regime-faithful threshold:
+    # paired mins 14.3/16.5 s vs shipped 41.5/46.2 s; pitfall 24 —
+    # hashmin's groupBy(id).min exchange is node-sized after map-side
+    # partial mins, so the edge sort dominated, like pagerank and
+    # unlike LPA). Below the gate Catalyst broadcasts the checkpointed
+    # label table off its propagated stats and the plain cache is
+    # exchange-free already — the hint would override the better plan.
+    big = labels.count() > _CC_SHJ_MIN
+    if big:
+        n_part = int(both.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        base = both  # unpartitioned cache: released once the copy is live
+        both = both.repartition(n_part, "dst").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        both.count()  # fill the copartitioned cache while base is alive
+        base.unpersist()
     for _ in range(max_iter):
+        lbl = labels.hint("SHUFFLE_HASH") if big else labels
         nbr_min = (
-            both.join(labels, both.dst == labels.id)
+            both.join(lbl, both.dst == lbl.id)
             .select(F.col("src").alias("id"), "comp")
         )
         new = (

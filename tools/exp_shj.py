@@ -221,6 +221,9 @@ OPS = {
         "v0_shipped": lambda s, d: pagerank_ppm(
             _edges(s, d), iterations=ITERATIONS
         ),
+        # pre-r8-extension shape (plain copartitioned cache, no hint):
+        # the baseline arm once v0_shipped carries the hint
+        "vNOHINT": lambda s, d: _pagerank_loop(_edges(s, d), "vNOHINT"),
         "vSHJ": lambda s, d: _pagerank_loop(_edges(s, d), "vSHJ"),
         "vSORT": lambda s, d: _pagerank_loop(_edges(s, d), "vSORT"),
     },
