@@ -32,13 +32,12 @@ from .text import distinct_tokens, fingerprint, tokens
 # tools/ab_reps_fusion.py to measure the trade at scale.
 _FUSE_REPS_EXCHANGE = True
 
-# connected_components switches its loop shape above this node count:
-# 4M (id, comp) rows ≈ the session's 64 MB auto-broadcast threshold
-# (same row-equivalent as graph._RANKS_SHJ_MIN — kept local because
-# operators.graph imports from this module). Below it the checkpointed
-# label table broadcasts off its propagated stats; above it the edge
-# cache is hash-partitioned by the join key once and the label side is
-# SHUFFLE_HASH-hinted (pitfall 24, EXP_SHJ_HASHMIN.json).
+# connected_components switches its cache shape above this node count:
+# 4M (id, comp) rows ≈ the session's 64 MB auto-broadcast threshold.
+# Below it the checkpointed label table broadcasts off its propagated
+# stats and the plain cache is exchange-free; above it the edge cache
+# is hash-partitioned by the join key once so only the node-sized
+# label table exchanges per round (pitfall 24, EXP_SHJ_HASHMIN.json).
 _CC_SHJ_MIN = 4_000_000
 
 __all__ = [
@@ -797,18 +796,21 @@ def connected_components(
     ).localCheckpoint(eager=True)
     # Above ~4M nodes the label table exceeds the session's 64 MB
     # auto-broadcast threshold, so each round's both⋈labels join would
-    # exchange AND sort the edge frame (the cache above is not
+    # re-exchange the edge frame (the cache above is not
     # key-partitioned). In that regime: hash-partition the static edge
-    # cache by the join key ONCE, and hint SHUFFLE_HASH on the
-    # node-sized label side so the cached edges stream with no sort —
-    # measured 3× on the reps that matter (tools/exp_shj.py →
-    # EXP_SHJ_HASHMIN.json, sf1 at a pinned regime-faithful threshold:
-    # paired mins 14.3/16.5 s vs shipped 41.5/46.2 s; pitfall 24 —
-    # hashmin's groupBy(id).min exchange is node-sized after map-side
-    # partial mins, so the edge sort dominated, like pagerank and
-    # unlike LPA). Below the gate Catalyst broadcasts the checkpointed
-    # label table off its propagated stats and the plain cache is
-    # exchange-free already — the hint would override the better plan.
+    # cache by the join key ONCE, so the cached partitioning satisfies
+    # every round's join and only the node-sized label table exchanges
+    # — the label_propagation vB_copart structure (EXP_LPA.json; the
+    # r8-extension paired runs measured the copartition+no-sort shapes
+    # 2-3× over shipped at a pinned regime-faithful threshold,
+    # EXP_SHJ_HASHMIN.json). The join STRATEGY stays with the planner:
+    # a SHUFFLE_HASH hint on the label side — skip the per-round
+    # edge-side SMJ sort — measured faster at ≤5M-node scales but
+    # INVERTED at 16.7M nodes in the pagerank twin of this loop
+    # (EXP_SHJ_SF10B.json, pitfall 24), so it is rejected here too.
+    # Below the gate Catalyst broadcasts the checkpointed label table
+    # off its propagated stats and the plain cache is exchange-free
+    # already — unchanged.
     big = labels.count() > _CC_SHJ_MIN
     if big:
         n_part = int(both.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -819,9 +821,8 @@ def connected_components(
         both.count()  # fill the copartitioned cache while base is alive
         base.unpersist()
     for _ in range(max_iter):
-        lbl = labels.hint("SHUFFLE_HASH") if big else labels
         nbr_min = (
-            both.join(lbl, both.dst == lbl.id)
+            both.join(labels, both.dst == labels.id)
             .select(F.col("src").alias("id"), "comp")
         )
         new = (

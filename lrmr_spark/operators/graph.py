@@ -34,15 +34,6 @@ __all__ = [
 # it the node set is corpus-proportional and must shuffle.
 _KEEP_BCAST_MAX = 2_000_000
 
-# pagerank's SHUFFLE_HASH hint engages only above this node count:
-# 4M (node, rank_ppm) rows ≈ the session's 64 MB auto-broadcast
-# threshold. In the 2M-4M band (above the explicit-broadcast gate but
-# under the threshold) Catalyst can still broadcast the checkpointed
-# rank table off its propagated stats, and a SHUFFLE_HASH hint would
-# OVERRIDE that strictly better plan — hints win join selection.
-_RANKS_SHJ_MIN = 4_000_000
-
-
 def pagerank_ppm(
     edges: DataFrame,
     iterations: int = 3,
@@ -74,71 +65,78 @@ def pagerank_ppm(
     columnar cache, best 106.4 s with copartitioning; below the gate
     the checkpoint + broadcast shape measured faster)."""
     # materialize the edge list once: it is referenced every iteration
-    # (plus deg/nodes), and each lazy reference would re-evaluate the
+    # (plus deg/ranks), and each lazy reference would re-evaluate the
     # caller's whole edge-building subtree (e.g. a lineitem self-join)
     # per iteration — measured 2× per round at sf1. The edge list is
     # the algorithm's working set, small relative to its source tables.
     raw = edges.localCheckpoint(eager=True)
-    deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # pre-join outdeg into the edge list ONCE: the loop then does one
-    # join + one aggregation per iteration instead of two joins (deg
-    # would otherwise be recomputed and re-joined every round)
-    edges = (
-        raw.join(deg, "src")
-        .select("src", "dst", "outdeg")
+    # the NODE-SIZED degree table is the hub of the setup: its src set
+    # IS the node set (every node has >= 1 out-edge by contract), so
+    # the node count and the initial rank table both derive from it —
+    # no distinct() pass over the edge frame. Checkpointed because it
+    # is referenced three times (count, ranks init, pre-join) and a
+    # node-sized checkpoint has no disk cliff (pitfall 20 discipline).
+    deg = (
+        raw.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
         .localCheckpoint(eager=True)
     )
-    # the pre-join checkpoint is now the working set; release the raw
-    # edge checkpoint immediately or its blocks leak for the session
-    # lifetime (pitfall 19 — only the second handle was unpersisted
-    # before, which left the first alive)
-    raw.unpersist()
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    n_nodes = nodes.count()
+    n_nodes = deg.count()
     small = n_nodes <= _KEEP_BCAST_MAX
     teleport = 1_000_000 // max(n_nodes, 1)
     keep = 100 - damping_pct
-    # ranks materializes BEFORE any edge-frame conversion below: nodes
-    # reads the checkpointed pre-join frame, and unpersisting that
-    # frame first would race the (non-blocking) block removal against
-    # this eager job — a checkpointed frame cannot recompute lost
-    # blocks (its lineage is truncated by design)
-    ranks = nodes.withColumn(
-        "rank_ppm", F.lit(teleport).cast("long")
-    ).localCheckpoint(eager=True)
-    if not small:
+    # ranks materializes BEFORE the checkpointed inputs are released
+    # below — a checkpointed frame cannot recompute lost blocks (its
+    # lineage is truncated by design)
+    ranks = (
+        deg.select(F.col("src").alias("node"))
+        .withColumn("rank_ppm", F.lit(teleport).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    # pre-join outdeg into the edge list ONCE: the loop then does one
+    # join + one aggregation per iteration instead of two joins (deg
+    # would otherwise be recomputed and re-joined every round). The
+    # pre-join flows DIRECTLY into its per-regime materialization — it
+    # is NOT checkpointed first: above the gate an intermediate
+    # row-serialized checkpoint of the 3-column edge frame was pure
+    # disk tax paid before the columnar cache re-materialized the same
+    # rows (the r8-extension sf10 paired runs measured the lean setup
+    # at 110.4 s vs 213.0 s for the checkpoint-then-cache shape on a
+    # slow-disk host — the kcore disk-cliff lesson applied to SETUP,
+    # not just the loop; EXP_SHJ_SF10.json, pitfall 24 postscript).
+    pre = raw.join(deg, "src").select("src", "dst", "outdeg")
+    if small:
+        # below the gate the loop references the pre-join per round
+        # with no cache over it — materialize it once (node counts at
+        # this scale sit under the disk cliff)
+        edges = pre.localCheckpoint(eager=True)
+    else:
         from pyspark.storagelevel import StorageLevel
 
-        spark = edges.sparkSession
+        spark = raw.sparkSession
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        base = edges  # row-serialized checkpoint: released below
-        edges = edges.repartition(n_part, "src").persist(
+        edges = pre.repartition(n_part, "src").persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        edges.count()  # fill the columnar cache while base is alive
-        base.unpersist()
+        edges.count()  # fill the columnar cache while raw is alive
+    # release the setup checkpoints now that the working set is
+    # materialized (pitfall 19: unreleased handles leak blocks for the
+    # session lifetime)
+    raw.unpersist()
+    deg.unpersist()
     for _ in range(iterations):
-        # above the gate the contribution join would plan as a
-        # SortMergeJoin whose edge side RE-SORTS the cached static
-        # frame every round; hinting SHUFFLE_HASH builds a hash table
-        # on the rank-table slice instead (the same per-partition slice
-        # the SMJ would hold sorted) and streams the cached edges with
-        # no sort. Measured (tools/exp_shj.py → EXP_SHJ.json, sf3 at a
-        # regime-faithful 8 MB broadcast threshold): vSHJ beat shipped
-        # in every interleaved rep, min-of-3 19.8 vs 33.7 s. Pagerank
-        # wins where label_propagation measured a WASH because its
-        # per-round exchange is node-sized (map-side partial sums
-        # collapse contributions per dst), so the edge-side sort is a
-        # large fraction of round cost; LPA's (dst, label) exchange
-        # stays edge-sized and drowns the sort (rejection recorded in
-        # EXP_SHJ.json — pitfall 24). Gated on _RANKS_SHJ_MIN so the
-        # 2M-4M-node band keeps Catalyst's stats-driven broadcast.
-        if small:
-            r = F.broadcast(ranks)
-        elif n_nodes > _RANKS_SHJ_MIN:
-            r = ranks.hint("SHUFFLE_HASH")
-        else:
-            r = ranks
+        # above the gate the contribution join is left to the planner
+        # (SortMergeJoin over the copartitioned cache). A SHUFFLE_HASH
+        # hint on the rank side — skip the per-round edge-side sort by
+        # hash-building the rank slice — was measured BOTH ways and
+        # REJECTED: it won every interleaved rep at sf3/5M nodes
+        # (min-of-3 19.8 vs 24.1 s against the sorted-cache SMJ shape)
+        # but INVERTED at sf10/16.7M nodes (paired 210.7 vs 167.9 s
+        # for the identical loop without the hint) — a pitfall-22
+        # regime flip inside the gated band, so the hint's win window
+        # is too narrow and host-dependent to pin (EXP_SHJ.json,
+        # EXP_SHJ_SF10B.json; pitfall 24).
+        r = F.broadcast(ranks) if small else ranks
         contribs = (
             edges.join(r, edges.src == r.node)
             .select(
