@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -93,6 +94,11 @@ def main() -> None:
         print(f"bench {name}: {secs}", file=sys.stderr, flush=True)
         return secs[0], min(secs)
 
+    # capture the contention bracket BEFORE the calibration shuffle +
+    # 256 MiB fsync'd write so the calibration work doesn't inflate it
+    # (r8 ADVICE); a post-calibration snapshot is recorded separately.
+    load_before = [round(x, 2) for x in os.getloadavg()]
+
     # host calibration (r8 extension): loadavg captures CONTENTION but
     # not the host's intrinsic speed — the same build measured 8-10×
     # slower on a 173 MB/s-disk VM for shuffle-heavy queries while
@@ -111,20 +117,29 @@ def main() -> None:
         .count()
     )
     cal_shuffle = round(time.time() - t0, 3)
-    cal_path = "/tmp/.bench_diskcal"
+    # write the probe where the shuffle actually spills (spark.local.dir
+    # falls back to java.io.tmpdir exactly as Spark does) via a unique
+    # tempfile in try/finally — concurrent benches can't collide and the
+    # file can't leak on a failed write (r8 ADVICE)
+    cal_dir = spark.conf.get(
+        "spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/tmp")
+    ).split(",")[0]
     buf = b"\0" * (4 << 20)
-    t0 = time.time()
-    with open(cal_path, "wb") as f:
-        for _ in range(64):  # 256 MiB
-            f.write(buf)
-        f.flush()
-        os.fsync(f.fileno())
-    cal_disk = round(256 / max(time.time() - t0, 1e-9), 1)
-    os.remove(cal_path)
+    fd, cal_path = tempfile.mkstemp(prefix=".bench_diskcal_", dir=cal_dir)
+    try:
+        t0 = time.time()
+        with os.fdopen(fd, "wb") as f:
+            for _ in range(64):  # 256 MiB
+                f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+        cal_disk = round(256 / max(time.time() - t0, 1e-9), 1)
+    finally:
+        os.remove(cal_path)
 
-    # host load snapshots bracket the run so scatter adjudication can
-    # read contention off the JSON instead of a separate session study
-    load_before = [round(x, 2) for x in os.getloadavg()]
+    # post-calibration load snapshot: with load_before captured above,
+    # the pair brackets the calibration itself as well as the run
+    load_after_cal = [round(x, 2) for x in os.getloadavg()]
     results, results_min = {}, {}
     for name in HEADLINE:
         results[name], results_min[name] = timed(name)
@@ -153,6 +168,7 @@ def main() -> None:
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "loadavg_before": load_before,
+                "loadavg_after_cal": load_after_cal,
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
                 "host_cal": {
                     "shuffle_20m_sec": cal_shuffle,

@@ -241,12 +241,16 @@ def _fingerprint(df):
     h = F.hash(*[F.col(c) for c in df.columns]).cast("long")
     row = (
         df.select(h.alias("h"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("h").alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("h").alias("s"),
+            F.expr("bit_xor(h)").alias("x"),
+        )
         .collect()[0]
     )
-    # count + sum of 32-bit murmur hashes widened to long: an
+    # count + sum + xor of 32-bit murmur hashes widened to long: an
     # order-independent equality check between deterministic variants
-    return (int(row["n"]), int(row["s"]))
+    return (int(row["n"]), int(row["s"]), int(row["x"]))
 
 
 def main() -> None:
