@@ -316,6 +316,84 @@ def graph_pagerank_parts(spark, sf_dir):
     )
 
 
+def _pagerank_dangling_round(prev: str, rnd: int) -> str:
+    """One dangling-PageRank round as DuckDB CTEs: the held mass of
+    out-edge-less nodes (one scalar) redistributed uniformly into the
+    teleport term, votes folded into the FULL node table by left join —
+    the exact recurrence of pagerank_ppm(dangling=True)."""
+    return f"""
+    d{rnd} AS (
+      SELECT coalesce(sum(r.rank_ppm), 0) // (SELECT cnt FROM n) AS share
+      FROM {prev} r LEFT JOIN deg d ON r.node = d.src
+      WHERE d.src IS NULL),
+    i{rnd} AS (
+      SELECT e.dst AS node, sum(r.rank_ppm // d.outdeg) AS inc
+      FROM e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst),
+    r{rnd} AS (
+      SELECT nd.node,
+             (15 * (SELECT tp FROM n)
+              + 85 * (coalesce(i.inc, 0) + (SELECT share FROM d{rnd}))) // 100
+               AS rank_ppm
+      FROM nodes nd LEFT JOIN i{rnd} i ON nd.node = i.node)"""
+
+
+@query(
+    "graph_pagerank_dangling",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT CAST(l_orderkey AS BIGINT) * 2 AS src,
+                      CAST(l_partkey AS BIGINT) * 2 + 1 AS dst
+      FROM lineitem),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+    n AS (SELECT count(*) AS cnt, 1000000 // count(*) AS tp FROM nodes),
+    r0 AS (SELECT node, (SELECT tp FROM n) AS rank_ppm FROM nodes),
+    {_pagerank_dangling_round("r0", 1)},
+    {_pagerank_dangling_round("r1", 2)},
+    {_pagerank_dangling_round("r2", 3)}
+    SELECT CASE WHEN node % 2 = 0 THEN 'o:' || CAST(node // 2 AS VARCHAR)
+                ELSE 'p:' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+           CAST(rank_ppm AS BIGINT) AS rank_ppm
+    FROM r3 ORDER BY rank_ppm DESC, node LIMIT 30
+    """,
+)
+def graph_pagerank_dangling(spark, sf_dir):
+    """PageRank (3 iterations, damping 0.85, DANGLING-MASS mode) over
+    the DIRECTED order→part graph from lineitem — the real-web-graph
+    shape graph_pagerank_parts contracts away: here every part node is
+    a dangler (no out-edges) and every order node has no in-edges, so
+    the fast path's every-node-has-both-edges contract fails maximally.
+    pagerank_ppm(dangling=True) redistributes the danglers' held mass
+    uniformly each round (one scalar aggregate crosses the driver) and
+    folds votes into the full node table by left join, so orderless
+    nodes keep teleport + share instead of vanishing. Top-30 by rank.
+
+    The oracle unrolls the identical integer-ppm recurrence as chained
+    CTEs — exact BIGINT arithmetic, bit-identical across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    o = F.col("l_orderkey").cast("long") * 2
+    p = F.col("l_partkey").cast("long") * 2 + 1
+    fwd = li.select(o.alias("src"), p.alias("dst")).distinct()
+    from ..operators.graph import pagerank_ppm
+
+    ranks = pagerank_ppm(fwd, iterations=3, damping_pct=85, dangling=True)
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("o:"), F.expr("node DIV 2").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("p:"), F.expr("(node - 1) DIV 2").cast("string"))
+    )
+    return (
+        ranks.select(
+            label.alias("node"),
+            F.col("rank_ppm").cast("bigint").alias("rank_ppm"),
+        )
+        .orderBy(F.desc("rank_ppm"), F.asc("node"))
+        .limit(30)
+    )
+
+
 @query(
     "robust_trimmed_mean",
     oracle="""

@@ -1,0 +1,132 @@
+"""Shared materialization regime for gated iterative-loop operators.
+
+Four operators run the same loop shape — a STATIC edge frame joined
+against a node-sized table once per round (pagerank_ppm,
+label_propagation in operators.graph; HashMin connected_components in
+operators.dedup) or filtered by a node-sized keep set per sweep (the
+two k-core peels) — and r6-r8 grew four hand-rolled copies of the same
+size-gated regime switch. This module is the single implementation;
+the measured evidence lives with the experiments that produced it
+(EXP_LPA.json, EXP_SHJ*.json, EXP_KCORE_NUMBERS.json,
+BENCH_r7_graphops.json) and the per-operator docstrings keep their
+operator-specific numbers.
+
+The regime, in one place:
+
+- BELOW the node-count gate the node-sized side of each round's join
+  is explicitly broadcast (checkpointed frames carry no size
+  statistics, so Catalyst can't make that call itself — pitfall 20
+  corollary) and the static edge frame never re-exchanges, so a plain
+  materialization (eager localCheckpoint or columnar persist) is all
+  the loop needs.
+- ABOVE the gate the static frame moves onto the COLUMNAR cache
+  (compressed batches beat row-serialized checkpoint blocks for big
+  two-long-column frames — the kcore disk-cliff lesson),
+  hash-partitioned by the loop's join key ONCE, so every round's join
+  reuses the cached partitioning and exchanges only the node-sized
+  table. The join STRATEGY stays with the planner: a SHUFFLE_HASH
+  hint measured faster at ≤5M nodes but INVERTED at 16.7M
+  (EXP_SHJ_SF10B.json, pitfall 24), so no hint is pinned.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def copartitioned_cache(
+    frame: DataFrame, key: str, release: Iterable[DataFrame] = ()
+) -> DataFrame:
+    """Materialize a STATIC per-round ``frame`` onto the columnar cache
+    hash-partitioned by ``key`` — the above-gate loop regime. The cache
+    is FILLED (count) before the ``release`` frames (setup checkpoints /
+    the unpartitioned cache the copy derives from) are unpersisted: a
+    checkpointed parent cannot recompute lost blocks, and unpersisting
+    a lazily-cached parent first would silently recompute the child
+    from the source scan. Caller unpersists the returned frame when
+    the loop ends (pitfall 19).
+
+    Local-mode posture (r8 ADVICE, informational): once the parents
+    are released, a LOST cache block is unrecoverable — the lineage
+    runs through truncated checkpoints. MEMORY_AND_DISK spills rather
+    than evicts and a single-JVM local session doesn't lose executors;
+    on a cluster where executor loss matters, pass release=() and keep
+    the parents alive until the loop ends."""
+    spark = frame.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    out = frame.repartition(n_part, key).persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    for parent in release:
+        parent.unpersist()
+    return out
+
+
+def peel_degrees(edge_df: DataFrame) -> DataFrame:
+    """Per-sweep degree table (src, _d) for the k-core peels. Eager
+    localCheckpoint: forces the (persisted) parent edge frame while its
+    own parents are still cached, and truncates the lineage path
+    through the keep filter — the node-sized table is the one that is
+    CHECKPOINTED (no disk cliff at any tested SF) while the edge-sized
+    table rides the columnar cache (pitfall 15: an all-persist loop
+    re-plans ~3^sweeps copies of the base plan)."""
+    return (
+        edge_df.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def peel_filtered_edges(
+    e: DataFrame,
+    deg: DataFrame,
+    keep: DataFrame,
+    k: int,
+    prev_nodes: int,
+    removed_cnt: int,
+    bcast_max: int,
+) -> DataFrame:
+    """One peel sweep's edge filtering under the three-way size regime
+    (shared by kcore_peel and kcore_numbers; EXP_KCORE_NUMBERS.json):
+
+    - ``prev_nodes`` under the gate: broadcast the keep set into both
+      semi-joins (under the gate the keep semi-join measured faster
+      than a removed-side anti even when removed is smaller).
+    - keep too big but REMOVED under the gate: broadcast anti-join on
+      the removed side — answer-identical (keep ∪ removed partitions
+      deg) and replaces two full edge-list shuffles (the sf10 regime,
+      where every level's node set exceeds the gate).
+    - both over the gate: the semi-joins shuffle, as they must.
+
+    Returns the new edge frame persisted on the columnar cache; the
+    caller forces it (via peel_degrees' eager checkpoint) before
+    unpersisting the dead round."""
+    _lvl = StorageLevel.MEMORY_AND_DISK
+    if prev_nodes <= bcast_max:
+        return (
+            e.join(F.broadcast(keep), "src", "left_semi")
+            .join(
+                F.broadcast(keep.select(F.col("src").alias("dst"))),
+                "dst",
+                "left_semi",
+            )
+            .select("src", "dst")
+            .persist(_lvl)
+        )
+    if removed_cnt <= bcast_max:
+        rem = F.broadcast(deg.filter(F.col("_d") < k).select("src"))
+        return (
+            e.join(rem, "src", "left_anti")
+            .join(rem.select(F.col("src").alias("dst")), "dst", "left_anti")
+            .select("src", "dst")
+            .persist(_lvl)
+        )
+    return (
+        e.join(keep, "src", "left_semi")
+        .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+        .select("src", "dst")
+        .persist(_lvl)
+    )

@@ -813,13 +813,11 @@ def connected_components(
     # already — unchanged.
     big = labels.count() > _CC_SHJ_MIN
     if big:
-        n_part = int(both.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        base = both  # unpartitioned cache: released once the copy is live
-        both = both.repartition(n_part, "dst").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        both.count()  # fill the copartitioned cache while base is alive
-        base.unpersist()
+        # shared copartitioned-cache regime (operators._iterloop): the
+        # unpartitioned cache is released once the copy is live
+        from ._iterloop import copartitioned_cache
+
+        both = copartitioned_cache(both, "dst", release=(both,))
     for _ in range(max_iter):
         nbr_min = (
             both.join(labels, both.dst == labels.id)

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._iterloop import copartitioned_cache, peel_degrees, peel_filtered_edges
+
 __all__ = [
     "pagerank_ppm",
     "triangle_count",
@@ -38,16 +40,33 @@ def pagerank_ppm(
     edges: DataFrame,
     iterations: int = 3,
     damping_pct: int = 85,
+    dangling: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over directed ``edges`` (src, dst)
     columns, ranks in exact integer ppm.
 
     Per iteration: each node sends ``rank_ppm DIV outdeg`` along its
     out-edges; a node's new rank is
-    ``((100-d)*teleport + d*incoming) DIV 100``. Every node must have
-    at least one out-edge and one in-edge (callers with undirected
-    graphs add both directions — dangling-node mass redistribution is a
-    caller-side extension).
+    ``((100-d)*teleport + d*incoming) DIV 100``. With the default
+    ``dangling=False`` every node must have at least one out-edge and
+    one in-edge (callers with undirected graphs add both directions) —
+    the fast path: the node set IS deg's src set, no distinct() pass
+    over the edge frame, no per-round left join.
+
+    ``dangling=True`` is the real-web-graph mode: the node set is
+    src ∪ dst, nodes with no out-edge (danglers) hold their rank
+    rather than sending it, and each round that held mass is
+    redistributed uniformly — the standard formulation,
+    ``new = (keep*teleport + d*(incoming + dangling_mass DIV n)) DIV
+    100`` in exact integer ppm. Costs per round, on top of the fast
+    path: ONE scalar aggregate over the node-sized rank table (the
+    dangling mass — a single BIGINT crosses the driver; the dangler
+    flag is a static boolean column on the node table, no per-round
+    membership join) and one node-keyed left join folding incoming
+    contributions into the FULL node table (a node with no in-edge
+    gets teleport + its share — it is not silently dropped). Setup
+    adds the one distinct() pass over the edge frame that the fast
+    path's contract exists to avoid.
 
     Scale shape: per iteration one join (edges ⋈ ranks) and one
     dst-keyed aggregation with map-side partial sums; lineage is
@@ -70,29 +89,45 @@ def pagerank_ppm(
     # per iteration — measured 2× per round at sf1. The edge list is
     # the algorithm's working set, small relative to its source tables.
     raw = edges.localCheckpoint(eager=True)
-    # the NODE-SIZED degree table is the hub of the setup: its src set
-    # IS the node set (every node has >= 1 out-edge by contract), so
-    # the node count and the initial rank table both derive from it —
-    # no distinct() pass over the edge frame. Checkpointed because it
-    # is referenced three times (count, ranks init, pre-join) and a
-    # node-sized checkpoint has no disk cliff (pitfall 20 discipline).
+    # the NODE-SIZED degree table is the hub of the setup: on the fast
+    # path its src set IS the node set (every node has >= 1 out-edge by
+    # contract), so the node count and the initial rank table both
+    # derive from it — no distinct() pass over the edge frame.
+    # Checkpointed because it is referenced three times (count, ranks
+    # init, pre-join) and a node-sized checkpoint has no disk cliff
+    # (pitfall 20 discipline).
     deg = (
         raw.groupBy("src")
         .agg(F.count(F.lit(1)).alias("outdeg"))
         .localCheckpoint(eager=True)
     )
-    n_nodes = deg.count()
+    nodes = None
+    if dangling:
+        # full node set with a STATIC dangler flag (outdeg of the left
+        # join is null exactly for nodes with no out-edge) — the flag
+        # rides the rank table so the per-round dangling-mass aggregate
+        # needs no membership join
+        nodes = (
+            raw.select(F.col("src").alias("node"))
+            .unionAll(raw.select(F.col("dst").alias("node")))
+            .distinct()
+            .join(deg.select(F.col("src").alias("node"), "outdeg"), "node", "left")
+            .select("node", F.col("outdeg").isNull().alias("is_dang"))
+            .localCheckpoint(eager=True)
+        )
+        n_nodes = nodes.count()
+    else:
+        n_nodes = deg.count()
     small = n_nodes <= _KEEP_BCAST_MAX
     teleport = 1_000_000 // max(n_nodes, 1)
     keep = 100 - damping_pct
     # ranks materializes BEFORE the checkpointed inputs are released
     # below — a checkpointed frame cannot recompute lost blocks (its
     # lineage is truncated by design)
-    ranks = (
-        deg.select(F.col("src").alias("node"))
-        .withColumn("rank_ppm", F.lit(teleport).cast("long"))
-        .localCheckpoint(eager=True)
-    )
+    rank_src = nodes if dangling else deg.select(F.col("src").alias("node"))
+    ranks = rank_src.withColumn(
+        "rank_ppm", F.lit(teleport).cast("long")
+    ).localCheckpoint(eager=True)
     # pre-join outdeg into the edge list ONCE: the loop then does one
     # join + one aggregation per iteration instead of two joins (deg
     # would otherwise be recomputed and re-joined every round). The
@@ -108,22 +143,17 @@ def pagerank_ppm(
     if small:
         # below the gate the loop references the pre-join per round
         # with no cache over it — materialize it once (node counts at
-        # this scale sit under the disk cliff)
+        # this scale sit under the disk cliff), then release the setup
+        # checkpoints (pitfall 19: unreleased handles leak blocks for
+        # the session lifetime)
         edges = pre.localCheckpoint(eager=True)
+        raw.unpersist()
+        deg.unpersist()
     else:
-        from pyspark.storagelevel import StorageLevel
-
-        spark = raw.sparkSession
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        edges = pre.repartition(n_part, "src").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        edges.count()  # fill the columnar cache while raw is alive
-    # release the setup checkpoints now that the working set is
-    # materialized (pitfall 19: unreleased handles leak blocks for the
-    # session lifetime)
-    raw.unpersist()
-    deg.unpersist()
+        # above the gate: the shared copartitioned-cache regime
+        # (operators._iterloop) — each round's join reuses the cached
+        # src partitioning and exchanges only the node-sized rank table
+        edges = copartitioned_cache(pre, "src", release=(raw, deg))
     for _ in range(iterations):
         # above the gate the contribution join is left to the planner
         # (SortMergeJoin over the copartitioned cache). A SHUFFLE_HASH
@@ -136,6 +166,15 @@ def pagerank_ppm(
         # regime flip inside the gated band, so the hint's win window
         # is too narrow and host-dependent to pin (EXP_SHJ.json,
         # EXP_SHJ_SF10B.json; pitfall 24).
+        dang_term = 0
+        if dangling:
+            # the round's held mass: one scalar crosses the driver
+            dmass = int(
+                ranks.filter("is_dang")
+                .agg(F.coalesce(F.sum("rank_ppm"), F.lit(0)).alias("m"))
+                .collect()[0]["m"]
+            )
+            dang_term = dmass // max(n_nodes, 1)
         r = F.broadcast(ranks) if small else ranks
         contribs = (
             edges.join(r, edges.src == r.node)
@@ -144,20 +183,42 @@ def pagerank_ppm(
                 F.expr("rank_ppm DIV outdeg").alias("c"),
             )
         )
-        new_ranks = (
-            contribs.groupBy("node")
-            .agg(
-                F.expr(
-                    f"CAST(({keep} * {teleport} + {damping_pct} * sum(c)) DIV 100 AS BIGINT)"
-                ).alias("rank_ppm")
-            )
-            .localCheckpoint(eager=True)
+        incoming = contribs.groupBy("node").agg(
+            F.coalesce(F.sum("c"), F.lit(0)).alias("_inc")
         )
+        if dangling:
+            # fold votes into the FULL node table: no-in-edge nodes
+            # keep teleport + share instead of vanishing
+            if small:
+                incoming = F.broadcast(incoming)
+            new_ranks = (
+                nodes.join(incoming, "node", "left")
+                .select(
+                    "node",
+                    "is_dang",
+                    F.expr(
+                        f"CAST(({keep} * {teleport} + {damping_pct} * "
+                        f"(coalesce(_inc, 0) + {dang_term})) DIV 100 AS BIGINT)"
+                    ).alias("rank_ppm"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        else:
+            new_ranks = incoming.select(
+                "node",
+                F.expr(
+                    f"CAST(({keep} * {teleport} + {damping_pct} * _inc) "
+                    "DIV 100 AS BIGINT)"
+                ).alias("rank_ppm"),
+            ).localCheckpoint(eager=True)
         ranks.unpersist()  # pitfall 19: release the dead round's blocks
         ranks = new_ranks
     # the returned ranks are self-contained (checkpointed); the edge
     # working set can be released too
     edges.unpersist()
+    if dangling:
+        nodes.unpersist()
+        return ranks.select("node", "rank_ppm")
     return ranks
 
 
@@ -279,18 +340,11 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     small = labels.count() <= _KEEP_BCAST_MAX  # node count: driver scalar
-    base = None
     if not small:
-        from pyspark.storagelevel import StorageLevel
-
-        spark = edges.sparkSession
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        base = edges  # the row-serialized checkpoint: released below
-        edges = edges.repartition(n_part, "src").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        edges.count()  # fill the columnar cache while base is alive
-        base.unpersist()  # 120 M-edge row blocks released before round 1
+        # shared copartitioned-cache regime (operators._iterloop): the
+        # 120 M-edge row-serialized checkpoint is released before
+        # round 1, once the columnar cache is filled
+        edges = copartitioned_cache(edges, "src", release=(edges,))
     for _ in range(iterations):
         lbl = F.broadcast(labels) if small else labels
         votes = (
@@ -392,18 +446,8 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     table rides the columnar cache."""
     from pyspark.storagelevel import StorageLevel
 
-    _lvl = StorageLevel.MEMORY_AND_DISK
-    e = edges.select("src", "dst").persist(_lvl)
+    e = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
     spark = edges.sparkSession
-
-    def _deg(edge_df):
-        # eager localCheckpoint: forces the (persisted) parent edge
-        # frame too, and truncates the lineage path through keep
-        return (
-            edge_df.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("_d"))
-            .localCheckpoint(eager=True)
-        )
 
     def _stats(deg_df):
         row = deg_df.agg(
@@ -413,7 +457,7 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
         return int(row["n"]), int(row["m"])
 
     out = []
-    deg = _deg(e)
+    deg = peel_degrees(e)
     prev_nodes, prev_edges = _stats(deg)  # seed: a no-op round 1 also certifies
     for r in range(1, rounds + 1):
         keep = deg.filter(F.col("_d") >= k).select("src")
@@ -429,40 +473,11 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
                 (rr, prev_nodes, prev_edges) for rr in range(r, rounds + 1)
             )
             break
-        removed_cnt = prev_nodes - keep_cnt
-        if prev_nodes <= _KEEP_BCAST_MAX:
-            # size-gated keep broadcast (under the gate the semi-join
-            # measured faster than a removed-side anti even when
-            # removed is smaller — EXP_KCORE_NUMBERS.json sf1)
-            e_new = (
-                e.join(F.broadcast(keep), "src", "left_semi")
-                .join(
-                    F.broadcast(keep.select(F.col("src").alias("dst"))),
-                    "dst",
-                    "left_semi",
-                )
-                .select("src", "dst")
-                .persist(_lvl)
-            )
-        elif removed_cnt <= _KEEP_BCAST_MAX:
-            # keep too big to broadcast, REMOVED not: broadcast anti on
-            # the removed side replaces two full edge-list shuffles
-            # (answer-identical — keep ∪ removed partitions deg)
-            rem = F.broadcast(deg.filter(F.col("_d") < k).select("src"))
-            e_new = (
-                e.join(rem, "src", "left_anti")
-                .join(rem.select(F.col("src").alias("dst")), "dst", "left_anti")
-                .select("src", "dst")
-                .persist(_lvl)
-            )
-        else:
-            e_new = (
-                e.join(keep, "src", "left_semi")
-                .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
-                .select("src", "dst")
-                .persist(_lvl)
-            )
-        deg_new = _deg(e_new)  # degrees of the NEW e: next round's input AND this round's stats
+        # size-regime-gated sweep filtering: operators._iterloop
+        e_new = peel_filtered_edges(
+            e, deg, keep, k, prev_nodes, prev_nodes - keep_cnt, _KEEP_BCAST_MAX
+        )
+        deg_new = peel_degrees(e_new)  # degrees of the NEW e: next round's input AND this round's stats
         # _deg's eager checkpoint already FORCED e_new + deg_new while
         # the parents were still cached (persist is lazy; unpersisting
         # first would recompute the round from the source scan) …
@@ -538,8 +553,7 @@ def kcore_numbers(
     confirmations (the r8 experiment, tools/exp_kcore_numbers.py)."""
     from pyspark.storagelevel import StorageLevel
 
-    _lvl = StorageLevel.MEMORY_AND_DISK
-    e = edges.select("src", "dst").persist(_lvl)
+    e = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
     # node-sized tables (cores, degrees) are localCheckpoint'd — the
     # kcore_peel pitfall-15 discipline: truncating their lineage keeps
     # e's plan growth LINEAR in sweeps (an all-persist loop re-plans
@@ -552,15 +566,7 @@ def kcore_numbers(
         .localCheckpoint(eager=True)
     )
 
-    def _deg(edge_df):
-        # eager: forces the persisted parent edge frame too
-        return (
-            edge_df.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("_d"))
-            .localCheckpoint(eager=True)
-        )
-
-    deg = _deg(e)
+    deg = peel_degrees(e)
     seed = deg.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum("_d"), F.lit(0)).alias("m"),
@@ -581,47 +587,17 @@ def kcore_numbers(
             keep_cnt = keep.count()
             if keep_cnt == prev_nodes:
                 break  # level fixed point: zero edge work
-            removed_cnt = prev_nodes - keep_cnt
-            if prev_nodes <= _KEEP_BCAST_MAX:
-                # size-gated broadcast: see _KEEP_BCAST_MAX (under the
-                # gate the keep semi-join measured faster than a
-                # removed-side anti even when removed is smaller —
-                # EXP_KCORE_NUMBERS.json sf1)
-                e_new = (
-                    e.join(F.broadcast(keep), "src", "left_semi")
-                    .join(
-                        F.broadcast(keep.select(F.col("src").alias("dst"))),
-                        "dst",
-                        "left_semi",
-                    )
-                    .select("src", "dst")
-                    .persist(_lvl)
-                )
-            elif removed_cnt <= _KEEP_BCAST_MAX:
-                # keep is too big to broadcast but REMOVED is not: a
-                # broadcast anti-join on the removed side replaces two
-                # full edge-list shuffles (answer-identical — keep ∪
-                # removed partitions deg; the sf10 regime where every
-                # level's node set exceeds the gate)
-                rem = F.broadcast(deg.filter(F.col("_d") < k).select("src"))
-                e_new = (
-                    e.join(rem, "src", "left_anti")
-                    .join(
-                        rem.select(F.col("src").alias("dst")), "dst", "left_anti"
-                    )
-                    .select("src", "dst")
-                    .persist(_lvl)
-                )
-            else:
-                e_new = (
-                    e.join(keep, "src", "left_semi")
-                    .join(
-                        keep.select(F.col("src").alias("dst")), "dst", "left_semi"
-                    )
-                    .select("src", "dst")
-                    .persist(_lvl)
-                )
-            deg_new = _deg(e_new)  # eager: forces e_new while parents live
+            # size-regime-gated sweep filtering: operators._iterloop
+            e_new = peel_filtered_edges(
+                e,
+                deg,
+                keep,
+                k,
+                prev_nodes,
+                prev_nodes - keep_cnt,
+                _KEEP_BCAST_MAX,
+            )
+            deg_new = peel_degrees(e_new)  # eager: forces e_new while parents live
             st = deg_new.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.coalesce(F.sum("_d"), F.lit(0)).alias("m"),

@@ -282,6 +282,64 @@ def test_pagerank_ppm_path_golden(spark):
     assert got["b"] > got["a"]
 
 
+def _pagerank_dangling_python(edges, iterations, damping=85):
+    """Pure-Python unroll of pagerank_ppm(dangling=True)'s documented
+    recurrence — the closed form the Spark result must match exactly."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    outdeg = {}
+    for a, _ in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    n = len(nodes)
+    tp = 1_000_000 // n
+    keep = 100 - damping
+    rank = {v: tp for v in nodes}
+    for _ in range(iterations):
+        dmass = sum(rank[v] for v in nodes if v not in outdeg)
+        share = dmass // n
+        inc = {v: 0 for v in nodes}
+        for a, b in edges:
+            inc[b] += rank[a] // outdeg[a]
+        rank = {
+            v: (keep * tp + damping * (inc[v] + share)) // 100 for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_ppm_dangling_closed_form(spark):
+    from lrmr_spark.operators.graph import pagerank_ppm
+
+    # directed: node 1 has NO in-edge (must still get a row), node 3
+    # has NO out-edge (dangler: holds its mass, redistributed uniformly)
+    edges = [(1, 2), (1, 3), (2, 3), (2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 3):
+        got = {
+            r["node"]: r["rank_ppm"]
+            for r in pagerank_ppm(df, iters, dangling=True).collect()
+        }
+        assert got == _pagerank_dangling_python(edges, iters)
+    # mass sanity after 3 rounds: every node present, all ranks positive
+    assert set(got) == {1, 2, 3} and all(v > 0 for v in got.values())
+
+
+def test_pagerank_ppm_dangling_equals_fast_path_on_symmetric(spark):
+    # on a symmetric graph there are no danglers and every node has an
+    # in-edge: the dangling=True mode must reproduce the fast path
+    # bit-identically (share term is 0, the left join never coalesces)
+    from lrmr_spark.operators.graph import pagerank_ppm
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "d"), ("d", "c")],
+        "src string, dst string",
+    )
+    fast = {r["node"]: r["rank_ppm"] for r in pagerank_ppm(edges, 3).collect()}
+    dang = {
+        r["node"]: r["rank_ppm"]
+        for r in pagerank_ppm(edges, 3, dangling=True).collect()
+    }
+    assert fast == dang
+
+
 def test_two_phase_rank_and_cumsum_match_naive_window(spark):
     # the two-phase distributed forms must equal the single-partition
     # window formulation exactly, including ties broken by the id
