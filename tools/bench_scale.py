@@ -69,6 +69,9 @@ def main() -> None:
         raise SystemExit(f"unknown queries: {missing}")
 
     spark = get_spark("bench-scale")
+    import hostcal
+
+    cal = hostcal.host_cal(spark)  # before the timed work (r8 task 8)
     times: dict[str, dict[str, float]] = {n: {} for n in names}
     rows: dict[str, dict[str, int]] = {n: {} for n in names}
     for d in dirs:
@@ -109,6 +112,8 @@ def main() -> None:
             t: round(sum(times[n][t] for n in names), 3)
             for t in (tag_a, tag_b)
         },
+        "host_cal": cal,
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
     }
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)

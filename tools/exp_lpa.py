@@ -126,6 +126,9 @@ def main() -> None:
         args = args[:i] + args[i + 2:]
     dirs = args or ["/root/repo/.scratch/sf1"]
     spark = get_spark("exp-lpa")
+    import hostcal
+
+    cal = hostcal.host_cal(spark)  # self-describing artifact (r8 task 8)
     spark.range(1000).selectExpr("sum(id)").collect()
     results: dict[str, dict] = {}
     variants = [(n, f) for n, f in VARIANTS if only is None or n in only]
@@ -154,6 +157,7 @@ def main() -> None:
         "iterations": ITERATIONS,
         "protocol": "per variant per dir: 1 warm+verify + 2 timed, min recorded",
         "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "host_cal": cal,
         "variants": results,
     }
     with open(out_path, "w") as f:

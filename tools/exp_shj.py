@@ -276,6 +276,9 @@ def main() -> None:
         args = args[:i] + args[i + 2:]
     dirs = args or ["/root/repo/.scratch/sf1"]
     spark = get_spark("exp-shj")
+    import hostcal
+
+    cal = hostcal.host_cal(spark)  # self-describing artifact (r8 task 8)
     if bcast is not None:
         # model the 100×-scale regime at a small SF: above the gate no
         # node-sized table is broadcastable, but a mid-SF node table can
@@ -328,6 +331,7 @@ def main() -> None:
         ),
         "autoBroadcastJoinThreshold": bcast or "session default (64 MB)",
         "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "host_cal": cal,
         "ops": results,
     }
     with open(out_path, "w") as f:

@@ -55,6 +55,9 @@ def main() -> None:
     out_path = sys.argv[1]
     dirs = sys.argv[2:] or ["/root/repo/.scratch/sf1"]
     spark = get_spark("exp-winnowing-serve")
+    import hostcal
+
+    cal = hostcal.host_cal(spark)  # self-describing artifact (r8 task 8)
     spark.range(1000).selectExpr("sum(id)").collect()
     results: dict[str, dict] = {}
     for sf_dir in dirs:
@@ -107,6 +110,7 @@ def main() -> None:
         "batch_docs": BATCH_DOCS,
         "protocol": "index build excluded; 1 warm+verify + 2 timed per path per dir, min recorded",
         "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "host_cal": cal,
         "paths": results,
     }
     with open(out_path, "w") as f:
