@@ -12,9 +12,24 @@ non-portable fast path (xxhash64) is offered where noted.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Serving-path broadcast gate for the banned-fingerprint frame (the
+# over-max_df template noise anti-joined out of a match batch). On any
+# sane corpus `df > max_df` keeps it boilerplate-sized, but a
+# pathological template-heavy corpus grows it without bound — so the
+# broadcast is gated on a driver-known count (one pushed-filter scan of
+# the narrow df side table) instead of assumed, mirroring graph.py's
+# _KEEP_BCAST_MAX pattern. Above the gate the anti-join runs as a
+# regular shuffle join. Env override exists so tests can force the
+# big-banned path on toy data.
+_BANNED_BCAST_MAX = int(
+    os.environ.get("LRMR_SPARK_WINNOW_BANNED_BCAST_MAX", 2_000_000)
+)
 
 __all__ = [
     "tokens",
@@ -703,11 +718,18 @@ def match_winnowing_index(
             .filter(F.col("df") > max_df)
             .select("fp")
         )
+        # driver-known count gate: the df table is (fp, df) with the
+        # df > max_df filter pushed to the scan, so this count is one
+        # cheap narrow job. Under the gate the banned set broadcasts;
+        # above it the anti-join falls back to a shuffle join rather
+        # than betting executor memory on a template-heavy corpus.
+        if banned.count() <= _BANNED_BCAST_MAX:
+            banned = F.broadcast(banned)
         stored = spark.read.parquet(f"{path}/postings").select(
             F.col("id").alias("base_id"), "fp"
         )
         return (
-            F.broadcast(batch.join(F.broadcast(banned), "fp", "left_anti"))
+            F.broadcast(batch.join(banned, "fp", "left_anti"))
             .join(stored, "fp")
             .groupBy("new_id", "base_id")
             .agg(F.count_distinct("fp").cast("bigint").alias("n_shared"))

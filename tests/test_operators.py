@@ -3036,6 +3036,38 @@ def test_winnowing_index_df_table_equals_read_time_window(spark, tmp_path):
     assert both()  # df = 7 again: banned once more
 
 
+def test_winnowing_banned_bcast_gate_equivalence(spark, tmp_path, monkeypatch):
+    """The serving path's banned-fp broadcast is gated on a
+    driver-known count of the df side table; forcing the gate to the
+    shuffle-anti-join side (threshold -1, so even one banned fp is
+    'too big' to broadcast) must give byte-identical matches."""
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} x{i} y{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, f"{boiler} unique2 x2 y2")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "gateidx")
+    # max_df=5 with 8 docs: the boilerplate fingerprints are banned,
+    # so the gate decision actually has a non-empty frame to route
+    TX.write_winnowing_index(docs, path, "doc_id", "text", max_df=5)
+
+    def matches():
+        return {
+            (r["new_id"], r["base_id"], r["n_shared"])
+            for r in TX.match_winnowing_index(
+                batch, path, "doc_id", "text", min_shared=1
+            ).collect()
+        }
+
+    bcast = matches()
+    assert {b for _, b, _ in bcast} == {2}  # boilerplate banned, unique2 pairs
+    monkeypatch.setattr(TX, "_BANNED_BCAST_MAX", -1)
+    assert matches() == bcast
+
+
 def test_winnowing_index_bootstraps_df_for_pre_df_index(spark, tmp_path):
     """Appending to an index written BEFORE the df side table existed
     must bootstrap the table from the full postings — merging a delta
