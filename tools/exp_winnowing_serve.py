@@ -13,24 +13,40 @@ fallback, at each SF dir.
         fp-keyed count window + join — the full-index exchange the
         side table exists to delete)
 
-Match answers are verified identical before timing. The INDEX BUILD is
-outside the timed region — the experiment isolates the per-call serving
-cost, which is what a decontamination service pays per submission.
+Two corpus arms per dir (r8 verdict task 4: the bare arm measured a
+0-match join at sf1/sf10 — the synthetic corpus has no cross-doc
+shared runs at that scale, so the pairing join and the df cap were
+never value-exercised by the scale numbers):
+
+  bare     the corpus as generated (comparable to the r8 artifact)
+  planted  every indexed doc gets a fixed boilerplate sentence
+           appended (its fingerprints exceed max_df → the banned set
+           is non-empty and the df-cap anti-join prunes real rows),
+           and every batch doc gets the FULL TEXT of its even
+           neighbor (doc_id−1, always indexed) cloned in — so each
+           batch doc shares a long verbatim run with ≥1 stored doc
+           and n_matches > 0 with real pairing fanout.
+
+Match answers are verified identical (fast == slow) per arm before
+timing. The INDEX BUILD is outside the timed region — the experiment
+isolates the per-call serving cost, which is what a decontamination
+service pays per submission.
 
 Usage: python tools/exp_winnowing_serve.py OUT.json SF_DIR [SF_DIR...]
-Protocol: 1 warm+verify + 2 timed per path per dir, min recorded.
+Protocol: 1 warm+verify + 2 timed per path per arm per dir, min
+recorded.
 
-MEASURED (EXP_WINNOWING_SERVE.json, stated honestly): there is a
-CROSSOVER. At toy index sizes the window fallback is cheaper (sf0.1,
-51k postings: 0.83 vs 1.10 s — the fast path pays two extra jobs for
-the banned-set read and the broadcast build). The fast path wins from
-sf1 up and grows with the SCAN, not the shuffle: sf1 (593k postings)
-1.10 vs 1.22 s; sf10 (6.8M) 1.69 vs 1.83 s min-of-2 and 1.68 vs 3.24 s
-first-run — 11.5× more postings cost the fast path 1.5× and the window
-path's first-run 2.7×. At a 100 TB index the window path re-shuffles
-the entire posting table per serving call while the fast path stays a
-narrow broadcast-probed scan; the df side table is what makes the
-serving cost independent of index-wide distinct/exchange work.
+MEASURED (EXP_WINNOWING_SERVE.json, r8, bare arm, stated honestly):
+there is a CROSSOVER. At toy index sizes the window fallback is
+cheaper (sf0.1, 51k postings: 0.83 vs 1.10 s — the fast path pays two
+extra jobs for the banned-set read and the broadcast build). The fast
+path wins from sf1 up and grows with the SCAN, not the shuffle: sf1
+(593k postings) 1.10 vs 1.22 s; sf10 (6.8M) 1.69 vs 1.83 s min-of-2
+and 1.68 vs 3.24 s first-run. At a 100 TB index the window path
+re-shuffles the entire posting table per serving call while the fast
+path stays a narrow broadcast-probed scan. r9's planted arm
+(EXP_WINNOWING_SERVE_r9.json) repeats the comparison with a non-empty
+match join and a non-empty banned set.
 """
 
 from __future__ import annotations
@@ -49,6 +65,13 @@ from lrmr_spark.session import get_spark
 from lrmr_spark.tables import load
 
 BATCH_DOCS = 200  # the bounded serving batch (a submission burst)
+# ~20 fixed tokens: long enough to survive winnowing selection into
+# multiple fingerprints, appended to EVERY indexed doc so its fps'
+# df = n_indexed_docs >> max_df (banned)
+BOILER = (
+    "standard corpus header line alpha beta gamma delta epsilon zeta "
+    "eta theta iota kappa lambda mu nu xi omicron pi"
+)
 
 
 def main() -> None:
@@ -63,52 +86,97 @@ def main() -> None:
     for sf_dir in dirs:
         tag = os.path.basename(os.path.normpath(sf_dir))
         d = load(spark, sf_dir, "documents")
-        idx = os.path.join("/root/repo/.scratch", f"winserve_{tag}")
-        if not os.path.exists(os.path.join(idx, "_meta")):
-            # two epochs so the stored side is genuinely multi-epoch
-            TX.write_winnowing_index(
-                d.filter(F.col("doc_id") % 4 == 0), idx, "doc_id", "text",
-                epoch=0,
+        for arm in ("bare", "planted"):
+            if arm == "bare":
+                corpus = d
+                batch = (
+                    d.filter(F.col("doc_id") % 2 == 1)
+                    .orderBy("doc_id")
+                    .limit(BATCH_DOCS)
+                )
+            else:
+                corpus = d.withColumn(
+                    "text", F.concat_ws(" ", F.col("text"), F.lit(BOILER))
+                )
+                even = d.select(
+                    F.col("doc_id").alias("src_id"),
+                    F.col("text").alias("src_text"),
+                )
+                batch = (
+                    d.filter(F.col("doc_id") % 2 == 1)
+                    .join(even, F.col("doc_id") - 1 == F.col("src_id"))
+                    .select(
+                        "doc_id",
+                        F.concat_ws(
+                            " ", F.col("text"), F.col("src_text"),
+                            F.lit(BOILER),
+                        ).alias("text"),
+                    )
+                    .orderBy("doc_id")
+                    .limit(BATCH_DOCS)
+                )
+            batch = batch.localCheckpoint(eager=True)
+            idx = os.path.join(
+                "/root/repo/.scratch", f"winserve_{arm}_{tag}"
             )
-            TX.write_winnowing_index(
-                d.filter(F.col("doc_id") % 4 == 2), idx, "doc_id", "text",
-                epoch=1,
+            if not os.path.exists(os.path.join(idx, "_meta")):
+                # two epochs so the stored side is genuinely multi-epoch
+                TX.write_winnowing_index(
+                    corpus.filter(F.col("doc_id") % 4 == 0), idx,
+                    "doc_id", "text", epoch=0,
+                )
+                TX.write_winnowing_index(
+                    corpus.filter(F.col("doc_id") % 4 == 2), idx,
+                    "doc_id", "text", epoch=1,
+                )
+            n_post = spark.read.parquet(f"{idx}/postings").count()
+            max_df = int(TX._read_winnowing_meta(spark, idx)["max_df"])
+            n_banned = (
+                spark.read.parquet(f"{idx}/df")
+                .filter(F.col("df") > max_df)
+                .count()
             )
-        batch = d.filter(F.col("doc_id") % 2 == 1).orderBy("doc_id").limit(
-            BATCH_DOCS
-        ).localCheckpoint(eager=True)
-        n_post = spark.read.parquet(f"{idx}/postings").count()
 
-        def run(use_df: bool):
-            return TX.match_winnowing_index(
-                batch, idx, "doc_id", "text", min_shared=2,
-                use_df_table=use_df,
-            )
+            def run(use_df: bool):
+                return TX.match_winnowing_index(
+                    batch, idx, "doc_id", "text", min_shared=2,
+                    use_df_table=use_df,
+                )
 
-        golden = None
-        for name, use_df in (("fast_df_table", True), ("slow_window", False)):
-            rows = sorted(map(tuple, run(use_df).collect()))  # warm+verify
-            if golden is None:
-                golden = rows
-            elif rows != golden:
-                raise AssertionError(f"{name} diverges at {tag}")
-            secs = []
-            for _ in range(2):
-                t0 = time.time()
-                run(use_df).count()
-                secs.append(round(time.time() - t0, 3))
-            results.setdefault(name, {})[tag] = {
-                "min_sec": min(secs),
-                "runs": secs,
-                "n_matches": len(rows),
-                "index_postings": n_post,
-            }
-            print(f"{name} @ {tag}: {secs} (postings={n_post})",
-                  file=sys.stderr, flush=True)
+            golden = None
+            for name, use_df in (
+                ("fast_df_table", True), ("slow_window", False)
+            ):
+                rows = sorted(map(tuple, run(use_df).collect()))
+                if golden is None:
+                    golden = rows
+                elif rows != golden:
+                    raise AssertionError(f"{name}/{arm} diverges at {tag}")
+                if arm == "planted" and not rows:
+                    raise AssertionError(
+                        f"planted arm produced 0 matches at {tag}"
+                    )
+                secs = []
+                for _ in range(2):
+                    t0 = time.time()
+                    run(use_df).count()
+                    secs.append(round(time.time() - t0, 3))
+                results.setdefault(name, {}).setdefault(arm, {})[tag] = {
+                    "min_sec": min(secs),
+                    "runs": secs,
+                    "n_matches": len(rows),
+                    "index_postings": n_post,
+                    "banned_fps": n_banned,
+                }
+                print(
+                    f"{name}/{arm} @ {tag}: {secs} (postings={n_post}, "
+                    f"matches={len(rows)}, banned={n_banned})",
+                    file=sys.stderr, flush=True,
+                )
     payload = {
-        "experiment": "winnowing index serving path: df side table vs read-time window (r8)",
+        "experiment": "winnowing serving path: df side table vs read-time window, bare vs planted overlap (r9)",
         "batch_docs": BATCH_DOCS,
-        "protocol": "index build excluded; 1 warm+verify + 2 timed per path per dir, min recorded",
+        "protocol": "index build excluded; 1 warm+verify + 2 timed per path per arm per dir, min recorded",
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "host_cal": cal,
         "paths": results,
