@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ._iterloop import copartitioned_cache, peel_degrees, peel_filtered_edges
+from ._iterloop import (
+    adjacency_cache,
+    copartitioned_cache,
+    peel_degrees,
+    peel_filtered_edges,
+)
 
 __all__ = [
     "pagerank_ppm",
@@ -50,8 +55,8 @@ def pagerank_ppm(
     ``((100-d)*teleport + d*incoming) DIV 100``. With the default
     ``dangling=False`` every node must have at least one out-edge and
     one in-edge (callers with undirected graphs add both directions) —
-    the fast path: the node set IS deg's src set, no distinct() pass
-    over the edge frame, no per-round left join.
+    the fast path: the node set IS the adjacency frame's src set, no
+    distinct() pass over the edge frame, no per-round left join.
 
     ``dangling=True`` is the real-web-graph mode: the node set is
     src ∪ dst, nodes with no out-edge (danglers) hold their rank
@@ -68,41 +73,42 @@ def pagerank_ppm(
     adds the one distinct() pass over the edge frame that the fast
     path's contract exists to avoid.
 
-    Scale shape: per iteration one join (edges ⋈ ranks) and one
-    dst-keyed aggregation with map-side partial sums; lineage is
-    truncated per round with localCheckpoint so plans stay flat (same
-    pattern as connected_components). The node count is a driver
-    scalar (one count() over the bounded node set) — the same
-    driver-loop posture as the k-means operator. The node-sized rank
-    table is EXPLICITLY broadcast under the _KEEP_BCAST_MAX gate
+    Scale shape (r9, measured): the working set is the ADJACENCY
+    frame — (src, outdeg, out-neighbor array), one row per node,
+    built with a single edge-sized exchange and cached sorted within
+    partitions (operators._iterloop.adjacency_cache). Per iteration
+    the SortMergeJoin against the rank table streams NODE-count rows
+    on both sides (the cache satisfies the join's distribution AND
+    ordering requirements, so only the node-sized rank table
+    exchanges and sorts), the per-node send (rank DIV outdeg) is
+    computed once per node, and the explode back to edge-count
+    (dst, send) rows happens inside the map stage feeding the partial
+    aggregation — so the only edge-count bytes that cross the wire
+    per round are the post-combiner (dst, partial-sum) pairs of the
+    one true PageRank shuffle. Lineage is truncated per round with a
+    node-sized localCheckpoint so plans stay flat. Measured against
+    the r8 shape (copartitioned flat 3-col edge cache, per-round edge
+    sort): sf10 paired interleaved 37.9 s vs 64.6 s — and the
+    intermediate fix of just sorting the flat cache INVERTED to
+    103.2 s at sf10 (fill-time sort of a 120M-row frame spills where
+    the node-count adjacency sort does not); sf3 13.6 vs 17.9 vs 20.4
+    (EXP_PAGERANK.json, EXP_PAGERANK_SF10.json; fingerprint-identical
+    output across all arms at both SFs). Below the _KEEP_BCAST_MAX
+    node-count gate the rank table is explicitly broadcast instead
     (checkpointed frames carry no size statistics — pitfall 20
-    corollary); ABOVE the gate the STATIC pre-joined edge frame moves
-    onto the columnar cache hash-partitioned by src once, so each
-    round's join reuses the cached partitioning and exchanges only the
-    node-sized rank table — the label_propagation regime switch
-    (tools/exp_lpa.py → EXP_LPA.json: sf10 167.6 → 116.3 s for the
-    columnar cache, best 106.4 s with copartitioning; below the gate
-    the checkpoint + broadcast shape measured faster)."""
-    # materialize the edge list once: it is referenced every iteration
-    # (plus deg/ranks), and each lazy reference would re-evaluate the
-    # caller's whole edge-building subtree (e.g. a lineitem self-join)
-    # per iteration — measured 2× per round at sf1. The edge list is
-    # the algorithm's working set, small relative to its source tables.
-    raw = edges.localCheckpoint(eager=True)
-    # the NODE-SIZED degree table is the hub of the setup: on the fast
-    # path its src set IS the node set (every node has >= 1 out-edge by
-    # contract), so the node count and the initial rank table both
-    # derive from it — no distinct() pass over the edge frame.
-    # Checkpointed because it is referenced three times (count, ranks
-    # init, pre-join) and a node-sized checkpoint has no disk cliff
-    # (pitfall 20 discipline).
-    deg = (
-        raw.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("outdeg"))
-        .localCheckpoint(eager=True)
-    )
-    nodes = None
+    corollary) and the adjacency frame is never exchanged at all.
+
+    100 TB trade, documented: one adjacency row per node bounds row
+    size by the graph's max OUT-degree (in-degree hubs land in the
+    sum aggregate, which is safe). See adjacency_cache's docstring
+    for the chunked-adjacency alternative if out-degree hubs ever
+    dominate a real corpus graph."""
     if dangling:
+        # the input subtree is referenced twice (adjacency build +
+        # src ∪ dst node set) — materialize it once; the fast path
+        # references it exactly once and skips this checkpoint
+        raw = edges.localCheckpoint(eager=True)
+        adj, _ = adjacency_cache(raw)
         # full node set with a STATIC dangler flag (outdeg of the left
         # join is null exactly for nodes with no out-edge) — the flag
         # rides the rank table so the per-round dangling-mass aggregate
@@ -111,61 +117,27 @@ def pagerank_ppm(
             raw.select(F.col("src").alias("node"))
             .unionAll(raw.select(F.col("dst").alias("node")))
             .distinct()
-            .join(deg.select(F.col("src").alias("node"), "outdeg"), "node", "left")
+            .join(
+                adj.select(F.col("src").alias("node"), "outdeg"),
+                "node",
+                "left",
+            )
             .select("node", F.col("outdeg").isNull().alias("is_dang"))
             .localCheckpoint(eager=True)
         )
         n_nodes = nodes.count()
+        raw.unpersist()
     else:
-        n_nodes = deg.count()
+        adj, n_nodes = adjacency_cache(edges)
+        nodes = None
     small = n_nodes <= _KEEP_BCAST_MAX
     teleport = 1_000_000 // max(n_nodes, 1)
     keep = 100 - damping_pct
-    # ranks materializes BEFORE the checkpointed inputs are released
-    # below — a checkpointed frame cannot recompute lost blocks (its
-    # lineage is truncated by design)
-    rank_src = nodes if dangling else deg.select(F.col("src").alias("node"))
+    rank_src = nodes if dangling else adj.select(F.col("src").alias("node"))
     ranks = rank_src.withColumn(
         "rank_ppm", F.lit(teleport).cast("long")
     ).localCheckpoint(eager=True)
-    # pre-join outdeg into the edge list ONCE: the loop then does one
-    # join + one aggregation per iteration instead of two joins (deg
-    # would otherwise be recomputed and re-joined every round). The
-    # pre-join flows DIRECTLY into its per-regime materialization — it
-    # is NOT checkpointed first: above the gate an intermediate
-    # row-serialized checkpoint of the 3-column edge frame was pure
-    # disk tax paid before the columnar cache re-materialized the same
-    # rows (the r8-extension sf10 paired runs measured the lean setup
-    # at 110.4 s vs 213.0 s for the checkpoint-then-cache shape on a
-    # slow-disk host — the kcore disk-cliff lesson applied to SETUP,
-    # not just the loop; EXP_SHJ_SF10.json, pitfall 24 postscript).
-    pre = raw.join(deg, "src").select("src", "dst", "outdeg")
-    if small:
-        # below the gate the loop references the pre-join per round
-        # with no cache over it — materialize it once (node counts at
-        # this scale sit under the disk cliff), then release the setup
-        # checkpoints (pitfall 19: unreleased handles leak blocks for
-        # the session lifetime)
-        edges = pre.localCheckpoint(eager=True)
-        raw.unpersist()
-        deg.unpersist()
-    else:
-        # above the gate: the shared copartitioned-cache regime
-        # (operators._iterloop) — each round's join reuses the cached
-        # src partitioning and exchanges only the node-sized rank table
-        edges = copartitioned_cache(pre, "src", release=(raw, deg))
     for _ in range(iterations):
-        # above the gate the contribution join is left to the planner
-        # (SortMergeJoin over the copartitioned cache). A SHUFFLE_HASH
-        # hint on the rank side — skip the per-round edge-side sort by
-        # hash-building the rank slice — was measured BOTH ways and
-        # REJECTED: it won every interleaved rep at sf3/5M nodes
-        # (min-of-3 19.8 vs 24.1 s against the sorted-cache SMJ shape)
-        # but INVERTED at sf10/16.7M nodes (paired 210.7 vs 167.9 s
-        # for the identical loop without the hint) — a pitfall-22
-        # regime flip inside the gated band, so the hint's win window
-        # is too narrow and host-dependent to pin (EXP_SHJ.json,
-        # EXP_SHJ_SF10B.json; pitfall 24).
         dang_term = 0
         if dangling:
             # the round's held mass: one scalar crosses the driver
@@ -176,13 +148,13 @@ def pagerank_ppm(
             )
             dang_term = dmass // max(n_nodes, 1)
         r = F.broadcast(ranks) if small else ranks
-        contribs = (
-            edges.join(r, edges.src == r.node)
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank_ppm DIV outdeg").alias("c"),
-            )
+        # per-node send computed BEFORE the explode: one DIV per node,
+        # not one per edge; danglers (dangling mode) simply have no
+        # adjacency row and drop out of the inner join
+        sends = adj.join(r, adj.src == r.node).select(
+            "_nbrs", F.expr("rank_ppm DIV outdeg").alias("c")
         )
+        contribs = sends.select(F.explode("_nbrs").alias("node"), "c")
         incoming = contribs.groupBy("node").agg(
             F.coalesce(F.sum("c"), F.lit(0)).alias("_inc")
         )
@@ -213,13 +185,14 @@ def pagerank_ppm(
             ).localCheckpoint(eager=True)
         ranks.unpersist()  # pitfall 19: release the dead round's blocks
         ranks = new_ranks
-    # the returned ranks are self-contained (checkpointed); the edge
-    # working set can be released too
-    edges.unpersist()
+    # the returned ranks are self-contained (checkpointed); the
+    # adjacency working set can be released too
+    adj.unpersist()
     if dangling:
         nodes.unpersist()
         return ranks.select("node", "rank_ppm")
     return ranks
+
 
 
 def triangle_count(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> DataFrame:
