@@ -32,14 +32,6 @@ from .text import distinct_tokens, fingerprint, tokens
 # tools/ab_reps_fusion.py to measure the trade at scale.
 _FUSE_REPS_EXCHANGE = True
 
-# connected_components switches its cache shape above this node count:
-# 4M (id, comp) rows ≈ the session's 64 MB auto-broadcast threshold.
-# Below it the checkpointed label table broadcasts off its propagated
-# stats and the plain cache is exchange-free; above it the edge cache
-# is hash-partitioned by the join key once so only the node-sized
-# label table exchanges per round (pitfall 24, EXP_SHJ_HASHMIN.json).
-_CC_SHJ_MIN = 4_000_000
-
 __all__ = [
     "exact_dedup",
     "tokenset_dedup",
@@ -778,50 +770,44 @@ def connected_components(
         return _connected_components_star(pairs, a_col, b_col, max_iter)
     if algorithm != "hashmin":
         raise ValueError(f"unknown algorithm {algorithm!r} ('hashmin' or 'star')")
-    from pyspark.storagelevel import StorageLevel
-
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    # the symmetrized edge list is STATIC across rounds and referenced
-    # once per round — without a cache every round would re-execute the
-    # caller's whole pair-building subtree (for LSH near-dup pairs
-    # that's the banded self-join, re-run O(rounds) times). Columnar
-    # persist, not checkpoint: static lineage needs no truncation and
-    # the cached format is the measured winner for big two-column
-    # frames (the kcore/LPA working-set experiments)
+    # The symmetrized edge list is STATIC across rounds — its working
+    # set is the ADJACENCY frame keyed by dst (labels arrive keyed by
+    # id == dst): (dst, neighbor array), one row per node, built with
+    # a single edge-sized exchange (the groupBy's own shuffle; without
+    # a cache every round would re-execute the caller's whole
+    # pair-building subtree — for LSH near-dup pairs that's the banded
+    # self-join, re-run O(rounds) times) and cached sorted within
+    # partitions so every round's SortMergeJoin streams node-count
+    # rows on both sides with zero cached-side exchange or sort; the
+    # explode back to per-edge (src, comp) candidates happens inside
+    # the map stage feeding the partial min. The pagerank_ppm /
+    # label_propagation layout (operators._iterloop.adjacency_cache),
+    # measured paired on THIS loop at sf10/16.7M nodes: 116.0 s
+    # min-of-2 vs 152.4 s for the r8 flat copartitioned cache, better
+    # on both reps, fingerprint-identical labels
+    # (EXP_ADJ_FAMILY.json). A SHUFFLE_HASH hint on the label side
+    # stays rejected (inverted at sf10 in the pagerank twin —
+    # EXP_SHJ_SF10B.json, pitfall 24); below ~4M nodes Catalyst
+    # broadcasts the checkpointed label table off its propagated
+    # stats, and the adjacency frame is never exchanged either way.
+    # Bonus of the keyed layout: the initial label table is the
+    # adjacency KEY SET — the edge-count distinct() pass disappears
+    # (every node appears as dst in the symmetrized list).
+    from ._iterloop import adjacency_cache
+
     both = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    adj, _ = adjacency_cache(both, key="dst", neighbor="src")
     labels = (
-        both.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
-    ).localCheckpoint(eager=True)
-    # Above ~4M nodes the label table exceeds the session's 64 MB
-    # auto-broadcast threshold, so each round's both⋈labels join would
-    # re-exchange the edge frame (the cache above is not
-    # key-partitioned). In that regime: hash-partition the static edge
-    # cache by the join key ONCE, so the cached partitioning satisfies
-    # every round's join and only the node-sized label table exchanges
-    # — the label_propagation vB_copart structure (EXP_LPA.json; the
-    # r8-extension paired runs measured the copartition+no-sort shapes
-    # 2-3× over shipped at a pinned regime-faithful threshold,
-    # EXP_SHJ_HASHMIN.json). The join STRATEGY stays with the planner:
-    # a SHUFFLE_HASH hint on the label side — skip the per-round
-    # edge-side SMJ sort — measured faster at ≤5M-node scales but
-    # INVERTED at 16.7M nodes in the pagerank twin of this loop
-    # (EXP_SHJ_SF10B.json, pitfall 24), so it is rejected here too.
-    # Below the gate Catalyst broadcasts the checkpointed label table
-    # off its propagated stats and the plain cache is exchange-free
-    # already — unchanged.
-    big = labels.count() > _CC_SHJ_MIN
-    if big:
-        # shared copartitioned-cache regime (operators._iterloop): the
-        # unpartitioned cache is released once the copy is live
-        from ._iterloop import copartitioned_cache
-
-        both = copartitioned_cache(both, "dst", release=(both,))
+        adj.select(F.col("dst").alias("id"))
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
-        nbr_min = (
-            both.join(labels, both.dst == labels.id)
-            .select(F.col("src").alias("id"), "comp")
+        nbr_min = adj.join(labels, adj.dst == labels.id).select(
+            F.explode("_nbrs").alias("id"), "comp"
         )
         new = (
             labels.unionByName(nbr_min)
@@ -838,7 +824,7 @@ def connected_components(
         labels = new
         if changed == 0:
             break
-    both.unpersist()  # labels is checkpointed self-contained
+    adj.unpersist()  # labels is checkpointed self-contained
     return labels
 
 

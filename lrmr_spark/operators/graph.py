@@ -18,12 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ._iterloop import (
-    adjacency_cache,
-    copartitioned_cache,
-    peel_degrees,
-    peel_filtered_edges,
-)
+from ._iterloop import adjacency_cache, peel_degrees, peel_filtered_edges
 
 __all__ = [
     "pagerank_ppm",
@@ -282,47 +277,43 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     input every node receives votes every round and the carry-forward
     never fires, so the undirected answer is unchanged.
 
-    Scale shape, per round: one edges⋈labels join, a (dst, label)-
-    keyed count with map-side partials, a dst-keyed argmax — also
-    map-side combinable via max(struct) — and one node-keyed left join
-    folding the votes back into the (node-sized,
-    edge-count-independent) label table. Lineage truncates per round
-    with localCheckpoint (pitfall 12), so the plan stays flat at any
-    iteration count. The node-sized sides (labels, argmax) are
-    EXPLICITLY broadcast under the _KEEP_BCAST_MAX node-count gate —
-    checkpointed frames carry no size statistics (pitfall 20
-    corollary), so Catalyst would shuffle the edge list against an
-    80k-node label table it should ship to executors. ABOVE the gate
-    the edge working set switches shape (r8 experiment,
-    tools/exp_lpa.py → EXP_LPA.json): the STATIC edge frame moves off
-    row-serialized checkpoint blocks onto the columnar cache (the
-    kcore disk-cliff lesson — sf10 167.6 → 116.3 s min-of-2) and is
-    hash-partitioned by src ONCE, so every round's edges⋈labels join
-    reuses the cached partitioning and exchanges ONLY the node-sized
-    label table (one upfront edge shuffle buys back one edge-sized
-    exchange per round; sf10 best run 106.4 s). Below the gate the
-    broadcast join never shuffles edges anyway and the checkpoint
-    shape measured faster (sf1 22.7 vs 23.7/25.3 s), so the switch is
-    gated on the same node-count scalar as the broadcasts."""
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    Scale shape (r9, measured): the working set is the ADJACENCY
+    frame — (src, out-neighbor array), one row per node, built with a
+    single edge-sized exchange and cached sorted within partitions
+    (operators._iterloop.adjacency_cache, the pagerank_ppm layout
+    generalized after EXP_PAGERANK_SF10.json) — per round the
+    edges⋈labels SortMergeJoin streams NODE-count rows on both sides
+    and the explode back to per-edge (dst, label) votes happens
+    inside the map stage feeding the partial count. The raw-edge
+    localCheckpoint AND the node-set distinct() over the raw edges
+    disappear: the label table derives from the cache (src ∪
+    explode(neighbors)). Then per round: the (dst, label)-keyed count
+    with map-side partials, a dst-keyed argmax — also map-side
+    combinable via max(struct) — and one node-keyed left join folding
+    votes back into the node-sized label table. Lineage truncates per
+    round with localCheckpoint (pitfall 12). Measured paired at sf10
+    (EXP_ADJ_FAMILY.json, fingerprint-identical labels): adjacency
+    87.3 s min-of-2 vs 109.3 s for the r8 flat copartitioned cache —
+    and variance-stable (88.9 vs 224.9 on the contended rep). ONE
+    loop serves both regimes: under the _KEEP_BCAST_MAX node-count
+    gate the label table and argmax are EXPLICITLY broadcast
+    (checkpointed frames carry no size statistics — pitfall 20
+    corollary) and the adjacency frame is never exchanged at all."""
+    adj, _ = adjacency_cache(edges.select("src", "dst"))
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .unionAll(edges.select(F.col("dst").alias("node")))
+        adj.select(F.col("src").alias("node"))
+        .unionAll(adj.select(F.explode("_nbrs").alias("node")))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
     small = labels.count() <= _KEEP_BCAST_MAX  # node count: driver scalar
-    if not small:
-        # shared copartitioned-cache regime (operators._iterloop): the
-        # 120 M-edge row-serialized checkpoint is released before
-        # round 1, once the columnar cache is filled
-        edges = copartitioned_cache(edges, "src", release=(edges,))
     for _ in range(iterations):
         lbl = F.broadcast(labels) if small else labels
         votes = (
-            edges.join(lbl, edges.src == lbl.node)
-            .groupBy(F.col("dst").alias("nd"), "label")
+            adj.join(lbl, adj.src == lbl.node)
+            .select(F.explode("_nbrs").alias("nd"), "label")
+            .groupBy("nd", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
         argmax = votes.groupBy(F.col("nd").alias("node")).agg(
@@ -342,8 +333,8 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
         labels.unpersist()  # dead round: nothing references it anymore
         labels = new_labels
     # the returned labels are self-contained (checkpointed), so the
-    # edge working set can be released too
-    edges.unpersist()
+    # adjacency working set can be released too
+    adj.unpersist()
     return labels
 
 

@@ -26,6 +26,12 @@ All variants of an operator must return identical rows (verified via
 an order-independent JVM-side fingerprint before timing; LPA and
 HashMin are deterministic by construction).
 
+HISTORICAL NOTE: the measured pairs in EXP_ADJ_FAMILY.json ran with
+the r8 operators (flat copartitioned caches, before commit "Ship the
+adjacency working set for LPA and HashMin"); both adjacency arms won
+and SHIPPED, so a re-run's v0_shipped now measures the adjacency loop
+against itself.
+
 Usage: python tools/exp_adj_family.py OUT.json SF_DIR [SF_DIR...] \
            [--ops lpa,hashmin] [--reps N]
 Protocol: per dir, 1 fingerprint verify pass per variant (also warms),
