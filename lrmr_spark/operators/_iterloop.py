@@ -56,7 +56,10 @@ def adjacency_cache(
     EXP_PAGERANK_SF10.json, sf10 paired 37.9 s vs 64.6 s for the
     copartitioned 3-col edge cache; the sortWithinPartitions variant
     of the FLAT cache inverted to 103.2 s — sorting 120M-row frames
-    at fill spills, sorting node-count adjacency rows does not).
+    at fill spills, sorting node-count adjacency rows does not; then
+    generalized per-operator by measurement to label_propagation
+    87.3 vs 109.3 s and HashMin connected_components 116.0 vs
+    152.4 s, EXP_ADJ_FAMILY.json).
 
     Returns (cached_frame, n_rows); n_rows doubles as the node count
     when every node has an out-edge (the pagerank fast-path
