@@ -1,37 +1,33 @@
-"""Shared materialization regime for gated iterative-loop operators.
+"""Shared materialization regimes for the iterative-loop operators.
 
-Four operators run the same loop shape — a STATIC edge frame joined
-against a node-sized table once per round (pagerank_ppm,
-label_propagation in operators.graph; HashMin connected_components in
-operators.dedup) or filtered by a node-sized keep set per sweep (the
-two k-core peels) — and r6-r8 grew four hand-rolled copies of the same
-size-gated regime switch. This module is the single implementation;
-the measured evidence lives with the experiments that produced it
-(EXP_LPA.json, EXP_SHJ*.json, EXP_KCORE_NUMBERS.json,
-BENCH_r7_graphops.json) and the per-operator docstrings keep their
-operator-specific numbers.
+Five operators run two loop shapes, and this module is the single
+implementation of each working set (r8 extracted it from four
+hand-rolled copies; the measured evidence lives with the experiments
+that produced it and the per-operator docstrings keep their
+operator-specific numbers):
 
-The regime, in one place:
-
-- BELOW the node-count gate the node-sized side of each round's join
-  is explicitly broadcast (checkpointed frames carry no size
-  statistics, so Catalyst can't make that call itself — pitfall 20
-  corollary) and the static edge frame never re-exchanges, so a plain
-  materialization (eager localCheckpoint or columnar persist) is all
-  the loop needs.
-- ABOVE the gate the static frame moves onto the COLUMNAR cache
-  (compressed batches beat row-serialized checkpoint blocks for big
-  two-long-column frames — the kcore disk-cliff lesson),
-  hash-partitioned by the loop's join key ONCE, so every round's join
-  reuses the cached partitioning and exchanges only the node-sized
-  table. The join STRATEGY stays with the planner: a SHUFFLE_HASH
-  hint measured faster at ≤5M nodes but INVERTED at 16.7M
-  (EXP_SHJ_SF10B.json, pitfall 24), so no hint is pinned.
+- STATIC edge frame joined against a node-sized table once per round
+  (pagerank_ppm, label_propagation in operators.graph; HashMin
+  connected_components in operators.dedup) → ``adjacency_cache``:
+  the frame is cached as per-node adjacency rows, sorted and
+  key-partitioned by the groupBy's own exchange, so every round's
+  SortMergeJoin streams node-count rows with zero cached-side
+  exchange or sort (r9, EXP_PAGERANK*.json + EXP_ADJ_FAMILY.json —
+  this superseded the r8 flat copartitioned columnar cache at every
+  measured operator and scale). Node-sized sides are explicitly
+  broadcast under each operator's node-count gate — checkpointed
+  frames carry no size statistics, so Catalyst can't make that call
+  itself (pitfall 20 corollary). The join STRATEGY stays with the
+  planner: a SHUFFLE_HASH hint measured faster at ≤5M nodes but
+  INVERTED at 16.7M (EXP_SHJ_SF10B.json, pitfall 24), so no hint is
+  pinned.
+- Edge frame FILTERED by a node-sized keep set per sweep (the two
+  k-core peels — the edge set shrinks, so a static cache does not
+  apply) → ``peel_degrees`` + ``peel_filtered_edges``: the
+  three-way keep/removed/shuffle regime (EXP_KCORE_NUMBERS.json).
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -82,33 +78,6 @@ def adjacency_cache(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return out, out.count()
-
-
-def copartitioned_cache(
-    frame: DataFrame, key: str, release: Iterable[DataFrame] = ()
-) -> DataFrame:
-    """Materialize a STATIC per-round ``frame`` onto the columnar cache
-    hash-partitioned by ``key`` — the above-gate loop regime. The cache
-    is FILLED (count) before the ``release`` frames (setup checkpoints /
-    the unpartitioned cache the copy derives from) are unpersisted: a
-    checkpointed parent cannot recompute lost blocks, and unpersisting
-    a lazily-cached parent first would silently recompute the child
-    from the source scan. Caller unpersists the returned frame when
-    the loop ends (pitfall 19).
-
-    Local-mode posture (r8 ADVICE, informational): once the parents
-    are released, a LOST cache block is unrecoverable — the lineage
-    runs through truncated checkpoints. MEMORY_AND_DISK spills rather
-    than evicts and a single-JVM local session doesn't lose executors;
-    on a cluster where executor loss matters, pass release=() and keep
-    the parents alive until the loop ends."""
-    spark = frame.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    out = frame.repartition(n_part, key).persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    for parent in release:
-        parent.unpersist()
-    return out
 
 
 def peel_degrees(edge_df: DataFrame) -> DataFrame:
