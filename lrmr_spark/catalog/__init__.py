@@ -130,64 +130,72 @@ _PRIORITY = [
     "zorder_locality_index",
     "source_mixture_weights",
     "streaming_sessionization",  # rows-only by contract
-    # --- first-time rows 1-12: the r6-session deferrals, build order
-    "embedding_perceptron_probe",
-    "corpus_bloom_decontaminate",
-    "graph_kcore_peel",
-    "ann_ivfpq_delete_topk",
-    "sample_weighted_priority",
-    "text_line_dedup_index",
-    "streaming_line_dedup",  # rows-only: prefix-causal foreachBatch twin
-    "text_line_dedup_compacted",
-    "ann_sq8_delete_topk",
-    "streaming_sliding_counts",  # rows-only: watermark semantics
-    "corpus_bloom_stored",
-    "text_heavy_hitters",
-    # --- first-time rows 13-21: built in r7 after the freeze
-    "text_winnowing_index",
-    "text_winnowing_index_compacted",
-    "streaming_winnowing_index_match",  # rows-only: foreachBatch twin
-    "multimodal_phash_index_delete",
-    "docs_quality_classifier",
-    "text_winnowing_index_delete",
-    "streaming_quality_score",  # rows-only: serving twin
-    "docs_quality_topfrac",
-    "graph_kcore_numbers",
-    # --- first-time rows 22-27: built this round (r8)
-    "docs_chunk_windows",
-    "docs_chunk_embed_ann_topk",
-    "docs_chunk_embed_sq8_topk",
-    "docs_quality_model_score",
-    "docs_quality_topfrac_bucketed",
-    "text_winnowing_index_empty_delete",
-    # --- refresh rows 28-34: the longest-unrefreshed pass* rows
-    # (official rows r1-r3, out of the window since r4;
-    # decontaminate_ngram_overlap is next in line for r9)
-    "dedup_minhash_shingles",
-    "dedup_incremental",
-    "snapshot_diff",
-    "ann_lsh_buckets",
-    "ann_ivf_topk",
-    "ann_ivf_pruned_topk",
-    "embedding_kmeans_iter",
+    # ROTATION (r9) — the refresh cadence the r9 note prescribes:
+    # 16 standing keeps (above) + 1 entry built this round + the 5
+    # entries whose ENGINE CODE changed this round (the adjacency
+    # working-set rebuild of pagerank/LPA/HashMin — a changed operator
+    # gets an official row the same round it changes) + the 28
+    # longest-unrefreshed pass* rows, continuing exactly where the r8
+    # refresh tail stopped (the 20 named in the r9 note, then the
+    # r4-list remainder, then the head of the r6 rotated-out list).
+    # Rotated out this round (green official rows in r6-r8; still
+    # fully covered by check_oracle): the 12 r6-session deferrals,
+    # the 9 r7-built rows, the 6 r8-built rows, and the 7 r1-r3
+    # refreshes taken in r8.
+    # --- first-time row: built in the r8 continuation, post-freeze
+    "graph_pagerank_dangling",
+    # --- changed-this-round rows: adjacency working set (r9)
+    "graph_pagerank_parts",
+    "graph_label_propagation",
+    "dedup_components",
+    "dedup_components_star",
+    "dedup_pipeline_containment",
+    # --- refresh rows 7-26: the 20 the r9 note pre-verified at sf0.1
+    "sample_split_hash",
+    "text_tfidf_top_terms",
+    "text_pii_redaction",
+    "pack_sequences",
+    "text_repetition_signals",
+    "corpus_curation_pipeline",
+    "multimodal_binary_meta",
+    "range_join_error_context",
+    "percentiles_by_priority",
+    "approx_stats",
+    "streaming_tumbling_counts",  # rows-only by contract
+    "streaming_stateful_dedup",  # rows-only by contract
+    "skew_replicated_join",
+    "bucketed_join_orders",
+    "tpch_q3_shipping_priority",
+    "parallelize_kv_counts",
+    "python_datasource_feeder",
+    "feeder_route_do_pipeline",
+    "orders_abc_pareto",
+    "decontaminate_ngram_overlap",
+    # --- refresh rows 27-32: the r4-list remainder (official r3)
+    "customer_rfm_segments",
+    "recursive_cte_user_hierarchy",
+    "lateral_topk_orders",
+    "udtf_token_positions",
+    "events_gapfill_daily",
+    "events_watermark_lateness_audit",
+    # --- refresh rows 33-34: head of the r6 rotated-out list
+    "ann_pq_rerank_topk",
+    "ann_pq_append_topk",
 ]
-# r9 ROTATION NOTE (for the next session): the never-gated backlog is
-# ZERO as of r8 — every catalog entry has (or has had) an official
-# hash-green row. From r9 on the window is 16 standing keeps + any
-# entries built in r9 + the LONGEST-UNREFRESHED pass* rows (continue
-# where r8's refresh tail stopped: sample_split_hash,
-# text_tfidf_top_terms, text_pii_redaction, pack_sequences,
-# text_repetition_signals, corpus_curation_pipeline,
-# multimodal_binary_meta, range_join_error_context,
-# percentiles_by_priority, approx_stats, streaming_tumbling_counts,
-# streaming_stateful_dedup, skew_replicated_join, bucketed_join_orders,
-# tpch_q3_shipping_priority, parallelize_kv_counts,
-# python_datasource_feeder, feeder_route_do_pipeline, orders_abc_pareto,
-# decontaminate_ngram_overlap, … then the r4-r7 rotated-out rows in
-# rotation-note order). All 20 named above were PRE-VERIFIED green by
-# check_oracle at sf0.1 during r8 close-out (and at sf0.01 by the full
-# 279/279 sweep). Keep the family pins and the pre-freeze green check
-# at sf0.01 AND sf0.1 before freezing.
+# r10 ROTATION NOTE (for the next session): window = 16 standing
+# keeps + anything built or ENGINE-CHANGED in r10 + the
+# longest-unrefreshed pass* rows, continuing where r9's refresh tail
+# stopped — next in line, in order: the rest of the r6 rotated-out
+# list (streaming_pq_index_append, text_dup_token_spans,
+# dedup_simhash_fast_banding_lossless, dedup_simhash_hamming_fast,
+# ann_ivfpq_topk, ann_ivfpq_residual_topk, dedup_minhash_index_append,
+# streaming_minhash_index_match, text_winnowing_matches_capped, the 15
+# events-tail entries, cogroup_click_purchase_profile,
+# feature_store_pit_join, the 6 streaming-tail entries), then the r7
+# rotated-out rows (ann_ivfpq_rerank_topk … graph_label_propagation in
+# the r8 comment's order, skipping any already re-officialized), then
+# the r8 rotated-out rows. Keep the family pins and the pre-freeze
+# green check at sf0.01 AND sf0.1 before freezing.
 
 
 def _ordered(names: list[str]) -> list[str]:
