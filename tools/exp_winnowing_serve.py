@@ -19,13 +19,25 @@ shared runs at that scale, so the pairing join and the df cap were
 never value-exercised by the scale numbers):
 
   bare     the corpus as generated (comparable to the r8 artifact)
-  planted  every indexed doc gets a fixed boilerplate sentence
-           appended (its fingerprints exceed max_df → the banned set
-           is non-empty and the df-cap anti-join prunes real rows),
-           and every batch doc gets the FULL TEXT of its even
-           neighbor (doc_id−1, always indexed) cloned in — so each
-           batch doc shares a long verbatim run with ≥1 stored doc
-           and n_matches > 0 with real pairing fanout.
+  planted  every indexed doc gets (a) a fixed boilerplate sentence
+           appended — its fingerprints exceed max_df, so the banned
+           set is non-empty and the df-cap anti-join prunes real
+           rows — and (b) a 20-token run UNIQUE to that doc; every
+           batch doc carries the unique run of its even neighbor
+           (doc_id−1, always indexed), so each batch doc shares a
+           verbatim run with exactly one stored doc at df=1 and
+           n_matches > 0 with real pairing fanout.
+
+The planted run must be unique-per-doc, not cloned corpus text: the
+first r9 attempt cloned the neighbor's full text and matched at sf1
+but produced 0 matches at sf10 — which also EXPLAINS the r8 0-match
+mystery. The ×K scale corpus replicates each base doc's body verbatim
+across K copies (only a trailing salt differs), so at sf10 every
+body fingerprint has df ≈ 50 > max_df = 8 and the boilerplate cap
+bans the entire cross-copy duplicate mass. That is the cap doing its
+job (cross-copy "dups" ARE template noise at that multiplicity); a
+match join exercised at scale therefore needs df-surviving planted
+runs.
 
 Match answers are verified identical (fast == slow) per arm before
 timing. The INDEX BUILD is outside the timed region — the experiment
@@ -95,20 +107,35 @@ def main() -> None:
                     .limit(BATCH_DOCS)
                 )
             else:
+                # per-doc unique 20-token run: df=1, survives the cap
+                def uniq_run(id_col):
+                    return F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.sequence(F.lit(1), F.lit(20)),
+                            lambda j: F.concat(
+                                F.lit("uq"),
+                                id_col.cast("string"),
+                                F.lit("x"),
+                                j.cast("string"),
+                            ),
+                        ),
+                    )
+
                 corpus = d.withColumn(
-                    "text", F.concat_ws(" ", F.col("text"), F.lit(BOILER))
-                )
-                even = d.select(
-                    F.col("doc_id").alias("src_id"),
-                    F.col("text").alias("src_text"),
+                    "text",
+                    F.concat_ws(
+                        " ", F.col("text"), uniq_run(F.col("doc_id")),
+                        F.lit(BOILER),
+                    ),
                 )
                 batch = (
                     d.filter(F.col("doc_id") % 2 == 1)
-                    .join(even, F.col("doc_id") - 1 == F.col("src_id"))
                     .select(
                         "doc_id",
                         F.concat_ws(
-                            " ", F.col("text"), F.col("src_text"),
+                            " ", F.col("text"),
+                            uniq_run(F.col("doc_id") - 1),
                             F.lit(BOILER),
                         ).alias("text"),
                     )
