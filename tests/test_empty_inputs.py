@@ -71,6 +71,30 @@ def test_pagerank_on_empty_edges(spark):
     assert pagerank_ppm(e, 2).count() == 0
 
 
+def test_adjacency_loops_on_empty_and_selfloop(spark):
+    """The r9 adjacency working set must keep the degenerate-input
+    contracts of the loops it replaced: empty edge frames return
+    empty tables, and a single self-loop node is its own fixed point
+    (rank = full teleport mass, label = itself, comp = itself)."""
+    from lrmr_spark.operators.dedup import connected_components
+    from lrmr_spark.operators.graph import label_propagation, pagerank_ppm
+
+    e = spark.createDataFrame([], "src long, dst long")
+    assert label_propagation(e, 2).count() == 0
+    p = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(p).count() == 0
+
+    loop = spark.createDataFrame([(7, 7)], "src long, dst long")
+    got = pagerank_ppm(loop, 2).collect()
+    assert [(r["node"], r["rank_ppm"]) for r in got] == [(7, 1_000_000)]
+    got = label_propagation(loop, 2).collect()
+    assert [(r["node"], r["label"]) for r in got] == [(7, 7)]
+    got = connected_components(
+        spark.createDataFrame([(7, 7)], "id_a long, id_b long")
+    ).collect()
+    assert [(r["id"], r["comp"]) for r in got] == [(7, 7)]
+
+
 def test_ewma_fold_single_and_empty_history(spark):
     # the EWMA DIV fold is total on any non-empty window; single event
     # (window of itself) must return its own cents
