@@ -183,9 +183,11 @@ _PRIORITY = [
     "ann_pq_append_topk",
 ]
 # r10 ROTATION NOTE (for the next session): window = 16 standing
-# keeps + anything built or ENGINE-CHANGED in r10 + the
-# longest-unrefreshed pass* rows, continuing where r9's refresh tail
-# stopped — next in line, in order: the rest of the r6 rotated-out
+# keeps + graph_pagerank_personalized (built AFTER the r9 freeze —
+# the only never-gated entry; verified green by check_oracle at
+# sf0.01 AND sf0.1 when built, rotate it in FIRST) + anything built
+# or ENGINE-CHANGED in r10 + the longest-unrefreshed pass* rows,
+# continuing where r9's refresh tail stopped — next in line, in order: the rest of the r6 rotated-out
 # list (streaming_pq_index_append, text_dup_token_spans,
 # dedup_simhash_fast_banding_lossless, dedup_simhash_hamming_fast,
 # ann_ivfpq_topk, ann_ivfpq_residual_topk, dedup_minhash_index_append,

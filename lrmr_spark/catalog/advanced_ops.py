@@ -394,6 +394,104 @@ def graph_pagerank_dangling(spark, sf_dir):
     )
 
 
+def _ppr_round(prev: str, rnd: int) -> str:
+    """One personalized-PageRank round as DuckDB CTEs: dangling mass
+    returns to the SEEDS (the standard PPR convention), teleport only
+    to seeds — the exact recurrence of personalized_pagerank_ppm."""
+    return f"""
+    d{rnd} AS (
+      SELECT coalesce(sum(r.rank_ppm), 0) // (SELECT cnt FROM s) AS share
+      FROM {prev} r LEFT JOIN deg d ON r.node = d.src
+      WHERE d.src IS NULL),
+    i{rnd} AS (
+      SELECT e.dst AS node, sum(r.rank_ppm // d.outdeg) AS inc
+      FROM e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst),
+    r{rnd} AS (
+      SELECT nd.node,
+             (15 * CASE WHEN sd.node IS NOT NULL
+                        THEN (SELECT tp FROM s) ELSE 0 END
+              + 85 * (coalesce(i.inc, 0)
+                      + CASE WHEN sd.node IS NOT NULL
+                             THEN (SELECT share FROM d{rnd}) ELSE 0 END))
+               // 100 AS rank_ppm
+      FROM nodes nd LEFT JOIN i{rnd} i ON nd.node = i.node
+                    LEFT JOIN seeds sd ON nd.node = sd.node)"""
+
+
+@query(
+    "graph_pagerank_personalized",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT CAST(l_orderkey AS BIGINT) * 2 AS src,
+                      CAST(l_partkey AS BIGINT) * 2 + 1 AS dst
+      FROM lineitem),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+    seeds AS (SELECT DISTINCT src AS node FROM e ORDER BY node LIMIT 20),
+    s AS (SELECT count(*) AS cnt, 1000000 // count(*) AS tp FROM seeds),
+    r0 AS (
+      SELECT nd.node,
+             CASE WHEN sd.node IS NOT NULL THEN (SELECT tp FROM s)
+                  ELSE 0 END AS rank_ppm
+      FROM nodes nd LEFT JOIN seeds sd ON nd.node = sd.node),
+    {_ppr_round("r0", 1)},
+    {_ppr_round("r1", 2)},
+    {_ppr_round("r2", 3)}
+    SELECT CASE WHEN node % 2 = 0 THEN 'o:' || CAST(node // 2 AS VARCHAR)
+                ELSE 'p:' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+           CAST(rank_ppm AS BIGINT) AS rank_ppm
+    FROM r3 WHERE rank_ppm > 0 ORDER BY rank_ppm DESC, node LIMIT 30
+    """,
+)
+def graph_pagerank_personalized(spark, sf_dir):
+    """Personalized (topic-sensitive) PageRank — Haveliwala WWW'02 —
+    over the directed order→part graph, seeded with the 20 smallest
+    order nodes: rank measures link proximity to the seed list, the
+    corpus-pipeline primitive for trusted-source influence scoring
+    ("weight documents by how close their domain sits to a vetted
+    seed set"). Teleport mass goes only to seeds; every part node
+    dangles and its held mass returns to the SEEDS each round (the
+    standard PPR convention), so the seed neighborhood keeps all the
+    probability. Top-30 positive-rank nodes (zero-rank nodes — nodes
+    unreachable from the seeds — are excluded so the result is the
+    seeds' actual influence frontier).
+
+    Exact integer ppm on the r9 adjacency loop; the oracle unrolls
+    the identical recurrence as chained BIGINT CTEs — bit-identical
+    across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    o = F.col("l_orderkey").cast("long") * 2
+    p = F.col("l_partkey").cast("long") * 2 + 1
+    fwd = li.select(o.alias("src"), p.alias("dst")).distinct()
+    seeds = (
+        fwd.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(20)
+    )
+    from ..operators.graph import personalized_pagerank_ppm
+
+    ranks = personalized_pagerank_ppm(
+        fwd, seeds, iterations=3, damping_pct=85
+    )
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("o:"), F.expr("node DIV 2").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("p:"), F.expr("(node - 1) DIV 2").cast("string"))
+    )
+    return (
+        ranks.filter(F.col("rank_ppm") > 0)
+        .select(
+            label.alias("node"),
+            F.col("rank_ppm").cast("bigint").alias("rank_ppm"),
+        )
+        .orderBy(F.desc("rank_ppm"), F.asc("node"))
+        .limit(30)
+    )
+
+
 @query(
     "robust_trimmed_mean",
     oracle="""

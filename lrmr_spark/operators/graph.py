@@ -22,6 +22,7 @@ from ._iterloop import adjacency_cache, peel_degrees, peel_filtered_edges
 
 __all__ = [
     "pagerank_ppm",
+    "personalized_pagerank_ppm",
     "triangle_count",
     "label_propagation",
     "kcore_peel",
@@ -188,6 +189,115 @@ def pagerank_ppm(
         return ranks.select("node", "rank_ppm")
     return ranks
 
+
+
+def personalized_pagerank_ppm(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank over directed ``edges``
+    (src, dst), exact integer ppm — Haveliwala's PPR (WWW'02): the
+    teleport vector is uniform over ``seeds`` (a bounded DataFrame
+    with a ``node`` column) instead of uniform over all nodes, so
+    rank measures proximity/influence relative to the seed set — the
+    corpus-pipeline use is "score every document/domain by its link
+    proximity to a trusted (or untrusted) seed list".
+
+    Recurrence, in exact BIGINT ppm: ``t(v) = 1M DIV |S|`` for seeds,
+    0 otherwise; ``new(v) = (keep·t(v) + d·(incoming(v) +
+    [v ∈ S]·(dangling_mass DIV |S|))) DIV 100``. Dangling semantics
+    follow the standard PPR convention: out-edge-less nodes return
+    their held mass to the SEEDS (not uniformly) each round — one
+    scalar aggregate crosses the driver. Seeds are intersected with
+    the node set first (|S| counts surviving seeds; an empty
+    intersection raises).
+
+    Scale shape: the pagerank_ppm(dangling=True) adjacency loop
+    (operators._iterloop.adjacency_cache, pitfall 25) with two static
+    boolean flags (is_dang, is_seed) riding the node table — the
+    per-round cost is identical to dangling PageRank: one node-sized
+    scalar aggregate, the node-count SMJ against the sorted adjacency
+    cache, the one true (dst, partial-sum) shuffle, and a node-keyed
+    left join folding votes into the full node table (a no-in-edge
+    seed keeps its teleport share; a non-seed with no in-edges goes
+    to exactly 0, not a dropped row)."""
+    raw = edges.localCheckpoint(eager=True)
+    adj, _ = adjacency_cache(raw)
+    nodes = (
+        raw.select(F.col("src").alias("node"))
+        .unionAll(raw.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(
+            adj.select(F.col("src").alias("node"), "outdeg"),
+            "node",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                seeds.select(F.col("node")).distinct().withColumn(
+                    "_s", F.lit(True)
+                )
+            ),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            F.col("outdeg").isNull().alias("is_dang"),
+            F.coalesce(F.col("_s"), F.lit(False)).alias("is_seed"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    raw.unpersist()
+    n_nodes = nodes.count()
+    n_seeds = nodes.filter("is_seed").count()
+    if n_seeds == 0:
+        raise ValueError("no seed intersects the graph's node set")
+    small = n_nodes <= _KEEP_BCAST_MAX
+    tp = 1_000_000 // n_seeds
+    keep = 100 - damping_pct
+    ranks = nodes.withColumn(
+        "rank_ppm",
+        F.when(F.col("is_seed"), F.lit(tp)).otherwise(F.lit(0)).cast("long"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        dmass = int(
+            ranks.filter("is_dang")
+            .agg(F.coalesce(F.sum("rank_ppm"), F.lit(0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        dshare = dmass // n_seeds
+        r = F.broadcast(ranks) if small else ranks
+        sends = adj.join(r, adj.src == r.node).select(
+            "_nbrs", F.expr("rank_ppm DIV outdeg").alias("c")
+        )
+        contribs = sends.select(F.explode("_nbrs").alias("node"), "c")
+        incoming = contribs.groupBy("node").agg(
+            F.coalesce(F.sum("c"), F.lit(0)).alias("_inc")
+        )
+        if small:
+            incoming = F.broadcast(incoming)
+        new_ranks = (
+            nodes.join(incoming, "node", "left")
+            .select(
+                "node",
+                "is_dang",
+                "is_seed",
+                F.expr(
+                    f"CAST(({keep} * IF(is_seed, {tp}, 0) + {damping_pct} * "
+                    f"(coalesce(_inc, 0) + IF(is_seed, {dshare}, 0))) "
+                    "DIV 100 AS BIGINT)"
+                ).alias("rank_ppm"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        ranks.unpersist()
+        ranks = new_ranks
+    adj.unpersist()
+    nodes.unpersist()
+    return ranks.select("node", "rank_ppm")
 
 
 def triangle_count(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> DataFrame:

@@ -322,6 +322,28 @@ def test_pagerank_ppm_dangling_closed_form(spark):
     assert set(got) == {1, 2, 3} and all(v > 0 for v in got.values())
 
 
+def test_personalized_pagerank_closed_form(spark):
+    from lrmr_spark.operators.graph import personalized_pagerank_ppm
+
+    # 1↔2, 1→3 (3 dangles; dangling mass returns to the SEEDS), seed={1}
+    df = spark.createDataFrame([(1, 2), (2, 1), (1, 3)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["rank_ppm"]
+        for r in personalized_pagerank_ppm(df, seeds, iterations=2).collect()
+    }
+    # hand-unrolled exact-ppm recurrence (tp=1M, |S|=1):
+    # r1 = {1: 150000, 2: 425000, 3: 425000}
+    # r2: dmass=425000→share 425000; inc(1)=425000, inc(2)=inc(3)=75000
+    assert got == {1: 872_500, 2: 63_750, 3: 63_750}
+    # seeds outside the node set: empty intersection must raise
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(99,)], "node long")
+    with _pytest.raises(ValueError):
+        personalized_pagerank_ppm(df, bad, iterations=1)
+
+
 def test_pagerank_ppm_dangling_equals_fast_path_on_symmetric(spark):
     # on a symmetric graph there are no danglers and every node has an
     # in-edge: the dangling=True mode must reproduce the fast path
