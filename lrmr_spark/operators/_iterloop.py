@@ -67,9 +67,19 @@ def adjacency_cache(
     hubs are real, the named alternative is chunked adjacency —
     groupBy(key, pmod(hash(neighbor), ceil(outdeg/CAP))) after a
     degree pass — which re-adds the degree pre-join this layout
-    exists to delete, so it should ship only behind a measurement."""
+    exists to delete, so it should ship only behind a measurement.
+
+    NULL contract: edges whose neighbor is NULL are DROPPED before the
+    groupBy (treated as nonexistent), so ``outdeg`` always equals
+    ``size(_nbrs)`` — collect_list silently drops NULLs, and an
+    unfiltered count(*) would inflate the rank divisor while emitting
+    no send (mass silently lost) and drop the vote/min-candidate in
+    LPA/HashMin. A node whose ONLY edges have NULL neighbors gets no
+    adjacency row (it is dangling). No in-repo caller produces null
+    edges; the filter pins the contract for external callers."""
     out = (
-        edges.groupBy(key)
+        edges.where(F.col(neighbor).isNotNull())
+        .groupBy(key)
         .agg(
             F.count(F.lit(1)).alias("outdeg"),
             F.collect_list(neighbor).alias("_nbrs"),

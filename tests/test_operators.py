@@ -344,6 +344,89 @@ def test_personalized_pagerank_closed_form(spark):
         personalized_pagerank_ppm(df, bad, iterations=1)
 
 
+def _ppr_python(edges, seed_set, iterations, damping=85):
+    """Pure-Python unroll of personalized_pagerank_ppm's documented
+    recurrence (Haveliwala PPR, dangling mass to seeds) — the closed
+    form the Spark result must match exactly."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    seeds = sorted(set(seed_set) & set(nodes))
+    outdeg = {}
+    for a, _ in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    tp = 1_000_000 // len(seeds)
+    keep = 100 - damping
+    rank = {v: (tp if v in seeds else 0) for v in nodes}
+    for _ in range(iterations):
+        dmass = sum(rank[v] for v in nodes if v not in outdeg)
+        share = dmass // len(seeds)
+        inc = {v: 0 for v in nodes}
+        for a, b in edges:
+            inc[b] += rank[a] // outdeg[a]
+        rank = {
+            v: (
+                keep * (tp if v in seeds else 0)
+                + damping * (inc[v] + (share if v in seeds else 0))
+            )
+            // 100
+            for v in nodes
+        }
+    return rank
+
+
+def test_personalized_pagerank_degenerate_corners(spark):
+    # PPR's closed-form test pins the happy recurrence; these pin the
+    # corners the dangling fast path pins for plain pagerank (VERDICT
+    # r9 task 6): a seed that IS a dangler (its held mass returns to
+    # itself), an all-seeds graph, and a single dangling seed chain.
+    from lrmr_spark.operators.graph import personalized_pagerank_ppm
+
+    cases = [
+        # seeds ∩ danglers: 3 dangles AND is the sole seed — the held
+        # mass round-trips to the seed itself
+        ([(1, 2), (2, 3)], [3]),
+        # seed-only graph: every node is a seed (uniform teleport over
+        # all nodes — PPR degenerates toward dangling pagerank shape)
+        ([(1, 2), (2, 1), (1, 3)], [1, 2, 3]),
+        # single seed at the head of a pure chain: mass drains to the
+        # dangler then teleports back only through the seed
+        ([(1, 2), (2, 3), (3, 4)], [1]),
+        # duplicate + out-of-graph seeds: dedup/intersect first
+        ([(1, 2), (2, 1)], [1, 1, 99]),
+    ]
+    for edges, seed_list in cases:
+        df = spark.createDataFrame(edges, "src long, dst long")
+        sdf = spark.createDataFrame([(s,) for s in seed_list], "node long")
+        for iters in (1, 3):
+            got = {
+                r["node"]: r["rank_ppm"]
+                for r in personalized_pagerank_ppm(
+                    df, sdf, iterations=iters
+                ).collect()
+            }
+            assert got == _ppr_python(edges, seed_list, iters), (
+                edges,
+                seed_list,
+                iters,
+            )
+
+
+def test_adjacency_cache_drops_null_neighbors(spark):
+    # NULL contract (r9 ADVICE): a NULL-dst edge must not inflate the
+    # outdeg divisor — outdeg always equals size(_nbrs), and a node
+    # whose only edges are NULL-dst gets no adjacency row (dangling)
+    from lrmr_spark.operators._iterloop import adjacency_cache
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, None), (2, 1), (3, None)], "src long, dst long"
+    )
+    adj, n = adjacency_cache(edges)
+    rows = {r["src"]: r for r in adj.collect()}
+    adj.unpersist()
+    assert n == 2 and set(rows) == {1, 2}
+    for r in rows.values():
+        assert r["outdeg"] == len(r["_nbrs"]) == 1
+
+
 def test_pagerank_ppm_dangling_equals_fast_path_on_symmetric(spark):
     # on a symmetric graph there are no danglers and every node has an
     # in-edge: the dangling=True mode must reproduce the fast path
