@@ -79,6 +79,16 @@ def main() -> None:
     qs["flagship_event_counts"](spark, sf_dir).count()
     qs["dedup_minhash_lsh_fast"](spark, "/root/testdata/sf0.001").count()
 
+    # build/serve split (r9 verdict task 5): the two stored-index
+    # lifecycle entries execute their index WRITE eagerly inside the
+    # catalog call and return the lazy serve query — so the call/count
+    # boundary is exactly the build/serve boundary. The split is
+    # reported per run so host DISK noise (the write path tracks the
+    # disk probe) stops masquerading as serve-path regressions; totals
+    # are unchanged (build + serve = the number prior rounds reported).
+    SPLIT_BUILD_SERVE = {"ann_ivfpq_topk", "text_line_dedup_index"}
+    build_serve: dict[str, dict[str, float]] = {}
+
     def timed(name: str) -> tuple[float, float]:
         """(first_run_sec, min_of_2_sec). The FIRST run is the
         round-over-round comparable number (r1-r3 were single-shot);
@@ -86,12 +96,24 @@ def main() -> None:
         single-shot samples on this shared host vary ±25% (measured
         10.0-14.6 s for the same build), so the min separates engine
         cost from host noise without breaking cross-round totals."""
-        secs = []
+        secs, splits = [], []
         for _ in range(2):
             t0 = time.time()
-            qs[name](spark, sf_dir).count()
-            secs.append(round(time.time() - t0, 3))
+            df = qs[name](spark, sf_dir)
+            t1 = time.time()
+            df.count()
+            t2 = time.time()
+            secs.append(round(t2 - t0, 3))
+            splits.append((round(t1 - t0, 3), round(t2 - t1, 3)))
         print(f"bench {name}: {secs}", file=sys.stderr, flush=True)
+        if name in SPLIT_BUILD_SERVE:
+            first, best = splits[0], splits[secs.index(min(secs))]
+            build_serve[name] = {
+                "build_sec": first[0],
+                "serve_sec": first[1],
+                "build_sec_min_run": best[0],
+                "serve_sec_min_run": best[1],
+            }
         return secs[0], min(secs)
 
     # capture the contention bracket BEFORE the calibration shuffle +
@@ -167,6 +189,7 @@ def main() -> None:
                     sum(results_min[n] for n in LEGACY11), 3
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "build_serve_split": build_serve,
                 "loadavg_before": load_before,
                 "loadavg_after_cal": load_after_cal,
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
