@@ -130,74 +130,77 @@ _PRIORITY = [
     "zorder_locality_index",
     "source_mixture_weights",
     "streaming_sessionization",  # rows-only by contract
-    # ROTATION (r9) — the refresh cadence the r9 note prescribes:
-    # 16 standing keeps (above) + 1 entry built this round + the 5
-    # entries whose ENGINE CODE changed this round (the adjacency
-    # working-set rebuild of pagerank/LPA/HashMin — a changed operator
-    # gets an official row the same round it changes) + the 28
-    # longest-unrefreshed pass* rows, continuing exactly where the r8
-    # refresh tail stopped (the 20 named in the r9 note, then the
-    # r4-list remainder, then the head of the r6 rotated-out list).
-    # Rotated out this round (green official rows in r6-r8; still
-    # fully covered by check_oracle): the 12 r6-session deferrals,
-    # the 9 r7-built rows, the 6 r8-built rows, and the 7 r1-r3
-    # refreshes taken in r8.
-    # --- first-time row: built in the r8 continuation, post-freeze
-    "graph_pagerank_dangling",
-    # --- changed-this-round rows: adjacency working set (r9)
+    # ROTATION (r10) — exactly as the written r10 note prescribed:
+    # 16 standing keeps (above) + graph_pagerank_personalized FIRST
+    # (built after the r9 freeze — the only never-gated entry,
+    # 1 of 282) + the 5 entries whose ENGINE CODE changed this round
+    # (the adjacency_cache NULL-neighbor contract fix touches
+    # pagerank/dangling-PR/LPA/HashMin; the star CC per-round rebuild
+    # touches dedup_components_star — a changed operator gets an
+    # official row the same round it changes) + the 28
+    # longest-unrefreshed pass* rows, continuing exactly where r9's
+    # refresh tail stopped: the rest of the r6 rotated-out list in its
+    # order (9 named rows, the 15 events-tail rows, cogroup,
+    # feature-store PIT, then the first 2 of the 6 streaming-tail
+    # rows). Rotated out this round (green official rows in r9; still
+    # fully covered by check_oracle): graph_pagerank_dangling's r9
+    # siblings' refresh rows — the 20 r9-note rows, the 6 r4-list
+    # remainder rows, and the 2 r6-head ANN rows.
+    # --- first-time row: built in r9 post-freeze, never gated
+    "graph_pagerank_personalized",
+    # --- engine-changed-this-round rows (r10)
     "graph_pagerank_parts",
+    "graph_pagerank_dangling",
     "graph_label_propagation",
     "dedup_components",
     "dedup_components_star",
-    "dedup_pipeline_containment",
-    # --- refresh rows 7-26: the 20 the r9 note pre-verified at sf0.1
-    "sample_split_hash",
-    "text_tfidf_top_terms",
-    "text_pii_redaction",
-    "pack_sequences",
-    "text_repetition_signals",
-    "corpus_curation_pipeline",
-    "multimodal_binary_meta",
-    "range_join_error_context",
-    "percentiles_by_priority",
-    "approx_stats",
-    "streaming_tumbling_counts",  # rows-only by contract
-    "streaming_stateful_dedup",  # rows-only by contract
-    "skew_replicated_join",
-    "bucketed_join_orders",
-    "tpch_q3_shipping_priority",
-    "parallelize_kv_counts",
-    "python_datasource_feeder",
-    "feeder_route_do_pipeline",
-    "orders_abc_pareto",
-    "decontaminate_ngram_overlap",
-    # --- refresh rows 27-32: the r4-list remainder (official r3)
-    "customer_rfm_segments",
-    "recursive_cte_user_hierarchy",
-    "lateral_topk_orders",
-    "udtf_token_positions",
-    "events_gapfill_daily",
-    "events_watermark_lateness_audit",
-    # --- refresh rows 33-34: head of the r6 rotated-out list
-    "ann_pq_rerank_topk",
-    "ann_pq_append_topk",
+    # --- refresh rows 23-31: the 9 named r6 rotated-out rows
+    "streaming_pq_index_append",  # rows-only by contract
+    "text_dup_token_spans",
+    "dedup_simhash_fast_banding_lossless",
+    "dedup_simhash_hamming_fast",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk",
+    "dedup_minhash_index_append",
+    "streaming_minhash_index_match",  # rows-only by contract
+    "text_winnowing_matches_capped",
+    # --- refresh rows 32-46: the 15 events-tail rows (registration
+    # order; outliers_mad rides with its zscore sibling,
+    # time_pruned_rollup closes the family)
+    "events_json_props",
+    "events_value_moments",
+    "events_outliers_zscore",
+    "events_outliers_mad",
+    "events_heatmap_dow_hour",
+    "events_rolling_weekly_active",
+    "events_growth_accounting",
+    "events_value_histogram_log2",
+    "events_multi_grain_rollup",
+    "events_variant_shredding",
+    "events_error_spike",
+    "events_histogram_quantiles",
+    "events_entry_paths",
+    "events_drift_report",
+    "events_time_pruned_rollup",
+    # --- refresh rows 47-50: cogroup, feature-store PIT, and the
+    # first 2 of the 6 streaming-tail rows
+    "cogroup_click_purchase_profile",
+    "feature_store_pit_join",
+    "streaming_static_enrich",  # rows-only by contract
+    "streaming_interval_join",  # rows-only by contract
 ]
-# r10 ROTATION NOTE (for the next session): window = 16 standing
-# keeps + graph_pagerank_personalized (built AFTER the r9 freeze —
-# the only never-gated entry; verified green by check_oracle at
-# sf0.01 AND sf0.1 when built, rotate it in FIRST) + anything built
-# or ENGINE-CHANGED in r10 + the longest-unrefreshed pass* rows,
-# continuing where r9's refresh tail stopped — next in line, in order: the rest of the r6 rotated-out
-# list (streaming_pq_index_append, text_dup_token_spans,
-# dedup_simhash_fast_banding_lossless, dedup_simhash_hamming_fast,
-# ann_ivfpq_topk, ann_ivfpq_residual_topk, dedup_minhash_index_append,
-# streaming_minhash_index_match, text_winnowing_matches_capped, the 15
-# events-tail entries, cogroup_click_purchase_profile,
-# feature_store_pit_join, the 6 streaming-tail entries), then the r7
-# rotated-out rows (ann_ivfpq_rerank_topk … graph_label_propagation in
-# the r8 comment's order, skipping any already re-officialized), then
-# the r8 rotated-out rows. Keep the family pins and the pre-freeze
-# green check at sf0.01 AND sf0.1 before freezing.
+# r11 ROTATION NOTE (for the next session): window = 16 standing
+# keeps + anything built or ENGINE-CHANGED in r11 + the
+# longest-unrefreshed pass* rows, continuing where r10's refresh tail
+# stopped — next in line, in order: the remaining 4 streaming-tail
+# rows of the r6 rotated-out list (streaming_dropdup_watermark,
+# streaming_mincount_sketch, streaming_backfill_available_now,
+# streaming_interval_join_left_outer), then the r7 rotated-out rows
+# (ann_ivfpq_rerank_topk … graph_label_propagation in the r8
+# comment's order, skipping any already re-officialized), then the r8
+# rotated-out rows, then the r9 rotated-out rows. Keep the family
+# pins and the pre-freeze green check at sf0.01 AND sf0.1 before
+# freezing.
 
 
 def _ordered(names: list[str]) -> list[str]:

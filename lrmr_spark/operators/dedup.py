@@ -842,18 +842,41 @@ def _connected_components_star(
     - small-star: over the large→small edges, each node u links every
       smaller neighbor (and itself) to m = min of that set.
 
-    Both steps are one groupBy-min + one broadcast-free join shuffling
-    (id, id) longs; lineage truncates per round via localCheckpoint.
-    Converges in O(log n) rounds on any shape — including paths, where
-    HashMin needs O(n). Fixed point = forest of stars centered at the
-    component minima; convergence is detected by symmetric edge-set
-    difference (two anti-join counts on checkpointed frames).
+    Scale shape (r10, measured — tools/exp_cc_star.py →
+    EXP_CC_STAR.json): each star step is ONE window pass — min(v) and
+    row_number share a partitionBy(u).orderBy(v) spec, so the step
+    costs one exchange+sort, the self-link u→m is emitted on the
+    rn = 1 row, and the node-sized min table plus the edge⋈node join
+    the r9 shape paid per step both disappear. Measured paired
+    against the r9 shape on the 16.7M-node bipartite graph,
+    fingerprint-identical labels: sf1 19.3 s vs 53.2 min-of-2 (2.75×;
+    the convergence fix alone reaches 31.1), sf10 89.0 s vs 123.9
+    min-of-5 (1.39×) on a host whose old-shape samples span
+    124–247 s. The collect_set-regroup sibling arm matched this
+    within noise (20.6 / 95.5) but was rejected: its converged
+    component-min row holds the WHOLE component in one array (~130 MB
+    at sf10's giant component, unbounded at 100 TB) where this
+    shape's sort is per-node-degree and spillable. No per-step
+    distinct:
+    cross-row duplicate links ride into the next step's window (min
+    is duplicate-blind) and die in the per-round distinct that
+    maintains the edge-set invariant. Sorting is per-node-degree and
+    spillable — unlike a collect_set regroup (the measured sibling
+    arm), no row ever holds a whole component. Convergence: the edge
+    sets are DISTINCT, so |new| = |prev| ∧ new∖prev = ∅ ⟹ equality —
+    a count precheck gates ONE left-anti join, and since every
+    non-final round changes the edge count, the usual round pays ZERO
+    convergence shuffles (the r9 shape paid two full exceptAll passes
+    every round). Lineage truncates per round via localCheckpoint.
+    Converges in O(log n) rounds on any shape — including paths,
+    where HashMin needs O(n).
 
     Id typing: integer ids are normalized to long (8-byte shuffle keys,
     the fast path); any other id type (string fingerprints, ...) is kept
-    as-is — min/greatest/least only need a total order, matching the
-    hashmin variant's accept-any-id contract. (Casting strings to long
-    would silently NULL them out.)"""
+    as-is — min/greatest/least/sort only need a total order, matching
+    the hashmin variant's accept-any-id contract. (Casting strings to
+    long would silently NULL them out.)"""
+    from pyspark.sql import Window
     from pyspark.sql.types import IntegralType
 
     fields = dict((f.name, f.dataType) for f in pairs.schema.fields)
@@ -869,47 +892,51 @@ def _connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_prev = edges.count()
+    w = Window.partitionBy("u").orderBy("v")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     for _ in range(max_iter):
         nbrs = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        m = (
-            nbrs.groupBy("u")
-            .agg(F.min("v").alias("_mn"))
-            .select("u", F.least("_mn", F.col("u")).alias("m"))
+        t = nbrs.select(
+            "u",
+            "v",
+            F.least(F.min("v").over(wf), F.col("u")).alias("m"),
+            F.row_number().over(w).alias("rn"),
         )
-        ls = (
-            nbrs.join(m, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(
-                m.filter(F.col("u") != F.col("m")).select(
-                    "u", F.col("m").alias("v")
-                )
+        ls = t.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        ).union(
+            t.filter((F.col("rn") == 1) & (F.col("u") != F.col("m"))).select(
+                "u", F.col("m").alias("v")
             )
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
-        m2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        # small-star input is all v < u, so m = the group min of v
+        t2 = ls.select(
+            "u",
+            "v",
+            F.min("v").over(wf).alias("m"),
+            F.row_number().over(w).alias("rn"),
+        )
         new_edges = (
-            ls.join(m2, "u")
-            .filter(F.col("v") != F.col("m"))
+            t2.filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(
-                m2.filter(F.col("u") != F.col("m")).select(
-                    "u", F.col("m").alias("v")
-                )
+                t2.filter(
+                    (F.col("rn") == 1) & (F.col("u") != F.col("m"))
+                ).select("u", F.col("m").alias("v"))
             )
-            .filter(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint(eager=True)
         )
+        n_new = new_edges.count()
         stable = (
-            new_edges.exceptAll(edges).count() == 0
-            and edges.exceptAll(new_edges).count() == 0
+            n_new == n_prev
+            and new_edges.join(edges, ["u", "v"], "left_anti").count() == 0
         )
         edges.unpersist()  # pitfall 19: release the dead round's blocks
-        edges = new_edges
+        edges, n_prev = new_edges, n_new
         if stable:
             break
     comp = edges.select(F.col("u").alias("id"), F.col("v").alias("comp"))

@@ -248,9 +248,14 @@ def _star(pairs, steps, cheap_conv=True):
 
 
 ARMS = {
+    # v0_shipped calls the OPERATOR — after the r10 rewrite ships it
+    # aliases the winning arm; vOLD is the r9 shape pinned in this
+    # file (old steps + two-exceptAll convergence), kept for honest
+    # reruns against the pre-rewrite baseline.
     "v0_shipped": lambda s, d: connected_components(
         _pairs(s, d), algorithm="star"
     ),
+    "vOLD": lambda s, d: _star(_pairs(s, d), _steps_shipped, cheap_conv=False),
     "vCONV": lambda s, d: _star(_pairs(s, d), _steps_shipped),
     "vWINDOW": lambda s, d: _star(_pairs(s, d), _steps_window),
     "vREGROUP": lambda s, d: _star(_pairs(s, d), _steps_regroup),
@@ -283,6 +288,11 @@ def main() -> None:
         i = args.index("--reps")
         reps = int(args[i + 1])
         args = args[:i] + args[i + 2:]
+    verify = True
+    if "--no-verify" in args:
+        # for follow-up timing rounds after equality is established
+        verify = False
+        args.remove("--no-verify")
     dirs = args or ["/root/repo/.scratch/sf1"]
     spark = get_spark("exp-cc-star")
     import hostcal
@@ -293,7 +303,7 @@ def main() -> None:
     for sf_dir in dirs:
         tag = os.path.basename(os.path.normpath(sf_dir))
         golden = None
-        for name in arms:
+        for name in arms if verify else arms[:1]:
             fp = _fingerprint(ARMS[name](spark, sf_dir))
             print(f"{name} @ {tag}: fp={fp}", file=sys.stderr, flush=True)
             if golden is None:
