@@ -25,6 +25,12 @@ operator-specific numbers):
   k-core peels — the edge set shrinks, so a static cache does not
   apply) → ``peel_degrees`` + ``peel_filtered_edges``: the
   three-way keep/removed/shuffle regime (EXP_KCORE_NUMBERS.json).
+- STATIC edge frame with an out-degree hub approaching ~1e7 →
+  ``chunked_adjacency``: the measured hub-safe variant (r10 planted-
+  hub experiment, EXP_ADJ_HUB.json — crossover between 4e6 and 1e7
+  out-edges; below it the single-row layout wins 1.3-2.2×, so
+  chunking is opt-in for hub-bearing graph families, never the
+  default).
 """
 
 from __future__ import annotations
@@ -59,15 +65,20 @@ def adjacency_cache(
 
     Returns (cached_frame, n_rows); n_rows doubles as the node count
     when every node has an out-edge (the pagerank fast-path
-    contract). 100 TB caveat, documented trade: one row per source
-    node means a row's size is bounded by the graph's MAX OUT-DEGREE
-    (a 10M-out-edge hub is an ~80 MB row). Out-degree is the bounded
-    side of crawl/citation graphs (in-degree hubs land in the SUM
-    aggregate, which is safe); for a graph family where out-degree
-    hubs are real, the named alternative is chunked adjacency —
-    groupBy(key, pmod(hash(neighbor), ceil(outdeg/CAP))) after a
-    degree pass — which re-adds the degree pre-join this layout
-    exists to delete, so it should ship only behind a measurement.
+    contract). 100 TB trade, MEASURED (r10 planted-hub experiment,
+    tools/exp_adj_hub.py → EXP_ADJ_HUB.json): one row per source node
+    means a row's size is bounded by the graph's MAX OUT-DEGREE.
+    Planting a symmetric hub into the sf1 rehearsal graph and pairing
+    this layout against ``chunked_adjacency`` below, the single row
+    stays the right call up to ~4M out-edges (min-of-2: 8.9 / 12.7 /
+    17.3 s at hub 0 / 1e6 / 4e6 vs chunked 15.4 / 27.6 / 22.0 — the
+    chunk machinery's degree pre-join plus per-round rank replication
+    cost real time when no hub needs them) and inverts at ~1e7
+    out-edges (50.5 vs 36.6 s — the ~80 MB row degrades
+    super-linearly: 2.5× more hub edges cost 2.9×). In-degree hubs
+    land in the SUM aggregate, which is safe at any skew; for a graph
+    family whose max OUT-degree approaches 1e7, use
+    ``chunked_adjacency``.
 
     NULL contract: edges whose neighbor is NULL are DROPPED before the
     groupBy (treated as nonexistent), so ``outdeg`` always equals
@@ -88,6 +99,61 @@ def adjacency_cache(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return out, out.count()
+
+
+def chunked_adjacency(
+    edges: DataFrame,
+    key: str = "src",
+    neighbor: str = "dst",
+    cap: int = 131_072,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Hub-safe sibling of ``adjacency_cache`` for graph families whose
+    max OUT-degree approaches ~1e7 (the measured crossover —
+    EXP_ADJ_HUB.json; below ~4e6 the single-row layout is 1.3-2.2×
+    faster, so this is NOT the default): a node with outdeg d becomes
+    ⌈d/cap⌉ rows ``(key, _ch, outdeg, _nbrs[])`` landing in DIFFERENT
+    partitions, so a hub's per-round send work spreads across its
+    chunks instead of serializing in one task over one ~80 MB row.
+
+    Costs over the single-row layout, by construction: a degree pass +
+    deg⋈edges pre-join at build, and — because a join on ``key`` alone
+    would re-exchange every chunk back into one partition, defeating
+    the layout — the per-round node table must be REPLICATED per chunk
+    and joined on (key, _ch). Returns (cached_frame, chunks, n_nodes)
+    where ``chunks`` is the node-sized checkpointed (node, _n_ch)
+    replication table; the caller's round does::
+
+        repl = ranks.join(chunks, "node").select(
+            "node", ..., F.explode(F.sequence(F.lit(0).cast("long"),
+                                              F.col("_n_ch") - 1)).alias("_ch"))
+        sends = adj.join(repl, (adj.key == repl.node) & (adj._ch == repl._ch))
+
+    NULL contract: identical to ``adjacency_cache`` (NULL-neighbor
+    edges dropped before the degree pass)."""
+    e = edges.where(F.col(neighbor).isNotNull())
+    deg = e.groupBy(key).agg(F.count(F.lit(1)).alias("outdeg"))
+    n_ch = F.greatest(F.ceil(F.col("outdeg") / cap), F.lit(1)).cast("long")
+    adj = (
+        e.join(deg, key)
+        .groupBy(key, F.pmod(F.xxhash64(neighbor), n_ch).alias("_ch"))
+        .agg(
+            F.first("outdeg").alias("outdeg"),
+            F.collect_list(neighbor).alias("_nbrs"),
+        )
+        .sortWithinPartitions(key, "_ch")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    adj.count()
+    chunks = (
+        deg.select(
+            F.col(key).alias("node"),
+            F.greatest(F.ceil(F.col("outdeg") / cap), F.lit(1))
+            .cast("long")
+            .alias("_n_ch"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return adj, chunks, chunks.count()
 
 
 def peel_degrees(edge_df: DataFrame) -> DataFrame:

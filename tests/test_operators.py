@@ -427,6 +427,33 @@ def test_adjacency_cache_drops_null_neighbors(spark):
         assert r["outdeg"] == len(r["_nbrs"]) == 1
 
 
+def test_chunked_adjacency_structure_and_null_contract(spark):
+    # hub-safe layout (EXP_ADJ_HUB.json): per key, outdeg is constant
+    # across chunks and equals the true degree, the chunk arrays
+    # partition the neighbor set, every chunk id is < the node's
+    # replication count, and NULL-neighbor edges are dropped
+    # (adjacency_cache's contract)
+    from lrmr_spark.operators._iterloop import chunked_adjacency
+
+    hub_edges = [(1, d) for d in range(2, 52)] + [(2, 1), (3, None)]
+    edges = spark.createDataFrame(hub_edges, "src long, dst long")
+    adj, chunks, n = chunked_adjacency(edges, cap=8)
+    rows = adj.collect()
+    repl = {r["node"]: r["_n_ch"] for r in chunks.collect()}
+    adj.unpersist()
+    chunks.unpersist()
+    assert n == 2 and set(repl) == {1, 2}  # node 3 had only a NULL edge
+    assert repl[1] == -(-50 // 8) and repl[2] == 1
+    by_key: dict = {}
+    for r in rows:
+        assert r["outdeg"] == (50 if r["src"] == 1 else 1)
+        assert 0 <= r["_ch"] < repl[r["src"]]
+        by_key.setdefault(r["src"], []).extend(r["_nbrs"])
+    assert sorted(by_key[1]) == list(range(2, 52))
+    assert by_key[2] == [1]
+    assert len(by_key[1]) == 50  # chunks partition, never duplicate
+
+
 def test_pagerank_ppm_dangling_equals_fast_path_on_symmetric(spark):
     # on a symmetric graph there are no danglers and every node has an
     # in-edge: the dangling=True mode must reproduce the fast path
