@@ -786,7 +786,14 @@ def connected_components(
     # measured paired on THIS loop at sf10/16.7M nodes: 116.0 s
     # min-of-2 vs 152.4 s for the r8 flat copartitioned cache, better
     # on both reps, fingerprint-identical labels
-    # (EXP_ADJ_FAMILY.json). A SHUFFLE_HASH hint on the label side
+    # (EXP_ADJ_FAMILY.json; that pairing ran at loadavg 29 — the
+    # quiet-host regression anchor is r10's BENCH_r10_cc.json, start
+    # loadavg 0.18: sf1 29.1 s / sf10 128.1 s min-of-2, ratio 4.4 at
+    # 10× data; the r10-rebuilt star variant measured 15.4 / 86.1 on
+    # the same runs, so on deep-or-unknown-diameter graphs star is
+    # now the faster choice as well — hashmin stays the default for
+    # the shallow near-dup cliques this operator's contract names,
+    # where 2-3 rounds converge). A SHUFFLE_HASH hint on the label side
     # stays rejected (inverted at sf10 in the pagerank twin —
     # EXP_SHJ_SF10B.json, pitfall 24); below ~4M nodes Catalyst
     # broadcasts the checkpointed label table off its propagated
@@ -856,8 +863,11 @@ def _connected_components_star(
     within noise (20.6 / 95.5) but was rejected: its converged
     component-min row holds the WHOLE component in one array (~130 MB
     at sf10's giant component, unbounded at 100 TB) where this
-    shape's sort is per-node-degree and spillable. No per-step
-    distinct:
+    shape's sort is per-node-degree and spillable. Quiet-host
+    regression anchor (r10, BENCH_r10_cc.json, start loadavg 0.18):
+    sf1 15.4 s / sf10 86.1 s min-of-2 — beating HashMin (29.1 /
+    128.1) on the same runs at both scales, an inversion of the r9
+    standings (174.2 vs 116.0). No per-step distinct:
     cross-row duplicate links ride into the next step's window (min
     is duplicate-blind) and die in the per-round distinct that
     maintains the edge-set invariant. Sorting is per-node-degree and
