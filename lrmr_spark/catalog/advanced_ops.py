@@ -316,6 +316,93 @@ def graph_pagerank_parts(spark, sf_dir):
     )
 
 
+def _hits_round(prev_h: str, rnd: int) -> str:
+    """One HITS round as DuckDB CTEs: a_raw from the previous hubs,
+    L1-normalized to ppm over the FULL node set (left join keeps
+    no-in-edge nodes at 0), then h_raw from the NEW authorities —
+    hits_ppm's exact BIGINT recurrence (Kleinberg update order)."""
+    return f"""
+    a{rnd}raw AS (
+      SELECT e.dst AS node, sum(h.hub) AS raw
+      FROM e JOIN {prev_h} h ON e.src = h.node GROUP BY e.dst),
+    a{rnd} AS (
+      SELECT n.node,
+             CAST(coalesce(r.raw, 0) * 1000000 //
+                  greatest((SELECT sum(raw) FROM a{rnd}raw), 1) AS BIGINT)
+               AS auth
+      FROM nodes n LEFT JOIN a{rnd}raw r ON n.node = r.node),
+    h{rnd}raw AS (
+      SELECT e.src AS node, sum(a.auth) AS raw
+      FROM e JOIN a{rnd} a ON e.dst = a.node GROUP BY e.src),
+    h{rnd} AS (
+      SELECT n.node,
+             CAST(coalesce(r.raw, 0) * 1000000 //
+                  greatest((SELECT sum(raw) FROM h{rnd}raw), 1) AS BIGINT)
+               AS hub
+      FROM nodes n LEFT JOIN h{rnd}raw r ON n.node = r.node)"""
+
+
+@query(
+    "graph_hits_authorities",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT 'o:' || CAST(l_orderkey AS VARCHAR) AS src,
+                      'p:' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM lineitem),
+    nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst FROM e),
+    n AS (SELECT 1000000 // count(*) AS tp FROM nodes),
+    h0 AS (SELECT node, (SELECT tp FROM n) AS hub FROM nodes),
+    {_hits_round('h0', 1)},
+    {_hits_round('h1', 2)}
+    SELECT a2.node, a2.auth AS auth_ppm, h2.hub AS hub_ppm
+    FROM a2 JOIN h2 ON a2.node = h2.node
+    ORDER BY auth_ppm DESC, a2.node ASC LIMIT 30
+    """,
+)
+def graph_hits_authorities(spark, sf_dir):
+    """HITS hubs & authorities (2 fixed Kleinberg iterations, exact
+    integer ppm, L1 normalization) over the DIRECTED order→part graph
+    — orders are pure hubs (they only cite), parts pure authorities
+    (only cited), the cleanest bipartite exercise of both score
+    vectors. Corpus-curation reading: authority ranks the
+    heavily-cited pages to keep; a high-hub/low-authority profile
+    flags link-list/directory boilerplate PageRank alone can't
+    separate. Top-30 nodes by authority.
+
+    Same determinism contract as graph_pagerank_parts: every step is
+    BIGINT arithmetic (sums + one ppm-scaling integer division per
+    half-round), so a fixed iteration count is bit-identical across
+    engines and the oracle is the literal recurrence as chained CTEs.
+    Long node ids ride the per-iteration shuffles (orders even, parts
+    odd); labels format only on the final 30 rows. See
+    operators/graph.py hits_ppm for the two-adjacency-cache scale
+    shape (per round: two node-count SMJs + two partial-sum shuffles,
+    no edge-sized exchange after setup)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = F.col("l_orderkey").cast("long") * 2
+    p = F.col("l_partkey").cast("long") * 2 + 1
+    e = li.select(o.alias("src"), p.alias("dst")).distinct()
+    from ..operators.graph import hits_ppm
+
+    scores = hits_ppm(e, iterations=2)
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("o:"), F.expr("node DIV 2").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("p:"), F.expr("(node - 1) DIV 2").cast("string"))
+    )
+    return (
+        scores.select(
+            label.alias("node"),
+            F.col("auth_ppm").cast("bigint").alias("auth_ppm"),
+            F.col("hub_ppm").cast("bigint").alias("hub_ppm"),
+        )
+        .orderBy(F.desc("auth_ppm"), F.asc("node"))
+        .limit(30)
+    )
+
+
 def _pagerank_dangling_round(prev: str, rnd: int) -> str:
     """One dangling-PageRank round as DuckDB CTEs: the held mass of
     out-edge-less nodes (one scalar) redistributed uniformly into the

@@ -23,6 +23,7 @@ from ._iterloop import adjacency_cache, peel_degrees, peel_filtered_edges
 __all__ = [
     "pagerank_ppm",
     "personalized_pagerank_ppm",
+    "hits_ppm",
     "triangle_count",
     "label_propagation",
     "kcore_peel",
@@ -89,7 +90,9 @@ def pagerank_ppm(
     103.2 s at sf10 (fill-time sort of a 120M-row frame spills where
     the node-count adjacency sort does not); sf3 13.6 vs 17.9 vs 20.4
     (EXP_PAGERANK.json, EXP_PAGERANK_SF10.json; fingerprint-identical
-    output across all arms at both SFs). Below the _KEEP_BCAST_MAX
+    output across all arms at both SFs). Quiet-host regression anchor
+    (r10, BENCH_r10_graphops.json, start loadavg 0.57): sf1 10.2 s /
+    sf10 39.7 s, ratio 3.88 at 10× data. Below the _KEEP_BCAST_MAX
     node-count gate the rank table is explicitly broadcast instead
     (checkpointed frames carry no size statistics — pitfall 20
     corollary) and the adjacency frame is never exchanged at all.
@@ -300,6 +303,107 @@ def personalized_pagerank_ppm(
     return ranks.select("node", "rank_ppm")
 
 
+def hits_ppm(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg, JACM 1999) over directed
+    ``edges`` (src, dst), authority and hub scores in exact integer
+    ppm — the link-analysis complement to pagerank_ppm for corpus
+    curation: authorities are the heavily-cited pages (keep), hubs
+    are the link-list/directory pages (usually boilerplate or link
+    farms — a high-hub/low-authority profile is a classic spam
+    signal PageRank alone can't separate).
+
+    Recurrence, Kleinberg's update order in exact BIGINT ppm with
+    SUM-normalization (L1 instead of the classic L2 — an integer
+    sqrt would break cross-engine exactness; L1 preserves the
+    ranking and the fixed point up to scaling): per round,
+    ``a_raw(v) = Σ_{u→v} h(u)`` then ``a = a_raw·1M DIV Σ a_raw``,
+    then ``h_raw(u) = Σ_{u→v} a(v)`` (the NEW a) and
+    ``h = h_raw·1M DIV Σ h_raw``. Initial a = h = 1M DIV n over the
+    full node set (src ∪ dst). A node with no in-edge has authority
+    0, no out-edge hub 0 — both keep their row (left joins into the
+    full node table, the dangling-pagerank discipline). BIGINT
+    headroom: a_raw ≤ 1M·n ≤ 9.2e18 holds to n ≈ 9T nodes.
+
+    Scale shape: TWO static adjacency working sets from the one
+    shared implementation (operators._iterloop.adjacency_cache) —
+    out-adjacency keyed by src feeds the authority step (join the
+    node-sized hub table, explode out-neighbors inside the map stage
+    of the partial sum), in-adjacency keyed by dst feeds the hub
+    step (join the node-sized authority table, explode in-neighbors
+    likewise) — so per round each direction costs one node-count SMJ
+    against its sorted cache plus the one true (node, partial-sum)
+    shuffle, exactly pagerank_ppm's per-round budget twice, with no
+    edge-sized exchange anywhere after setup. Normalization is two
+    scalar aggregates per round (one BIGINT each across the driver,
+    the dangling-mass discipline). Node-sized tables broadcast under
+    _KEEP_BCAST_MAX; lineage truncates per round (pitfall 12/19)."""
+    raw = edges.select("src", "dst").localCheckpoint(eager=True)
+    adj_out, _ = adjacency_cache(raw, key="src", neighbor="dst")
+    adj_in, _ = adjacency_cache(raw, key="dst", neighbor="src")
+    nodes = (
+        raw.select(F.col("src").alias("node"))
+        .unionAll(raw.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    raw.unpersist()
+    n_nodes = nodes.count()
+    small = n_nodes <= _KEEP_BCAST_MAX
+    tp = 1_000_000 // max(n_nodes, 1)
+    scores = nodes.select(
+        "node",
+        F.lit(tp).cast("long").alias("auth_ppm"),
+        F.lit(tp).cast("long").alias("hub_ppm"),
+    ).localCheckpoint(eager=True)
+
+    def _fold(adj, key_col, score_col, out_col, cur):
+        """One half-round: raw(v) = Σ over adj[v]'s packed neighbors of
+        cur's score_col, L1-normalized to ppm, folded into the full
+        node table (no-edge nodes keep an explicit 0)."""
+        c = F.broadcast(cur) if small else cur
+        sends = adj.join(c, adj[key_col] == c.node).select(
+            "_nbrs", F.col(score_col).alias("_s")
+        )
+        raw_scores = (
+            sends.select(F.explode("_nbrs").alias("node"), "_s")
+            .groupBy("node")
+            .agg(F.sum("_s").alias("_raw"))
+        )
+        total = int(
+            raw_scores.agg(
+                F.coalesce(F.sum("_raw"), F.lit(0)).alias("t")
+            ).collect()[0]["t"]
+        )
+        if small:
+            raw_scores = F.broadcast(raw_scores)
+        return nodes.join(raw_scores, "node", "left").select(
+            "node",
+            F.expr(
+                f"CAST(coalesce(_raw, 0) * 1000000 DIV {max(total, 1)} "
+                "AS BIGINT)"
+            ).alias(out_col),
+        )
+
+    for _ in range(iterations):
+        # authorities from hubs (out-adjacency: u's row sends h(u) to
+        # each out-neighbor), then hubs from the NEW authorities
+        # (in-adjacency: v's row sends a(v) to each in-neighbor)
+        auth = _fold(
+            adj_out, "src", "hub_ppm", "auth_ppm", scores
+        ).localCheckpoint(eager=True)
+        hub = _fold(adj_in, "dst", "auth_ppm", "hub_ppm", auth)
+        new_scores = (
+            auth.join(hub, "node").select("node", "auth_ppm", "hub_ppm")
+        ).localCheckpoint(eager=True)
+        scores.unpersist()
+        auth.unpersist()
+        scores = new_scores
+    adj_out.unpersist()
+    adj_in.unpersist()
+    nodes.unpersist()
+    return scores
+
+
 def triangle_count(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> DataFrame:
     """Exact triangle count over an undirected edge list via DEGREE
     ORIENTATION — the MapReduce triangle algorithm (Suri &
@@ -404,7 +508,10 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     round with localCheckpoint (pitfall 12). Measured paired at sf10
     (EXP_ADJ_FAMILY.json, fingerprint-identical labels): adjacency
     87.3 s min-of-2 vs 109.3 s for the r8 flat copartitioned cache —
-    and variance-stable (88.9 vs 224.9 on the contended rep). ONE
+    and variance-stable (88.9 vs 224.9 on the contended rep); those
+    paired samples ran at loadavg 29 — the quiet-host regression
+    anchor is r10's BENCH_r10_graphops.json (start loadavg 0.57):
+    sf1 13.9 s / sf10 71.1 s, ratio 5.14 at 10× data. ONE
     loop serves both regimes: under the _KEEP_BCAST_MAX node-count
     gate the label table and argmax are EXPLICITLY broadcast
     (checkpointed frames carry no size statistics — pitfall 20

@@ -427,6 +427,46 @@ def test_adjacency_cache_drops_null_neighbors(spark):
         assert r["outdeg"] == len(r["_nbrs"]) == 1
 
 
+def _hits_python(edges, iterations):
+    """Pure-Python unroll of hits_ppm's documented recurrence
+    (Kleinberg update order, L1 ppm normalization, exact BIGINT)."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    tp = 1_000_000 // len(nodes)
+    a = {v: tp for v in nodes}
+    h = {v: tp for v in nodes}
+    for _ in range(iterations):
+        a_raw = {v: 0 for v in nodes}
+        for u, v in edges:
+            a_raw[v] += h[u]
+        ta = max(sum(a_raw.values()), 1)
+        a = {v: a_raw[v] * 1_000_000 // ta for v in nodes}
+        h_raw = {v: 0 for v in nodes}
+        for u, v in edges:
+            h_raw[u] += a[v]
+        th = max(sum(h_raw.values()), 1)
+        h = {v: h_raw[v] * 1_000_000 // th for v in nodes}
+    return {v: (a[v], h[v]) for v in nodes}
+
+
+def test_hits_ppm_closed_form(spark):
+    from lrmr_spark.operators.graph import hits_ppm
+
+    # bipartite-ish with a pure hub (1: out-only), a pure authority
+    # (4: in-only) and a mixed node; plus a disconnected-ish edge
+    cases = [
+        [(1, 3), (1, 4), (2, 4), (3, 4), (5, 6)],
+        [(1, 2), (2, 1)],  # symmetric 2-cycle: a = h = 500000 forever
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "src long, dst long")
+        for iters in (1, 3):
+            got = {
+                r["node"]: (r["auth_ppm"], r["hub_ppm"])
+                for r in hits_ppm(df, iterations=iters).collect()
+            }
+            assert got == _hits_python(edges, iters), (edges, iters)
+
+
 def test_chunked_adjacency_structure_and_null_contract(spark):
     # hub-safe layout (EXP_ADJ_HUB.json): per key, outdeg is constant
     # across chunks and equals the true degree, the chunk arrays
