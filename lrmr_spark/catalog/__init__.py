@@ -133,31 +133,33 @@ _PRIORITY = [
     # ROTATION (r10) — exactly as the written r10 note prescribed:
     # 16 standing keeps (above) + graph_pagerank_personalized FIRST
     # (built after the r9 freeze — the only never-gated entry at the
-    # time) + graph_hits_authorities (BUILT this round) + the 5
-    # entries whose ENGINE CODE changed this round
+    # time) + the 2 entries BUILT this round (graph_hits_authorities,
+    # graph_random_walks) + the 5 entries whose ENGINE CODE changed
+    # this round
     # (the adjacency_cache NULL-neighbor contract fix touches
     # pagerank/dangling-PR/LPA/HashMin; the star CC per-round rebuild
     # touches dedup_components_star — a changed operator gets an
-    # official row the same round it changes) + the 27
+    # official row the same round it changes) + the 26
     # longest-unrefreshed pass* rows, continuing exactly where r9's
     # refresh tail stopped: the rest of the r6 rotated-out list in its
     # order (9 named rows, the 15 events-tail rows, cogroup,
-    # feature-store PIT, then the first of the 6 streaming-tail
-    # rows). Rotated out this round (green official rows in r9; still
+    # feature-store PIT). Rotated out this round (green official rows in r9; still
     # fully covered by check_oracle): graph_pagerank_dangling's r9
     # siblings' refresh rows — the 20 r9-note rows, the 6 r4-list
     # remainder rows, and the 2 r6-head ANN rows.
     # --- first-time row: built in r9 post-freeze, never gated
     "graph_pagerank_personalized",
-    # --- built this round (r10): HITS hubs/authorities
+    # --- built this round (r10): HITS hubs/authorities +
+    # deterministic DeepWalk corpus generation
     "graph_hits_authorities",
+    "graph_random_walks",
     # --- engine-changed-this-round rows (r10)
     "graph_pagerank_parts",
     "graph_pagerank_dangling",
     "graph_label_propagation",
     "dedup_components",
     "dedup_components_star",
-    # --- refresh rows 24-32: the 9 named r6 rotated-out rows
+    # --- refresh rows 25-33: the 9 named r6 rotated-out rows
     "streaming_pq_index_append",  # rows-only by contract
     "text_dup_token_spans",
     "dedup_simhash_fast_banding_lossless",
@@ -167,7 +169,7 @@ _PRIORITY = [
     "dedup_minhash_index_append",
     "streaming_minhash_index_match",  # rows-only by contract
     "text_winnowing_matches_capped",
-    # --- refresh rows 33-47: the 15 events-tail rows (registration
+    # --- refresh rows 34-48: the 15 events-tail rows (registration
     # order; outliers_mad rides with its zscore sibling,
     # time_pruned_rollup closes the family)
     "events_json_props",
@@ -185,21 +187,20 @@ _PRIORITY = [
     "events_entry_paths",
     "events_drift_report",
     "events_time_pruned_rollup",
-    # --- refresh rows 48-50: cogroup, feature-store PIT, and the
-    # first of the 6 streaming-tail rows
+    # --- refresh rows 49-50: cogroup and feature-store PIT
     "cogroup_click_purchase_profile",
     "feature_store_pit_join",
-    "streaming_static_enrich",  # rows-only by contract
 ]
 # r11 ROTATION NOTE (for the next session): window = 16 standing
 # keeps + anything built or ENGINE-CHANGED in r11 + the
 # longest-unrefreshed pass* rows, continuing where r10's refresh tail
-# stopped — next in line, in order: the remaining 5 streaming-tail
-# rows of the r6 rotated-out list (streaming_interval_join,
-# streaming_dropdup_watermark, streaming_mincount_sketch,
-# streaming_backfill_available_now, streaming_interval_join_left_outer
-# — interval_join was displaced from the r10 window by the
-# built-this-round HITS row), then the r7 rotated-out rows
+# stopped — next in line, in order: the 6 streaming-tail rows of the
+# r6 rotated-out list (streaming_static_enrich,
+# streaming_interval_join, streaming_dropdup_watermark,
+# streaming_mincount_sketch, streaming_backfill_available_now,
+# streaming_interval_join_left_outer — static_enrich and
+# interval_join were displaced from the r10 window by the two
+# built-this-round graph rows), then the r7 rotated-out rows
 # (ann_ivfpq_rerank_topk … graph_label_propagation in the r8
 # comment's order, skipping any already re-officialized), then the r8
 # rotated-out rows, then the r9 rotated-out rows. Keep the family

@@ -403,6 +403,98 @@ def graph_hits_authorities(spark, sf_dir):
     )
 
 
+def _walk_step(prev: str, rnd: int) -> str:
+    """One deterministic-walk step as a DuckDB rank join: neighbor
+    index = the operator's mod-2^31-1 LCG over (node, step) into the
+    dst-sorted adjacency ranks — random_walks' exact recurrence
+    (w = 0; every product reduced before multiplying, overflow-free
+    BIGINT in both engines)."""
+    tc = (rnd * 1_013_904_223) % 2_147_483_647
+    return f"""
+    s{rnd} AS (
+      SELECT s.*, a.dst AS n{rnd}
+      FROM s{rnd - 1} s JOIN a
+        ON a.src = s.n{rnd - 1}
+       AND a.rk = ((s.n{rnd - 1} % 2147483647) * 1103515245
+                   % 2147483647 + {tc}) % 2147483647 % a.deg)"""
+
+
+@query(
+    "graph_random_walks",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT CAST(l_orderkey AS BIGINT) * 2 AS src,
+                      CAST(l_partkey AS BIGINT) * 2 + 1 AS dst
+      FROM lineitem
+      UNION ALL
+      SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 + 1,
+                      CAST(l_orderkey AS BIGINT) * 2
+      FROM lineitem),
+    a AS (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk,
+             count(*) OVER (PARTITION BY src) AS deg
+      FROM e),
+    s0 AS (
+      SELECT DISTINCT src AS n0 FROM e
+      WHERE src % 2 = 0 AND (src // 2) % 97 = 1),
+    {_walk_step('s0', 1)},
+    {_walk_step('s1', 2)},
+    {_walk_step('s2', 3)}
+    SELECT 'o:' || CAST(n0 // 2 AS VARCHAR) AS start,
+           CAST(4 AS BIGINT) AS n_steps,
+           'o:' || CAST(n0 // 2 AS VARCHAR)
+             || ' p:' || CAST((n1 - 1) // 2 AS VARCHAR)
+             || ' o:' || CAST(n2 // 2 AS VARCHAR)
+             || ' p:' || CAST((n3 - 1) // 2 AS VARCHAR) AS path
+    FROM s3 ORDER BY start
+    """,
+)
+def graph_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk-style corpus generation (4-step walks,
+    1 walk per start) over the undirected order↔part graph, starting
+    from every 97th order — the graph→sequence primitive embedding
+    pipelines train on, made oracle-checkable by replacing RNG with
+    the operator's mod-2^31-1 LCG over (node, step) into SORTED
+    neighbor ranks (operators/graph.py random_walks; the oracle
+    replays each step as a rank join). On the symmetric bipartite
+    graph walks alternate o→p→o→p and never die, so n_steps is
+    uniformly 4 here; the dead-end (prefix-keeping) path is pinned by
+    the closed-form pytest. Per step the walk-count state table SMJs
+    the packed sorted adjacency and element_at indexes ONE array slot
+    — no explode anywhere, per-step wire cost is walk-count rows."""
+    li = load(spark, sf_dir, "lineitem")
+    o = F.col("l_orderkey").cast("long") * 2
+    p = F.col("l_partkey").cast("long") * 2 + 1
+    fwd = li.select(o.alias("src"), p.alias("dst")).distinct()
+    rev = li.select(p.alias("src"), o.alias("dst")).distinct()
+    from ..operators.graph import random_walks
+
+    starts = (
+        li.select(o.alias("node"))
+        .filter(F.expr("(node DIV 2) % 97 = 1"))
+        .distinct()
+    )
+    walks = random_walks(
+        fwd.unionAll(rev), starts=starts, walk_len=4, walks_per_node=1
+    )
+    lab = (
+        "CASE WHEN x % 2 = 0 THEN 'o:' || CAST(x DIV 2 AS STRING) "
+        "ELSE 'p:' || CAST((x - 1) DIV 2 AS STRING) END"
+    )
+    return (
+        walks.select(
+            F.expr(f"CASE WHEN start % 2 = 0 THEN 'o:' || CAST(start DIV 2 AS STRING) "
+                   f"ELSE 'p:' || CAST((start - 1) DIV 2 AS STRING) END").alias("start"),
+            F.col("n_steps").cast("bigint").alias("n_steps"),
+            F.expr(f"array_join(transform(path, x -> {lab}), ' ')").alias(
+                "path"
+            ),
+        )
+        .orderBy("start")
+    )
+
+
 def _pagerank_dangling_round(prev: str, rnd: int) -> str:
     """One dangling-PageRank round as DuckDB CTEs: the held mass of
     out-edge-less nodes (one scalar) redistributed uniformly into the

@@ -24,6 +24,7 @@ __all__ = [
     "pagerank_ppm",
     "personalized_pagerank_ppm",
     "hits_ppm",
+    "random_walks",
     "triangle_count",
     "label_propagation",
     "kcore_peel",
@@ -301,6 +302,109 @@ def personalized_pagerank_ppm(
     adj.unpersist()
     nodes.unpersist()
     return ranks.select("node", "rank_ppm")
+
+
+# deterministic step-hash constants for random_walks: a mod-(2^31-1)
+# LCG — every product stays under 2^63 for ANY bigint node id because
+# the id is reduced mod P before multiplying, so the recurrence is
+# computable overflow-free (and therefore bit-identically) in Spark
+# AND in engines whose BIGINT overflow RAISES instead of wrapping
+# (DuckDB) — the md5-portability discipline, arithmetic edition.
+_WALK_P = 2_147_483_647
+_WALK_A = 1_103_515_245
+_WALK_B = 12_345
+_WALK_C = 1_013_904_223
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame | None = None,
+    walk_len: int = 4,
+    walks_per_node: int = 1,
+) -> DataFrame:
+    """DETERMINISTIC fixed-length random walks (the DeepWalk /
+    node2vec corpus-generation primitive — Perozzi et al., KDD'14):
+    turn a graph into node SEQUENCES for embedding training, the
+    graph-side analogue of document chunking. True RNG would make
+    the output partitioning-dependent and unverifiable; the walker
+    at node u on walk w, step t instead picks neighbor index
+    ``((u%P)*A + w*B + t*C) % P  mod outdeg`` into the SORTED
+    out-neighbor array (P = 2^31-1 LCG, every term reduced before
+    multiplying so the arithmetic is overflow-free for any bigint id
+    — exactly replayable in plain SQL as a rank join, which is what
+    makes a sampling operator oracle-checkable at all). Uniform over
+    neighbors per step, decorrelated across (node, walk, step).
+
+    ``starts``: optional (node) frame (default: every node with an
+    out-edge starts ``walks_per_node`` walks). A walker reaching a
+    node with no out-edge STOPS — the path keeps its visited prefix
+    (n_steps < walk_len), it is not dropped or padded. Output:
+    (start, w, n_steps, path[]) — path[1] = start.
+
+    Scale shape — the packed-adjacency layout's no-explode corner:
+    the working set is (src, outdeg, SORTED nbrs[]) one row per node
+    (single edge-sized exchange, sorted within partitions, the
+    pitfall-25 cache); per step the walk-count state table SMJs
+    against it with zero cached-side exchange and ``element_at``
+    INDEXES the packed array — where pagerank must re-expand to
+    edge-count rows inside the map stage, a walk step touches ONE
+    array slot, so per-step wire cost is walk-count rows always,
+    never edge-count. Steps localCheckpoint (walk_len is user-sized;
+    flat lineage — pitfall 12/15 discipline). Dead walkers carry a
+    NULL cursor and skip the join via the left-join null path."""
+    e = edges.where(F.col("dst").isNotNull())
+    adj = (
+        e.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("outdeg"),
+            F.sort_array(F.collect_list("dst")).alias("_nbrs"),
+        )
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    adj.count()
+    if starts is None:
+        starts = adj.select(F.col("src").alias("node"))
+    state = starts.select(
+        F.col("node").alias("start"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(walks_per_node - 1))
+        ).alias("w"),
+    ).select(
+        "start", "w", F.array("start").alias("path"), F.col("start").alias("_cur")
+    ).localCheckpoint(eager=True)
+    for t in range(1, walk_len):
+        st = state.alias("s")
+        a = adj.alias("a")
+        h = (
+            (F.pmod(F.col("s._cur"), _WALK_P) * _WALK_A) % _WALK_P
+            + (F.col("s.w") * _WALK_B) % _WALK_P
+            + F.lit((t * _WALK_C) % _WALK_P)
+        ) % _WALK_P
+        nxt = F.when(
+            F.col("a.outdeg").isNotNull(),
+            F.element_at(
+                "a._nbrs", (F.pmod(h, F.col("a.outdeg")) + 1).cast("int")
+            ),
+        )
+        new_state = (
+            st.join(a, F.col("s._cur") == F.col("a.src"), "left")
+            .select(
+                "s.start",
+                "s.w",
+                F.when(nxt.isNull(), F.col("s.path"))
+                .otherwise(F.concat("s.path", F.array(nxt)))
+                .alias("path"),
+                nxt.alias("_cur"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        state.unpersist()
+        state = new_state
+    adj.unpersist()
+    return state.select(
+        "start", "w", F.size("path").alias("n_steps"), "path"
+    )
 
 
 def hits_ppm(edges: DataFrame, iterations: int = 3) -> DataFrame:

@@ -467,6 +467,55 @@ def test_hits_ppm_closed_form(spark):
             assert got == _hits_python(edges, iters), (edges, iters)
 
 
+def _walks_python(edges, walk_len, walks_per_node, starts=None):
+    """Pure-Python unroll of random_walks' documented LCG step
+    recurrence (sorted neighbors, mod-2^31-1 arithmetic)."""
+    P, A, B, C = 2_147_483_647, 1_103_515_245, 12_345, 1_013_904_223
+    adj: dict = {}
+    for u, v in edges:
+        if v is not None:
+            adj.setdefault(u, []).append(v)
+    for u in adj:
+        adj[u].sort()
+    if starts is None:
+        starts = sorted(adj)
+    out = []
+    for s in starts:
+        for w in range(walks_per_node):
+            path, cur = [s], s
+            for t in range(1, walk_len):
+                if cur not in adj:
+                    break
+                h = (((cur % P) * A) % P + (w * B) % P + (t * C) % P) % P
+                cur = adj[cur][h % len(adj[cur])]
+                path.append(cur)
+            out.append((s, w, len(path), tuple(path)))
+    return sorted(out)
+
+
+def test_random_walks_closed_form(spark):
+    from lrmr_spark.operators.graph import random_walks
+
+    # 3 is a dead end (walks stop and keep their prefix); 1<->2 cycle
+    edges = [(1, 2), (1, 3), (2, 1), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(
+        (r["start"], r["w"], r["n_steps"], tuple(r["path"]))
+        for r in random_walks(df, walk_len=4, walks_per_node=2).collect()
+    )
+    assert got == _walks_python(edges, 4, 2)
+    # explicit starts incl. a node with no out-edge: 1-step walk, kept
+    starts = spark.createDataFrame([(3,), (1,)], "node long")
+    got2 = sorted(
+        (r["start"], r["w"], r["n_steps"], tuple(r["path"]))
+        for r in random_walks(
+            df, starts=starts, walk_len=3, walks_per_node=1
+        ).collect()
+    )
+    assert got2 == _walks_python(edges, 3, 1, starts=[1, 3])
+    assert (3, 0, 1, (3,)) in got2
+
+
 def test_chunked_adjacency_structure_and_null_contract(spark):
     # hub-safe layout (EXP_ADJ_HUB.json): per key, outdeg is constant
     # across chunks and equals the true degree, the chunk arrays
