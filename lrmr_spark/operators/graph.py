@@ -349,9 +349,14 @@ def random_walks(
     INDEXES the packed array — where pagerank must re-expand to
     edge-count rows inside the map stage, a walk step touches ONE
     array slot, so per-step wire cost is walk-count rows always,
-    never edge-count. Steps localCheckpoint (walk_len is user-sized;
-    flat lineage — pitfall 12/15 discipline). Dead walkers carry a
-    NULL cursor and skip the join via the left-join null path."""
+    never edge-count. Under the _KEEP_BCAST_MAX node-count gate the
+    adjacency frame is explicitly broadcast instead (the state side
+    is the OUTER side of the left join, so only the adjacency side
+    is broadcastable; checkpointed state carries no size statistics
+    anyway — pitfall 20 corollary) and a step pays zero exchanges.
+    Steps localCheckpoint (walk_len is user-sized; flat lineage —
+    pitfall 12/15 discipline). Dead walkers carry a NULL cursor and
+    skip the join via the left-join null path."""
     e = edges.where(F.col("dst").isNotNull())
     adj = (
         e.groupBy("src")
@@ -362,7 +367,7 @@ def random_walks(
         .sortWithinPartitions("src")
         .persist()
     )
-    adj.count()
+    small = adj.count() <= _KEEP_BCAST_MAX
     if starts is None:
         starts = adj.select(F.col("src").alias("node"))
     state = starts.select(
@@ -375,7 +380,7 @@ def random_walks(
     ).localCheckpoint(eager=True)
     for t in range(1, walk_len):
         st = state.alias("s")
-        a = adj.alias("a")
+        a = (F.broadcast(adj) if small else adj).alias("a")
         h = (
             (F.pmod(F.col("s._cur"), _WALK_P) * _WALK_A) % _WALK_P
             + (F.col("s.w") * _WALK_B) % _WALK_P
