@@ -356,7 +356,10 @@ def random_walks(
     anyway — pitfall 20 corollary) and a step pays zero exchanges.
     Steps localCheckpoint (walk_len is user-sized; flat lineage —
     pitfall 12/15 discipline). Dead walkers carry a NULL cursor and
-    skip the join via the left-join null path."""
+    skip the join via the left-join null path. Quiet-host anchor
+    (r10, BENCH_r10_newops.json, 4-step walks from every 97th order):
+    sf1 9.5 s / 15.2k walks, sf10 23.6 s / 151.8k walks — ratio 2.49
+    at 10× data."""
     e = edges.where(F.col("dst").isNotNull())
     adj = (
         e.groupBy("src")
@@ -445,7 +448,10 @@ def hits_ppm(edges: DataFrame, iterations: int = 3) -> DataFrame:
     edge-sized exchange anywhere after setup. Normalization is two
     scalar aggregates per round (one BIGINT each across the driver,
     the dangling-mass discipline). Node-sized tables broadcast under
-    _KEEP_BCAST_MAX; lineage truncates per round (pitfall 12/19)."""
+    _KEEP_BCAST_MAX; lineage truncates per round (pitfall 12/19).
+    Quiet-host anchor (r10, BENCH_r10_newops.json, cal loadavg 0.52,
+    2 iterations, bipartite rehearsal graph): sf1 24.7 s / sf10
+    105.8 s, ratio 4.28 at 10× data."""
     raw = edges.select("src", "dst").localCheckpoint(eager=True)
     adj_out, _ = adjacency_cache(raw, key="src", neighbor="dst")
     adj_in, _ = adjacency_cache(raw, key="dst", neighbor="src")
