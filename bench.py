@@ -79,14 +79,15 @@ def main() -> None:
     qs["flagship_event_counts"](spark, sf_dir).count()
     qs["dedup_minhash_lsh_fast"](spark, "/root/testdata/sf0.001").count()
 
-    # build/serve split (r9 verdict task 5): the two stored-index
+    # build/serve split (r9 verdict task 5): the stored-index
     # lifecycle entries execute their index WRITE eagerly inside the
     # catalog call and return the lazy serve query — so the call/count
     # boundary is exactly the build/serve boundary. The split is
     # reported per run so host DISK noise (the write path tracks the
     # disk probe) stops masquerading as serve-path regressions; totals
     # are unchanged (build + serve = the number prior rounds reported).
-    SPLIT_BUILD_SERVE = {"ann_ivfpq_topk", "text_line_dedup_index"}
+    from lrmr_spark.catalog import INDEX_LIFECYCLE_ENTRIES as SPLIT_BUILD_SERVE
+
     build_serve: dict[str, dict[str, float]] = {}
 
     def timed(name: str) -> tuple[float, float]:

@@ -18,6 +18,16 @@ from pyspark.sql import DataFrame, SparkSession
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str | Callable[[], str]] = {}
 
+# Stored-index lifecycle entries whose catalog CALL executes the index
+# write eagerly and returns the lazy serve query — the call/count
+# boundary is their build/serve boundary. The bench harnesses
+# (bench.py, tools/bench_scale.py) import this to report the split;
+# one definition here so a new lifecycle entry can't silently miss one
+# harness.
+INDEX_LIFECYCLE_ENTRIES = frozenset(
+    {"ann_ivfpq_topk", "text_line_dedup_index"}
+)
+
 
 def query(name: str, oracle: str | Callable[[], str] | None = None):
     """Register a catalog query. ``oracle=None`` → driver runs the weaker

@@ -478,16 +478,17 @@ def graph_random_walks(spark, sf_dir):
     walks = random_walks(
         fwd.unionAll(rev), starts=starts, walk_len=4, walks_per_node=1
     )
-    lab = (
-        "CASE WHEN x % 2 = 0 THEN 'o:' || CAST(x DIV 2 AS STRING) "
-        "ELSE 'p:' || CAST((x - 1) DIV 2 AS STRING) END"
-    )
+    def lab(col: str) -> str:
+        return (
+            f"CASE WHEN {col} % 2 = 0 THEN 'o:' || CAST({col} DIV 2 AS STRING) "
+            f"ELSE 'p:' || CAST(({col} - 1) DIV 2 AS STRING) END"
+        )
+
     return (
         walks.select(
-            F.expr(f"CASE WHEN start % 2 = 0 THEN 'o:' || CAST(start DIV 2 AS STRING) "
-                   f"ELSE 'p:' || CAST((start - 1) DIV 2 AS STRING) END").alias("start"),
+            F.expr(lab("start")).alias("start"),
             F.col("n_steps").cast("bigint").alias("n_steps"),
-            F.expr(f"array_join(transform(path, x -> {lab}), ' ')").alias(
+            F.expr(f"array_join(transform(path, x -> {lab('x')}), ' ')").alias(
                 "path"
             ),
         )

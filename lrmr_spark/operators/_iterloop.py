@@ -80,16 +80,19 @@ def adjacency_cache(
     family whose max OUT-degree approaches 1e7, use
     ``chunked_adjacency``.
 
-    NULL contract: edges whose neighbor is NULL are DROPPED before the
-    groupBy (treated as nonexistent), so ``outdeg`` always equals
-    ``size(_nbrs)`` — collect_list silently drops NULLs, and an
-    unfiltered count(*) would inflate the rank divisor while emitting
-    no send (mass silently lost) and drop the vote/min-candidate in
-    LPA/HashMin. A node whose ONLY edges have NULL neighbors gets no
-    adjacency row (it is dangling). No in-repo caller produces null
-    edges; the filter pins the contract for external callers."""
+    NULL contract: edges with a NULL endpoint (EITHER column) are
+    DROPPED before the groupBy (treated as nonexistent), so
+    ``outdeg`` always equals ``size(_nbrs)`` — collect_list silently
+    drops NULL neighbors, so an unfiltered count(*) would inflate the
+    rank divisor while emitting no send (mass silently lost) and drop
+    the vote/min-candidate in LPA/HashMin; a NULL KEY would instead
+    build a phantom adjacency row no join ever matches (NULL ≠
+    anything), half-honoring its edges. A node whose only edges are
+    NULL-endpointed gets no adjacency row (it is dangling). No
+    in-repo caller produces null edges; the filter pins the contract
+    for external callers."""
     out = (
-        edges.where(F.col(neighbor).isNotNull())
+        edges.where(F.col(neighbor).isNotNull() & F.col(key).isNotNull())
         .groupBy(key)
         .agg(
             F.count(F.lit(1)).alias("outdeg"),
@@ -128,14 +131,18 @@ def chunked_adjacency(
                                               F.col("_n_ch") - 1)).alias("_ch"))
         sends = adj.join(repl, (adj.key == repl.node) & (adj._ch == repl._ch))
 
-    NULL contract: identical to ``adjacency_cache`` (NULL-neighbor
+    NULL contract: identical to ``adjacency_cache`` (NULL-endpoint
     edges dropped before the degree pass)."""
-    e = edges.where(F.col(neighbor).isNotNull())
+    e = edges.where(F.col(neighbor).isNotNull() & F.col(key).isNotNull())
+    n_ch_of = lambda c: F.greatest(  # noqa: E731
+        F.ceil(c / cap), F.lit(1)
+    ).cast("long")
     deg = e.groupBy(key).agg(F.count(F.lit(1)).alias("outdeg"))
-    n_ch = F.greatest(F.ceil(F.col("outdeg") / cap), F.lit(1)).cast("long")
     adj = (
         e.join(deg, key)
-        .groupBy(key, F.pmod(F.xxhash64(neighbor), n_ch).alias("_ch"))
+        .groupBy(
+            key, F.pmod(F.xxhash64(neighbor), n_ch_of(F.col("outdeg"))).alias("_ch")
+        )
         .agg(
             F.first("outdeg").alias("outdeg"),
             F.collect_list(neighbor).alias("_nbrs"),
@@ -144,12 +151,17 @@ def chunked_adjacency(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     adj.count()
+    # replication table DERIVED FROM THE PERSISTED CACHE (a node-sized
+    # scan), not from `deg` — deg is lazy, so re-referencing it here
+    # would re-run the full edge aggregation a second time. n_ch is
+    # recomputed from outdeg, NOT from the node's chunk-row count: a
+    # hash bucket can come up empty at small outdeg, and the per-round
+    # replicate-join is inner, so empty chunks simply never match.
     chunks = (
-        deg.select(
-            F.col(key).alias("node"),
-            F.greatest(F.ceil(F.col("outdeg") / cap), F.lit(1))
-            .cast("long")
-            .alias("_n_ch"),
+        adj.groupBy(key)
+        .agg(F.first("outdeg").alias("outdeg"))
+        .select(
+            F.col(key).alias("node"), n_ch_of(F.col("outdeg")).alias("_n_ch")
         )
         .localCheckpoint(eager=True)
     )

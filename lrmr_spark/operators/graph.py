@@ -106,8 +106,15 @@ def pagerank_ppm(
     if dangling:
         # the input subtree is referenced twice (adjacency build +
         # src ∪ dst node set) — materialize it once; the fast path
-        # references it exactly once and skips this checkpoint
-        raw = edges.localCheckpoint(eager=True)
+        # references it exactly once and skips this checkpoint.
+        # NULL-endpoint edges drop HERE so the node set honors the
+        # adjacency_cache contract (an unfiltered src ∪ dst would
+        # keep a phantom NULL node that deflates every teleport)
+        raw = (
+            edges.where(
+                F.col("src").isNotNull() & F.col("dst").isNotNull()
+            ).localCheckpoint(eager=True)
+        )
         adj, _ = adjacency_cache(raw)
         # full node set with a STATIC dangler flag (outdeg of the left
         # join is null exactly for nodes with no out-edge) — the flag
@@ -226,8 +233,12 @@ def personalized_pagerank_ppm(
     cache, the one true (dst, partial-sum) shuffle, and a node-keyed
     left join folding votes into the full node table (a no-in-edge
     seed keeps its teleport share; a non-seed with no in-edges goes
-    to exactly 0, not a dropped row)."""
-    raw = edges.localCheckpoint(eager=True)
+    to exactly 0, not a dropped row). NULL-endpoint edges are dropped
+    (the adjacency_cache contract — see pagerank_ppm)."""
+    raw = (
+        edges.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .localCheckpoint(eager=True)
+    )
     adj, _ = adjacency_cache(raw)
     nodes = (
         raw.select(F.col("src").alias("node"))
@@ -314,6 +325,12 @@ _WALK_P = 2_147_483_647
 _WALK_A = 1_103_515_245
 _WALK_B = 12_345
 _WALK_C = 1_013_904_223
+# broadcast cap on the TOTAL packed neighbor count for random_walks'
+# adjacency broadcast: the frame carries edge-sized arrays, so the
+# node-count gate alone would admit a multi-GB broadcast on a dense
+# graph (20M longs ≈ 160 MB serialized, comfortably under Spark's
+# broadcast limits; above it the SMJ path is the right plan anyway)
+_WALK_BCAST_EDGE_MAX = 20_000_000
 
 
 def random_walks(
@@ -349,18 +366,34 @@ def random_walks(
     INDEXES the packed array — where pagerank must re-expand to
     edge-count rows inside the map stage, a walk step touches ONE
     array slot, so per-step wire cost is walk-count rows always,
-    never edge-count. Under the _KEEP_BCAST_MAX node-count gate the
-    adjacency frame is explicitly broadcast instead (the state side
-    is the OUTER side of the left join, so only the adjacency side
-    is broadcastable; checkpointed state carries no size statistics
-    anyway — pitfall 20 corollary) and a step pays zero exchanges.
+    never edge-count. The adjacency frame is explicitly broadcast
+    (the state side is the OUTER side of the left join, so only the
+    adjacency side is broadcastable; checkpointed state carries no
+    size statistics anyway — pitfall 20 corollary) when BOTH the
+    node count is under _KEEP_BCAST_MAX AND the total packed
+    neighbor count is under _WALK_BCAST_EDGE_MAX — unlike the
+    rank/label broadcasts of the sibling loops, this frame carries
+    the edge-sized arrays, so a node-count gate alone would admit a
+    multi-GB broadcast on a dense graph; then a step pays zero
+    exchanges. Both counts come from one aggregate over the cache.
     Steps localCheckpoint (walk_len is user-sized; flat lineage —
     pitfall 12/15 discipline). Dead walkers carry a NULL cursor and
-    skip the join via the left-join null path. Quiet-host anchor
+    skip the join via the left-join null path. Edges with a NULL
+    endpoint are dropped (the adjacency_cache NULL contract, both
+    columns — a NULL src would otherwise seed a phantom start).
+    ``walk_len`` and ``walks_per_node`` must be ≥ 1 (raises
+    otherwise — Spark's
+    ``sequence(0, -1)`` DESCENDS, so an unvalidated 0 would silently
+    emit two walks per start at w = 0 and w = −1). Quiet-host anchor
     (r10, BENCH_r10_newops.json, 4-step walks from every 97th order):
     sf1 9.5 s / 15.2k walks, sf10 23.6 s / 151.8k walks — ratio 2.49
     at 10× data."""
-    e = edges.where(F.col("dst").isNotNull())
+    if walk_len < 1 or walks_per_node < 1:
+        raise ValueError(
+            f"walk_len and walks_per_node must be >= 1, got "
+            f"{walk_len}/{walks_per_node}"
+        )
+    e = edges.where(F.col("dst").isNotNull() & F.col("src").isNotNull())
     adj = (
         e.groupBy("src")
         .agg(
@@ -370,7 +403,14 @@ def random_walks(
         .sortWithinPartitions("src")
         .persist()
     )
-    small = adj.count() <= _KEEP_BCAST_MAX
+    stats = adj.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("outdeg"), F.lit(0)).alias("m"),
+    ).collect()[0]
+    small = (
+        int(stats["n"]) <= _KEEP_BCAST_MAX
+        and int(stats["m"]) <= _WALK_BCAST_EDGE_MAX
+    )
     if starts is None:
         starts = adj.select(F.col("src").alias("node"))
     state = starts.select(
@@ -447,12 +487,23 @@ def hits_ppm(edges: DataFrame, iterations: int = 3) -> DataFrame:
     shuffle, exactly pagerank_ppm's per-round budget twice, with no
     edge-sized exchange anywhere after setup. Normalization is two
     scalar aggregates per round (one BIGINT each across the driver,
-    the dangling-mass discipline). Node-sized tables broadcast under
-    _KEEP_BCAST_MAX; lineage truncates per round (pitfall 12/19).
+    the dangling-mass discipline — the normalizer aggregates over the
+    CHECKPOINTED node-sized raw-sum table, so the scalar action never
+    re-executes the send/explode pipeline it summarizes). Node-sized
+    tables broadcast under _KEEP_BCAST_MAX; lineage truncates per
+    round (pitfall 12/19); NULL-endpoint edges dropped (the
+    adjacency_cache contract — an unfiltered src ∪ dst would keep a
+    phantom NULL node that deflates every real node's teleport).
     Quiet-host anchor (r10, BENCH_r10_newops.json, cal loadavg 0.52,
     2 iterations, bipartite rehearsal graph): sf1 24.7 s / sf10
-    105.8 s, ratio 4.28 at 10× data."""
-    raw = edges.select("src", "dst").localCheckpoint(eager=True)
+    105.8 s — those anchors predate the raw-sum checkpoint fix that
+    removed a full re-execution of each half-round's pipeline; see
+    the re-anchor below them in BENCH_r10_newops2.json."""
+    raw = (
+        edges.select("src", "dst")
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .localCheckpoint(eager=True)
+    )
     adj_out, _ = adjacency_cache(raw, key="src", neighbor="dst")
     adj_in, _ = adjacency_cache(raw, key="dst", neighbor="src")
     nodes = (
@@ -474,7 +525,14 @@ def hits_ppm(edges: DataFrame, iterations: int = 3) -> DataFrame:
     def _fold(adj, key_col, score_col, out_col, cur):
         """One half-round: raw(v) = Σ over adj[v]'s packed neighbors of
         cur's score_col, L1-normalized to ppm, folded into the full
-        node table (no-edge nodes keep an explicit 0)."""
+        node table (no-edge nodes keep an explicit 0). The node-sized
+        raw-sum table is CHECKPOINTED before the scalar normalizer is
+        collected — without it the total's action and the half-round's
+        own materialization each executed the full send/explode/
+        partial-sum pipeline (shuffle stages are not reused across
+        separate jobs), doubling every round's edge-side work.
+        Returns (folded, raw_ckpt); the caller unpersists raw_ckpt
+        once the folded frame is materialized (pitfall 19)."""
         c = F.broadcast(cur) if small else cur
         sends = adj.join(c, adj[key_col] == c.node).select(
             "_nbrs", F.col(score_col).alias("_s")
@@ -483,33 +541,35 @@ def hits_ppm(edges: DataFrame, iterations: int = 3) -> DataFrame:
             sends.select(F.explode("_nbrs").alias("node"), "_s")
             .groupBy("node")
             .agg(F.sum("_s").alias("_raw"))
+            .localCheckpoint(eager=True)
         )
         total = int(
             raw_scores.agg(
                 F.coalesce(F.sum("_raw"), F.lit(0)).alias("t")
             ).collect()[0]["t"]
         )
-        if small:
-            raw_scores = F.broadcast(raw_scores)
-        return nodes.join(raw_scores, "node", "left").select(
+        rs = F.broadcast(raw_scores) if small else raw_scores
+        folded = nodes.join(rs, "node", "left").select(
             "node",
             F.expr(
                 f"CAST(coalesce(_raw, 0) * 1000000 DIV {max(total, 1)} "
                 "AS BIGINT)"
             ).alias(out_col),
         )
+        return folded, raw_scores
 
     for _ in range(iterations):
         # authorities from hubs (out-adjacency: u's row sends h(u) to
         # each out-neighbor), then hubs from the NEW authorities
         # (in-adjacency: v's row sends a(v) to each in-neighbor)
-        auth = _fold(
-            adj_out, "src", "hub_ppm", "auth_ppm", scores
-        ).localCheckpoint(eager=True)
-        hub = _fold(adj_in, "dst", "auth_ppm", "hub_ppm", auth)
+        auth_l, a_raw = _fold(adj_out, "src", "hub_ppm", "auth_ppm", scores)
+        auth = auth_l.localCheckpoint(eager=True)
+        a_raw.unpersist()
+        hub, h_raw = _fold(adj_in, "dst", "auth_ppm", "hub_ppm", auth)
         new_scores = (
             auth.join(hub, "node").select("node", "auth_ppm", "hub_ppm")
         ).localCheckpoint(eager=True)
+        h_raw.unpersist()
         scores.unpersist()
         auth.unpersist()
         scores = new_scores

@@ -516,6 +516,44 @@ def test_random_walks_closed_form(spark):
     assert (3, 0, 1, (3,)) in got2
 
 
+def test_random_walks_rejects_nonpositive_knobs(spark):
+    # sequence(0, -1) DESCENDS in Spark: an unvalidated 0 silently
+    # emitted two walks per start (w=0 and w=-1) — pinned as a raise
+    from lrmr_spark.operators.graph import random_walks
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    for kwargs in ({"walks_per_node": 0}, {"walk_len": 0}):
+        with pytest.raises(ValueError):
+            random_walks(df, **kwargs)
+
+
+def test_null_endpoint_edges_are_nonexistent_everywhere(spark):
+    # the adjacency_cache NULL contract must hold for the FULL node
+    # sets too: a NULL-endpoint edge creates no phantom node row and
+    # deflates no teleport in hits / dangling pagerank / PPR / walks
+    from lrmr_spark.operators.graph import (
+        hits_ppm,
+        pagerank_ppm,
+        personalized_pagerank_ppm,
+        random_walks,
+    )
+
+    clean = [(1, 2), (1, 3), (2, 3), (2, 1)]
+    dirty = clean + [(None, 2), (3, None)]
+    cdf = spark.createDataFrame(clean, "src long, dst long")
+    ddf = spark.createDataFrame(dirty, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    for fn in (
+        lambda d: pagerank_ppm(d, 2, dangling=True),
+        lambda d: personalized_pagerank_ppm(d, seeds, iterations=2),
+        lambda d: hits_ppm(d, iterations=2),
+        lambda d: random_walks(d, walk_len=3),
+    ):
+        want = sorted(map(tuple, fn(cdf).collect()))
+        got = sorted(map(tuple, fn(ddf).collect()))
+        assert got == want
+
+
 def test_chunked_adjacency_structure_and_null_contract(spark):
     # hub-safe layout (EXP_ADJ_HUB.json): per key, outdeg is constant
     # across chunks and equals the true degree, the chunk arrays

@@ -77,7 +77,7 @@ def main() -> None:
     # call and return the lazy serve query, so the call/count boundary
     # is the build/serve boundary — reported so host disk noise stays
     # attributable at rehearsal SFs too.
-    SPLIT_BUILD_SERVE = {"ann_ivfpq_topk", "text_line_dedup_index"}
+    from lrmr_spark.catalog import INDEX_LIFECYCLE_ENTRIES as SPLIT_BUILD_SERVE
     times: dict[str, dict[str, float]] = {n: {} for n in names}
     rows: dict[str, dict[str, int]] = {n: {} for n in names}
     splits: dict[str, dict[str, dict[str, float]]] = {}
