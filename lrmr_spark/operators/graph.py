@@ -494,11 +494,12 @@ def hits_ppm(edges: DataFrame, iterations: int = 3) -> DataFrame:
     round (pitfall 12/19); NULL-endpoint edges dropped (the
     adjacency_cache contract — an unfiltered src ∪ dst would keep a
     phantom NULL node that deflates every real node's teleport).
-    Quiet-host anchor (r10, BENCH_r10_newops.json, cal loadavg 0.52,
-    2 iterations, bipartite rehearsal graph): sf1 24.7 s / sf10
-    105.8 s — those anchors predate the raw-sum checkpoint fix that
-    removed a full re-execution of each half-round's pipeline; see
-    the re-anchor below them in BENCH_r10_newops2.json."""
+    Measured (r10): the raw-sum checkpoint paired against the lazy
+    shape at sf10, fingerprint-identical, min-of-2 **65.1 s vs
+    106.1 s** (EXP_HITS_FOLD.json — cross-host rehearsals disagreed,
+    so the call followed a one-session interleaved pair, the EXP_SHJ
+    discipline); sf1 anchor 13.4 s (BENCH_r10_newops2.json; the
+    pre-fix rehearsal BENCH_r10_newops.json carries 24.7/105.8)."""
     raw = (
         edges.select("src", "dst")
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
