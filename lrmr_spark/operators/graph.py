@@ -352,8 +352,10 @@ def random_walks(
     makes a sampling operator oracle-checkable at all). Uniform over
     neighbors per step, decorrelated across (node, walk, step).
 
-    ``starts``: optional (node) frame (default: every node with an
-    out-edge starts ``walks_per_node`` walks). A walker reaching a
+    Node ids must be integral (the LCG does arithmetic on the id —
+    string ids belong to the hash-join family of operators, not
+    here). ``starts``: optional (node) frame (default: every node
+    with an out-edge starts ``walks_per_node`` walks). A walker reaching a
     node with no out-edge STOPS — the path keeps its visited prefix
     (n_steps < walk_len), it is not dropped or padded. Output:
     (start, w, n_steps, path[]) — path[1] = start.

@@ -360,3 +360,32 @@ def test_simhash_hamming_banding_lossless(spark, texts, k):
             if d <= k:
                 want.add((ia, ib, d))
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda t: t[0] != t[1]
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@_SETTINGS
+def test_random_walks_match_python_and_partitioning(spark, edges):
+    # walks must equal the pure-Python LCG unroll EXACTLY (including
+    # dead-end prefix truncation) and be partitioning-independent —
+    # the property that separates deterministic walks from RNG ones
+    from lrmr_spark.operators.graph import random_walks
+
+    from test_operators import _walks_python
+
+    dedup = sorted(set(edges))
+    df = spark.createDataFrame(dedup, "src long, dst long")
+    want = _walks_python(dedup, 4, 2)
+    for frame in (df, df.repartition(7, "dst")):
+        got = sorted(
+            (r["start"], r["w"], r["n_steps"], tuple(r["path"]))
+            for r in random_walks(frame, walk_len=4, walks_per_node=2).collect()
+        )
+        assert got == want
