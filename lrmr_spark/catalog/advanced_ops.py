@@ -403,20 +403,24 @@ def graph_hits_authorities(spark, sf_dir):
     )
 
 
-def _walk_step(prev: str, rnd: int) -> str:
+def _walk_step(prev: str, prev_col: str, rnd: int, w: int = 0) -> str:
     """One deterministic-walk step as a DuckDB rank join: neighbor
-    index = the operator's mod-2^31-1 LCG over (node, step) into the
-    dst-sorted adjacency ranks — random_walks' exact recurrence
-    (w = 0; every product reduced before multiplying, overflow-free
-    BIGINT in both engines)."""
-    tc = (rnd * 1_013_904_223) % 2_147_483_647
+    index = random_walks' mod-2^31-1 LCG over (node, walk, step) into
+    the dst-sorted adjacency ranks (every product reduced before
+    multiplying — overflow-free BIGINT in both engines). ``prev`` /
+    ``prev_col`` name the prior step's CTE and node column; ``w`` is
+    the walk index (the (w·12345) % P hash term — 0 for the
+    single-walk entry below)."""
+    p = 2_147_483_647
+    tw = (w * 12_345) % p
+    tc = (rnd * 1_013_904_223) % p
     return f"""
     s{rnd} AS (
       SELECT s.*, a.dst AS n{rnd}
-      FROM s{rnd - 1} s JOIN a
-        ON a.src = s.n{rnd - 1}
-       AND a.rk = ((s.n{rnd - 1} % 2147483647) * 1103515245
-                   % 2147483647 + {tc}) % 2147483647 % a.deg)"""
+      FROM {prev} s JOIN a
+        ON a.src = s.{prev_col}
+       AND a.rk = ((s.{prev_col} % {p}) * 1103515245
+                   % {p} + {tw} + {tc}) % {p} % a.deg)"""
 
 
 @query(
@@ -438,9 +442,9 @@ def _walk_step(prev: str, rnd: int) -> str:
     s0 AS (
       SELECT DISTINCT src AS n0 FROM e
       WHERE src % 2 = 0 AND (src // 2) % 97 = 1),
-    {_walk_step('s0', 1)},
-    {_walk_step('s1', 2)},
-    {_walk_step('s2', 3)}
+    {_walk_step('s0', 'n0', 1)},
+    {_walk_step('s1', 'n1', 2)},
+    {_walk_step('s2', 'n2', 3)}
     SELECT 'o:' || CAST(n0 // 2 AS VARCHAR) AS start,
            CAST(4 AS BIGINT) AS n_steps,
            'o:' || CAST(n0 // 2 AS VARCHAR)

@@ -473,7 +473,8 @@ def _walks_python(edges, walk_len, walks_per_node, starts=None):
     P, A, B, C = 2_147_483_647, 1_103_515_245, 12_345, 1_013_904_223
     adj: dict = {}
     for u, v in edges:
-        if v is not None:
+        # both-endpoint NULL filter: the operator's documented contract
+        if u is not None and v is not None:
             adj.setdefault(u, []).append(v)
     for u in adj:
         adj[u].sort()
