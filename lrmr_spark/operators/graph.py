@@ -355,7 +355,13 @@ def random_walks(
     Node ids must be integral (the LCG does arithmetic on the id —
     string ids belong to the hash-join family of operators, not
     here). ``starts``: optional (node) frame (default: every node
-    with an out-edge starts ``walks_per_node`` walks). A walker reaching a
+    with an out-edge starts ``walks_per_node`` walks). A
+    user-supplied ``starts`` is SANITIZED — NULL rows dropped and
+    duplicates collapsed (r10 ADVICE: a NULL start otherwise yields a
+    phantom 1-step walk with path [NULL], and duplicate start rows
+    silently emit duplicate (start, w) output keys, breaking the
+    output's uniqueness contract); the one distinct() exchange is
+    setup-only over the walk-count frame. A walker reaching a
     node with no out-edge STOPS — the path keeps its visited prefix
     (n_steps < walk_len), it is not dropped or padded. Output:
     (start, w, n_steps, path[]) — path[1] = start.
@@ -415,6 +421,8 @@ def random_walks(
     )
     if starts is None:
         starts = adj.select(F.col("src").alias("node"))
+    else:
+        starts = starts.where(F.col("node").isNotNull()).distinct()
     state = starts.select(
         F.col("node").alias("start"),
         F.explode(
@@ -501,7 +509,12 @@ def hits_ppm(edges: DataFrame, iterations: int = 3) -> DataFrame:
     106.1 s** (EXP_HITS_FOLD.json — cross-host rehearsals disagreed,
     so the call followed a one-session interleaved pair, the EXP_SHJ
     discipline); sf1 anchor 13.4 s (BENCH_r10_newops2.json; the
-    pre-fix rehearsal BENCH_r10_newops.json carries 24.7/105.8)."""
+    pre-fix rehearsal BENCH_r10_newops.json carries 24.7/105.8).
+    ``iterations`` must be ≥ 1 (raises otherwise — r10 ADVICE:
+    silently returning the uniform initial scores hid the user error
+    sibling random_walks already rejects)."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
     raw = (
         edges.select("src", "dst")
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())

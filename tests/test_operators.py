@@ -528,6 +528,40 @@ def test_random_walks_rejects_nonpositive_knobs(spark):
             random_walks(df, **kwargs)
 
 
+def test_random_walks_sanitizes_user_starts(spark):
+    # r10 ADVICE: a NULL start row must not yield a phantom [NULL]
+    # walk, and duplicate start rows must not emit duplicate
+    # (start, w) output keys
+    from lrmr_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1)], "src long, dst long"
+    )
+    starts = spark.createDataFrame(
+        [(1,), (1,), (None,), (2,)], "node long"
+    )
+    got = sorted(
+        (r["start"], r["w"], tuple(r["path"]))
+        for r in random_walks(
+            edges, starts=starts, walk_len=3, walks_per_node=2
+        ).collect()
+    )
+    keys = [(s, w) for s, w, _ in got]
+    assert len(keys) == len(set(keys)) == 4  # 2 starts x 2 walks
+    assert all(s is not None for s, _, _ in got)
+    assert all(None not in p for _, _, p in got)
+
+
+def test_hits_ppm_rejects_nonpositive_iterations(spark):
+    # r10 ADVICE: returning the uniform initial scores for
+    # iterations <= 0 silently hid the user error random_walks raises
+    from lrmr_spark.operators.graph import hits_ppm
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        hits_ppm(df, iterations=0)
+
+
 def test_null_endpoint_edges_are_nonexistent_everywhere(spark):
     # the adjacency_cache NULL contract must hold for the FULL node
     # sets too: a NULL-endpoint edge creates no phantom node row and
