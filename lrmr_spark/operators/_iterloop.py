@@ -168,6 +168,56 @@ def chunked_adjacency(
     return adj, chunks, chunks.count()
 
 
+def state_adjacency_join(
+    adj: DataFrame,
+    chunks: DataFrame | None,
+    state: DataFrame,
+    adj_key: str,
+    state_key: str = "node",
+    broadcast_state: bool = False,
+) -> DataFrame:
+    """ONE implementation of the per-round state⋈adjacency join for
+    both working-set layouts, so every loop that gains a ``hub_safe``
+    knob shares the replication recipe instead of hand-rolling it
+    (r11, wiring the r10 EXP_ADJ_HUB.json measurement into callers):
+
+    - ``chunks is None`` (single-row layout): the plain key join —
+      the cached side is only scanned, the node-sized state is the
+      sole exchange+sort (or broadcast under the caller's gate).
+    - chunked layout: the node-sized state is REPLICATED per chunk
+      (join against the (node, _n_ch) table, explode a 0.._n_ch-1
+      sequence) and joined on (key, _ch) — a join on the key alone
+      would re-exchange a hub's chunks back into one partition,
+      defeating the layout. Replication inflates the state by the
+      chunk-row count, which exceeds the node count only by
+      Σ(⌈d/cap⌉ − 1) — a handful of extra rows unless the graph is
+      all hubs.
+
+    ``broadcast_state`` applies the caller's small-graph gate to the
+    (replicated) state side — checkpointed state carries no size
+    statistics, so Catalyst can't make the call itself (pitfall 20
+    corollary). The result exposes the adjacency columns plus the
+    state columns; duplicate key-column NAMES are safe because
+    callers select from the adjacency side by column name only where
+    unambiguous (``_nbrs``, ``outdeg``) and from the state side via
+    the pre-join alias."""
+    if chunks is None:
+        s = F.broadcast(state) if broadcast_state else state
+        return adj.join(s, adj[adj_key] == s[state_key])
+    repl = state.join(chunks, state[state_key] == chunks["node"]).select(
+        state["*"],
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("_n_ch") - 1)
+        ).alias("_rch"),
+    )
+    if broadcast_state:
+        repl = F.broadcast(repl)
+    return adj.join(
+        repl,
+        (adj[adj_key] == repl[state_key]) & (adj["_ch"] == repl["_rch"]),
+    )
+
+
 def peel_degrees(edge_df: DataFrame) -> DataFrame:
     """Per-sweep degree table (src, _d) for the k-core peels. Eager
     localCheckpoint: forces the (persisted) parent edge frame while its

@@ -741,6 +741,8 @@ def connected_components(
     b_col: str = "id_b",
     max_iter: int = 25,
     algorithm: str = "hashmin",
+    hub_safe: bool = False,
+    chunk_cap: int = 131_072,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → cluster
     assignment: every node labeled with the MIN id reachable from it
@@ -765,6 +767,12 @@ def connected_components(
     Output: (id, comp) for every id appearing in ``pairs``. Singleton
     documents (no near-dup edge) are their own component and are left
     out — callers union them back if needed.
+
+    ``hub_safe=True`` (hashmin only; star has no static adjacency)
+    selects the chunked adjacency layout for graphs whose max degree
+    approaches the measured ~1e7 crossover (EXP_ADJ_HUB.json; see
+    pagerank_ppm — knob, replication join and fingerprint-equivalence
+    pytest shared via operators._iterloop.state_adjacency_join).
     """
     if algorithm == "star":
         return _connected_components_star(pairs, a_col, b_col, max_iter)
@@ -801,21 +809,32 @@ def connected_components(
     # Bonus of the keyed layout: the initial label table is the
     # adjacency KEY SET — the edge-count distinct() pass disappears
     # (every node appears as dst in the symmetrized list).
-    from ._iterloop import adjacency_cache
+    from ._iterloop import adjacency_cache, chunked_adjacency, state_adjacency_join
 
     both = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    adj, _ = adjacency_cache(both, key="dst", neighbor="src")
-    labels = (
-        adj.select(F.col("dst").alias("id"))
-        .withColumn("comp", F.col("id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iter):
-        nbr_min = adj.join(labels, adj.dst == labels.id).select(
-            F.explode("_nbrs").alias("id"), "comp"
+    if hub_safe:
+        adj, chunks, _ = chunked_adjacency(
+            both, key="dst", neighbor="src", cap=chunk_cap
         )
+        labels = (
+            chunks.select(F.col("node").alias("id"))
+            .withColumn("comp", F.col("id"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        adj, _ = adjacency_cache(both, key="dst", neighbor="src")
+        chunks = None
+        labels = (
+            adj.select(F.col("dst").alias("id"))
+            .withColumn("comp", F.col("id"))
+            .localCheckpoint(eager=True)
+        )
+    for _ in range(max_iter):
+        nbr_min = state_adjacency_join(
+            adj, chunks, labels, "dst", state_key="id"
+        ).select(F.explode("_nbrs").alias("id"), "comp")
         new = (
             labels.unionByName(nbr_min)
             .groupBy("id")
@@ -832,6 +851,8 @@ def connected_components(
         if changed == 0:
             break
     adj.unpersist()  # labels is checkpointed self-contained
+    if chunks is not None:
+        chunks.unpersist()
     return labels
 
 

@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ._iterloop import adjacency_cache, peel_degrees, peel_filtered_edges
+from ._iterloop import (
+    adjacency_cache,
+    chunked_adjacency,
+    peel_degrees,
+    peel_filtered_edges,
+    state_adjacency_join,
+)
 
 __all__ = [
     "pagerank_ppm",
@@ -44,6 +50,8 @@ def pagerank_ppm(
     iterations: int = 3,
     damping_pct: int = 85,
     dangling: bool = False,
+    hub_safe: bool = False,
+    chunk_cap: int = 131_072,
 ) -> DataFrame:
     """Fixed-iteration PageRank over directed ``edges`` (src, dst)
     columns, ranks in exact integer ppm.
@@ -98,11 +106,22 @@ def pagerank_ppm(
     (checkpointed frames carry no size statistics — pitfall 20
     corollary) and the adjacency frame is never exchanged at all.
 
-    100 TB trade, documented: one adjacency row per node bounds row
-    size by the graph's max OUT-degree (in-degree hubs land in the
-    sum aggregate, which is safe). See adjacency_cache's docstring
-    for the chunked-adjacency alternative if out-degree hubs ever
-    dominate a real corpus graph."""
+    100 TB trade, MEASURED (r10 planted-hub experiment,
+    EXP_ADJ_HUB.json): one adjacency row per node bounds row size by
+    the graph's max OUT-degree (in-degree hubs land in the sum
+    aggregate, which is safe); the single-row layout stays the right
+    call up to ~4e6 out-edges and inverts at ~1e7 (50.5 vs 36.6 s on
+    the planted-hub rehearsal). ``hub_safe=True`` (r11, wired per the
+    measurement) selects the chunked layout for graph families whose
+    max out-degree approaches that crossover: a hub's neighbor list
+    splits into ⌈d/chunk_cap⌉ rows landing in different partitions
+    and the per-round rank table is replicated per chunk and joined
+    on (key, chunk) — operators._iterloop.chunked_adjacency /
+    state_adjacency_join; fingerprint-equal to the default layout by
+    pytest (test_hub_safe_layouts_fingerprint_equal). Keep the
+    default below the crossover: the chunk machinery's degree
+    pre-join plus per-round replication cost real time when no hub
+    needs them (1.3-2.2× at hub ≤ 4e6)."""
     if dangling:
         # the input subtree is referenced twice (adjacency build +
         # src ∪ dst node set) — materialize it once; the fast path
@@ -115,8 +134,16 @@ def pagerank_ppm(
                 F.col("src").isNotNull() & F.col("dst").isNotNull()
             ).localCheckpoint(eager=True)
         )
-        adj, _ = adjacency_cache(raw)
-        # full node set with a STATIC dangler flag (outdeg of the left
+        if hub_safe:
+            adj, chunks, _ = chunked_adjacency(raw, cap=chunk_cap)
+            has_out = chunks.select("node", F.col("_n_ch").alias("_odeg"))
+        else:
+            adj, _ = adjacency_cache(raw)
+            chunks = None
+            has_out = adj.select(
+                F.col("src").alias("node"), F.col("outdeg").alias("_odeg")
+            )
+        # full node set with a STATIC dangler flag (_odeg of the left
         # join is null exactly for nodes with no out-edge) — the flag
         # rides the rank table so the per-round dangling-mass aggregate
         # needs no membership join
@@ -124,23 +151,28 @@ def pagerank_ppm(
             raw.select(F.col("src").alias("node"))
             .unionAll(raw.select(F.col("dst").alias("node")))
             .distinct()
-            .join(
-                adj.select(F.col("src").alias("node"), "outdeg"),
-                "node",
-                "left",
-            )
-            .select("node", F.col("outdeg").isNull().alias("is_dang"))
+            .join(has_out, "node", "left")
+            .select("node", F.col("_odeg").isNull().alias("is_dang"))
             .localCheckpoint(eager=True)
         )
         n_nodes = nodes.count()
         raw.unpersist()
     else:
-        adj, n_nodes = adjacency_cache(edges)
+        if hub_safe:
+            adj, chunks, n_nodes = chunked_adjacency(edges, cap=chunk_cap)
+        else:
+            adj, n_nodes = adjacency_cache(edges)
+            chunks = None
         nodes = None
     small = n_nodes <= _KEEP_BCAST_MAX
     teleport = 1_000_000 // max(n_nodes, 1)
     keep = 100 - damping_pct
-    rank_src = nodes if dangling else adj.select(F.col("src").alias("node"))
+    if dangling:
+        rank_src = nodes
+    elif hub_safe:
+        rank_src = chunks.select("node")
+    else:
+        rank_src = adj.select(F.col("src").alias("node"))
     ranks = rank_src.withColumn(
         "rank_ppm", F.lit(teleport).cast("long")
     ).localCheckpoint(eager=True)
@@ -154,13 +186,15 @@ def pagerank_ppm(
                 .collect()[0]["m"]
             )
             dang_term = dmass // max(n_nodes, 1)
-        r = F.broadcast(ranks) if small else ranks
         # per-node send computed BEFORE the explode: one DIV per node,
         # not one per edge; danglers (dangling mode) simply have no
-        # adjacency row and drop out of the inner join
-        sends = adj.join(r, adj.src == r.node).select(
-            "_nbrs", F.expr("rank_ppm DIV outdeg").alias("c")
-        )
+        # adjacency row and drop out of the inner join. Under
+        # hub_safe the rank table is replicated per chunk and joined
+        # on (src, chunk) — _iterloop.state_adjacency_join, one
+        # recipe for both layouts
+        sends = state_adjacency_join(
+            adj, chunks, ranks, "src", broadcast_state=small
+        ).select("_nbrs", F.expr("rank_ppm DIV outdeg").alias("c"))
         contribs = sends.select(F.explode("_nbrs").alias("node"), "c")
         incoming = contribs.groupBy("node").agg(
             F.coalesce(F.sum("c"), F.lit(0)).alias("_inc")
@@ -195,6 +229,8 @@ def pagerank_ppm(
     # the returned ranks are self-contained (checkpointed); the
     # adjacency working set can be released too
     adj.unpersist()
+    if chunks is not None:
+        chunks.unpersist()
     if dangling:
         nodes.unpersist()
         return ranks.select("node", "rank_ppm")
@@ -659,7 +695,12 @@ def triangle_count(edges: DataFrame, u_col: str = "u", v_col: str = "v") -> Data
     )
 
 
-def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    hub_safe: bool = False,
+    chunk_cap: int = 131_072,
+) -> DataFrame:
     """Synchronous Label Propagation community detection (Raghavan et
     al., Phys. Rev. E 2007) with DETERMINISTIC tie-breaking: every node
     starts as its own community (label = node id); each round, every
@@ -706,20 +747,33 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     loop serves both regimes: under the _KEEP_BCAST_MAX node-count
     gate the label table and argmax are EXPLICITLY broadcast
     (checkpointed frames carry no size statistics — pitfall 20
-    corollary) and the adjacency frame is never exchanged at all."""
-    adj, _ = adjacency_cache(edges.select("src", "dst"))
+    corollary) and the adjacency frame is never exchanged at all.
+    ``hub_safe=True`` selects the chunked adjacency layout for graph
+    families whose max out-degree approaches the measured ~1e7
+    crossover (EXP_ADJ_HUB.json; see pagerank_ppm — the knob, the
+    replication join and the fingerprint-equivalence pytest are
+    shared across the family via _iterloop.state_adjacency_join)."""
+    if hub_safe:
+        adj, chunks, _ = chunked_adjacency(
+            edges.select("src", "dst"), cap=chunk_cap
+        )
+        key_nodes = chunks.select("node")
+    else:
+        adj, _ = adjacency_cache(edges.select("src", "dst"))
+        chunks = None
+        key_nodes = adj.select(F.col("src").alias("node"))
     labels = (
-        adj.select(F.col("src").alias("node"))
-        .unionAll(adj.select(F.explode("_nbrs").alias("node")))
+        key_nodes.unionAll(adj.select(F.explode("_nbrs").alias("node")))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
     small = labels.count() <= _KEEP_BCAST_MAX  # node count: driver scalar
     for _ in range(iterations):
-        lbl = F.broadcast(labels) if small else labels
         votes = (
-            adj.join(lbl, adj.src == lbl.node)
+            state_adjacency_join(
+                adj, chunks, labels, "src", broadcast_state=small
+            )
             .select(F.explode("_nbrs").alias("nd"), "label")
             .groupBy("nd", "label")
             .agg(F.count(F.lit(1)).alias("c"))
@@ -743,6 +797,8 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     # the returned labels are self-contained (checkpointed), so the
     # adjacency working set can be released too
     adj.unpersist()
+    if chunks is not None:
+        chunks.unpersist()
     return labels
 
 

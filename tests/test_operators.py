@@ -616,6 +616,38 @@ def test_chunked_adjacency_structure_and_null_contract(spark):
     assert len(by_key[1]) == 50  # chunks partition, never duplicate
 
 
+def test_hub_safe_layouts_fingerprint_equal(spark):
+    # r11 (VERDICT task 3): the chunked-adjacency layout wired behind
+    # hub_safe= must be answer-identical to the default single-row
+    # layout on a planted-hub graph, across the whole family —
+    # pagerank (fast + dangling), LPA, HashMin CC. chunk_cap=8 forces
+    # the hub's 40 out-edges into multiple chunks at test size.
+    from lrmr_spark.operators.dedup import connected_components
+    from lrmr_spark.operators.graph import label_propagation, pagerank_ppm
+
+    hub = [(1, d) for d in range(2, 42)]
+    ring = [(d, d % 41 + 1) for d in range(1, 42)]
+    e = spark.createDataFrame(hub + ring, "src long, dst long")
+    # dangler 100 (in-edge only) exercises the dangling-mode node set
+    ed = spark.createDataFrame(
+        hub + ring + [(5, 100)], "src long, dst long"
+    )
+    sym = e.union(e.selectExpr("dst AS src", "src AS dst"))
+    pairs = spark.createDataFrame(
+        hub + [(50, 51)], "id_a long, id_b long"
+    )
+    cases = [
+        lambda **kw: pagerank_ppm(e, 3, **kw),
+        lambda **kw: pagerank_ppm(ed, 2, dangling=True, **kw),
+        lambda **kw: label_propagation(sym, 3, **kw),
+        lambda **kw: connected_components(pairs, **kw),
+    ]
+    for fn in cases:
+        want = sorted(map(tuple, fn().collect()))
+        got = sorted(map(tuple, fn(hub_safe=True, chunk_cap=8).collect()))
+        assert got == want and len(got) > 0
+
+
 def test_pagerank_ppm_dangling_equals_fast_path_on_symmetric(spark):
     # on a symmetric graph there are no danglers and every node has an
     # in-edge: the dangling=True mode must reproduce the fast path
