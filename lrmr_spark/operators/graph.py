@@ -15,6 +15,8 @@ aggregation order, which would make cross-engine verification flaky.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -243,6 +245,8 @@ def personalized_pagerank_ppm(
     seeds: DataFrame,
     iterations: int = 3,
     damping_pct: int = 85,
+    hub_safe: bool = False,
+    chunk_cap: int = 131_072,
 ) -> DataFrame:
     """Personalized (topic-sensitive) PageRank over directed ``edges``
     (src, dst), exact integer ppm — Haveliwala's PPR (WWW'02): the
@@ -270,21 +274,25 @@ def personalized_pagerank_ppm(
     left join folding votes into the full node table (a no-in-edge
     seed keeps its teleport share; a non-seed with no in-edges goes
     to exactly 0, not a dropped row). NULL-endpoint edges are dropped
-    (the adjacency_cache contract — see pagerank_ppm)."""
+    (the adjacency_cache contract — see pagerank_ppm). ``hub_safe=True``
+    selects the chunked adjacency layout above the measured ~1e7
+    out-degree crossover (EXP_ADJ_HUB.json; see pagerank_ppm)."""
     raw = (
         edges.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .localCheckpoint(eager=True)
     )
-    adj, _ = adjacency_cache(raw)
+    if hub_safe:
+        adj, chunks, _ = chunked_adjacency(raw, cap=chunk_cap)
+        has_out = chunks.select("node", F.col("_n_ch").alias("outdeg"))
+    else:
+        adj, _ = adjacency_cache(raw)
+        chunks = None
+        has_out = adj.select(F.col("src").alias("node"), "outdeg")
     nodes = (
         raw.select(F.col("src").alias("node"))
         .unionAll(raw.select(F.col("dst").alias("node")))
         .distinct()
-        .join(
-            adj.select(F.col("src").alias("node"), "outdeg"),
-            "node",
-            "left",
-        )
+        .join(has_out, "node", "left")
         .join(
             F.broadcast(
                 seeds.select(F.col("node")).distinct().withColumn(
@@ -320,10 +328,9 @@ def personalized_pagerank_ppm(
             .collect()[0]["m"]
         )
         dshare = dmass // n_seeds
-        r = F.broadcast(ranks) if small else ranks
-        sends = adj.join(r, adj.src == r.node).select(
-            "_nbrs", F.expr("rank_ppm DIV outdeg").alias("c")
-        )
+        sends = state_adjacency_join(
+            adj, chunks, ranks, "src", broadcast_state=small
+        ).select("_nbrs", F.expr("rank_ppm DIV outdeg").alias("c"))
         contribs = sends.select(F.explode("_nbrs").alias("node"), "c")
         incoming = contribs.groupBy("node").agg(
             F.coalesce(F.sum("c"), F.lit(0)).alias("_inc")
@@ -347,6 +354,8 @@ def personalized_pagerank_ppm(
         ranks.unpersist()
         ranks = new_ranks
     adj.unpersist()
+    if chunks is not None:
+        chunks.unpersist()
     nodes.unpersist()
     return ranks.select("node", "rank_ppm")
 
@@ -411,22 +420,37 @@ def random_walks(
     edge-count rows inside the map stage, a walk step touches ONE
     array slot, so per-step wire cost is walk-count rows always,
     never edge-count. The adjacency frame is explicitly broadcast
-    (the state side is the OUTER side of the left join, so only the
-    adjacency side is broadcastable; checkpointed state carries no
-    size statistics anyway — pitfall 20 corollary) when BOTH the
-    node count is under _KEEP_BCAST_MAX AND the total packed
-    neighbor count is under _WALK_BCAST_EDGE_MAX — unlike the
-    rank/label broadcasts of the sibling loops, this frame carries
-    the edge-sized arrays, so a node-count gate alone would admit a
-    multi-GB broadcast on a dense graph; then a step pays zero
-    exchanges. Both counts come from one aggregate over the cache.
-    Steps localCheckpoint (walk_len is user-sized; flat lineage —
-    pitfall 12/15 discipline). Dead walkers carry a NULL cursor and
-    skip the join via the left-join null path. Edges with a NULL
-    endpoint are dropped (the adjacency_cache NULL contract, both
-    columns — a NULL src would otherwise seed a phantom start).
-    ``walk_len`` and ``walks_per_node`` must be ≥ 1 (raises
-    otherwise — Spark's
+    (checkpointed state carries no size statistics anyway — pitfall
+    20 corollary) when BOTH the node count is under _KEEP_BCAST_MAX
+    AND the total packed neighbor count is under
+    _WALK_BCAST_EDGE_MAX — unlike the rank/label broadcasts of the
+    sibling loops, this frame carries the edge-sized arrays, so a
+    node-count gate alone would admit a multi-GB broadcast on a
+    dense graph; then a step pays zero exchanges. Both counts come
+    from one aggregate over the cache.
+
+    STEP-ROWS state (r11, measured — tools/exp_walks_len.py →
+    EXP_WALKS_LEN.json): the per-step state carries only
+    (start, w, cursor), NOT the growing path array, so every step's
+    localCheckpoint writes constant walk-count bytes; each step
+    contributes a (start, w, t, node) row frame (a projection of
+    that step's checkpoint — no extra materialization) and ONE end
+    pack (groupBy(start, w) + sort_array(collect_list(struct(t,
+    node)))) rebuilds the path. The prior shape rewrote the FULL
+    path array every step — O(walks × walk_len²) total checkpoint
+    bytes; at DeepWalk-typical lengths (Perozzi KDD'14 walks 40
+    steps from every node) that multiplied per-step traffic 100-400×.
+    Paired at sf1 with 210k walks, fingerprint-identical, min-of-2:
+    L=4 8.13 vs 8.15 s (tie — the end pack costs what the rewrite
+    saved), L=40 74.1 vs 87.4 s, L=80 149.6 vs 150.1 s; the step-rows
+    shape never measured worse and its checkpoint-byte ceiling is a
+    walk_len factor lower, which is what survives corpus-scale walk
+    counts. Dead walkers drop from the state via the inner join —
+    their emitted prefix rows remain (identical stop semantics: the
+    path keeps its visited prefix). Edges with a NULL endpoint are
+    dropped (the adjacency_cache NULL contract, both columns — a
+    NULL src would otherwise seed a phantom start). ``walk_len`` and
+    ``walks_per_node`` must be ≥ 1 (raises otherwise — Spark's
     ``sequence(0, -1)`` DESCENDS, so an unvalidated 0 would silently
     emit two walks per start at w = 0 and w = −1). Quiet-host anchor
     (r10, BENCH_r10_newops.json, 4-step walks from every 97th order):
@@ -464,9 +488,18 @@ def random_walks(
         F.explode(
             F.sequence(F.lit(0).cast("long"), F.lit(walks_per_node - 1))
         ).alias("w"),
-    ).select(
-        "start", "w", F.array("start").alias("path"), F.col("start").alias("_cur")
+        F.col("node").alias("_cur"),
     ).localCheckpoint(eager=True)
+    # every step's checkpoint stays persisted until the end pack has
+    # materialized — the step frames below are PROJECTIONS of these
+    # checkpoints, not copies
+    kept = [state]
+    steps = [
+        state.select(
+            "start", "w", F.lit(0).cast("int").alias("t"),
+            F.col("_cur").alias("node"),
+        )
+    ]
     for t in range(1, walk_len):
         st = state.alias("s")
         a = (F.broadcast(adj) if small else adj).alias("a")
@@ -475,30 +508,42 @@ def random_walks(
             + (F.col("s.w") * _WALK_B) % _WALK_P
             + F.lit((t * _WALK_C) % _WALK_P)
         ) % _WALK_P
-        nxt = F.when(
-            F.col("a.outdeg").isNotNull(),
-            F.element_at(
-                "a._nbrs", (F.pmod(h, F.col("a.outdeg")) + 1).cast("int")
-            ),
+        nxt = F.element_at(
+            "a._nbrs", (F.pmod(h, F.col("a.outdeg")) + 1).cast("int")
         )
-        new_state = (
-            st.join(a, F.col("s._cur") == F.col("a.src"), "left")
-            .select(
-                "s.start",
-                "s.w",
-                F.when(nxt.isNull(), F.col("s.path"))
-                .otherwise(F.concat("s.path", F.array(nxt)))
-                .alias("path"),
-                nxt.alias("_cur"),
-            )
+        # inner join: a walker at a node with no out-edge has no
+        # adjacency row and drops from the state — its prefix rows
+        # already sit in `steps`
+        state = (
+            st.join(a, F.col("s._cur") == F.col("a.src"))
+            .select("s.start", "s.w", nxt.alias("_cur"))
             .localCheckpoint(eager=True)
         )
-        state.unpersist()
-        state = new_state
-    adj.unpersist()
-    return state.select(
-        "start", "w", F.size("path").alias("n_steps"), "path"
+        kept.append(state)
+        steps.append(
+            state.select(
+                "start", "w", F.lit(t).cast("int").alias("t"),
+                F.col("_cur").alias("node"),
+            )
+        )
+    packed = (
+        reduce(lambda x, y: x.unionAll(y), steps)
+        .groupBy("start", "w")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("t", "node"))).alias("_ps")
+        )
+        .select(
+            "start",
+            "w",
+            F.size("_ps").alias("n_steps"),
+            F.expr("transform(_ps, x -> x.node)").alias("path"),
+        )
+        .localCheckpoint(eager=True)
     )
+    for s in kept:
+        s.unpersist()
+    adj.unpersist()
+    return packed
 
 
 def hits_ppm(edges: DataFrame, iterations: int = 3) -> DataFrame:

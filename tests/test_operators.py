@@ -623,7 +623,11 @@ def test_hub_safe_layouts_fingerprint_equal(spark):
     # pagerank (fast + dangling), LPA, HashMin CC. chunk_cap=8 forces
     # the hub's 40 out-edges into multiple chunks at test size.
     from lrmr_spark.operators.dedup import connected_components
-    from lrmr_spark.operators.graph import label_propagation, pagerank_ppm
+    from lrmr_spark.operators.graph import (
+        label_propagation,
+        pagerank_ppm,
+        personalized_pagerank_ppm,
+    )
 
     hub = [(1, d) for d in range(2, 42)]
     ring = [(d, d % 41 + 1) for d in range(1, 42)]
@@ -636,9 +640,11 @@ def test_hub_safe_layouts_fingerprint_equal(spark):
     pairs = spark.createDataFrame(
         hub + [(50, 51)], "id_a long, id_b long"
     )
+    seeds = spark.createDataFrame([(1,), (7,)], "node long")
     cases = [
         lambda **kw: pagerank_ppm(e, 3, **kw),
         lambda **kw: pagerank_ppm(ed, 2, dangling=True, **kw),
+        lambda **kw: personalized_pagerank_ppm(ed, seeds, 2, **kw),
         lambda **kw: label_propagation(sym, 3, **kw),
         lambda **kw: connected_components(pairs, **kw),
     ]
