@@ -591,6 +591,10 @@ def hits_ppm(edges: DataFrame, iterations: int = 3) -> DataFrame:
     so the call followed a one-session interleaved pair, the EXP_SHJ
     discipline); sf1 anchor 13.4 s (BENCH_r10_newops2.json; the
     pre-fix rehearsal BENCH_r10_newops.json carries 24.7/105.8).
+    r11 (EXP_HITS_R11*.json): the round's separate auth⋈hub join is
+    FUSED — the hub fold lands on the auth table, so its output is
+    the round's scores (sf10 4-arm interleaved 79.7 s min-of-2 vs
+    125.8 for the join shape; see the loop comment).
     ``iterations`` must be ≥ 1 (raises otherwise — r10 ADVICE:
     silently returning the uniform initial scores hid the user error
     sibling random_walks already rejects)."""
@@ -619,17 +623,17 @@ def hits_ppm(edges: DataFrame, iterations: int = 3) -> DataFrame:
         F.lit(tp).cast("long").alias("hub_ppm"),
     ).localCheckpoint(eager=True)
 
-    def _fold(adj, key_col, score_col, out_col, cur):
+    def _fold(adj, key_col, score_col, out_col, cur, base):
         """One half-round: raw(v) = Σ over adj[v]'s packed neighbors of
-        cur's score_col, L1-normalized to ppm, folded into the full
-        node table (no-edge nodes keep an explicit 0). The node-sized
-        raw-sum table is CHECKPOINTED before the scalar normalizer is
-        collected — without it the total's action and the half-round's
-        own materialization each executed the full send/explode/
-        partial-sum pipeline (shuffle stages are not reused across
-        separate jobs), doubling every round's edge-side work.
-        Returns (folded, raw_ckpt); the caller unpersists raw_ckpt
-        once the folded frame is materialized (pitfall 19)."""
+        cur's score_col, L1-normalized to ppm, folded into ``base`` (a
+        full-node-set frame — no-edge nodes keep an explicit 0). The
+        node-sized raw-sum table is CHECKPOINTED before the scalar
+        normalizer is collected — without it the total's action and the
+        half-round's own materialization each executed the full
+        send/explode/partial-sum pipeline (shuffle stages are not
+        reused across separate jobs), doubling every round's edge-side
+        work. Returns (folded, raw_ckpt); the caller unpersists
+        raw_ckpt once the folded frame is materialized (pitfall 19)."""
         c = F.broadcast(cur) if small else cur
         sends = adj.join(c, adj[key_col] == c.node).select(
             "_nbrs", F.col(score_col).alias("_s")
@@ -646,8 +650,9 @@ def hits_ppm(edges: DataFrame, iterations: int = 3) -> DataFrame:
             ).collect()[0]["t"]
         )
         rs = F.broadcast(raw_scores) if small else raw_scores
-        folded = nodes.join(rs, "node", "left").select(
-            "node",
+        keep = [col for col in base.columns if col != out_col]
+        folded = base.join(rs, "node", "left").select(
+            *keep,
             F.expr(
                 f"CAST(coalesce(_raw, 0) * 1000000 DIV {max(total, 1)} "
                 "AS BIGINT)"
@@ -658,13 +663,23 @@ def hits_ppm(edges: DataFrame, iterations: int = 3) -> DataFrame:
     for _ in range(iterations):
         # authorities from hubs (out-adjacency: u's row sends h(u) to
         # each out-neighbor), then hubs from the NEW authorities
-        # (in-adjacency: v's row sends a(v) to each in-neighbor)
-        auth_l, a_raw = _fold(adj_out, "src", "hub_ppm", "auth_ppm", scores)
+        # (in-adjacency: v's row sends a(v) to each in-neighbor). The
+        # hub fold lands on the AUTH table instead of the bare node
+        # set, so its output IS the round's (node, auth, hub) scores —
+        # the separate auth⋈hub join the r10 shape paid per round is
+        # fused away (r11, measured: tools/exp_hits_r11.py →
+        # EXP_HITS_R11*.json, sf10 4-arm interleaved session 79.7 s
+        # min-of-2 vs 125.8 for the join shape, fingerprint-identical;
+        # the further lazy-auth arms measured within cross-session
+        # noise of this and were rejected for their double evaluation)
+        auth_l, a_raw = _fold(
+            adj_out, "src", "hub_ppm", "auth_ppm", scores, nodes
+        )
         auth = auth_l.localCheckpoint(eager=True)
         a_raw.unpersist()
-        hub, h_raw = _fold(adj_in, "dst", "auth_ppm", "hub_ppm", auth)
-        new_scores = (
-            auth.join(hub, "node").select("node", "auth_ppm", "hub_ppm")
+        new_l, h_raw = _fold(adj_in, "dst", "auth_ppm", "hub_ppm", auth, auth)
+        new_scores = new_l.select(
+            "node", "auth_ppm", "hub_ppm"
         ).localCheckpoint(eager=True)
         h_raw.unpersist()
         scores.unpersist()

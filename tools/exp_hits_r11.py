@@ -18,6 +18,12 @@ interleaved, fingerprint-verified:
           once as its fold base — re-runs only that join, never the
           edge pipeline): 3 ckpt + 4 joins, the "drop one of the 4
           per-round checkpoints" arm
+  vHYB    regime-split: auth checkpointed only under the broadcast
+          gate (small graphs — there the lazy shape rebuilds a
+          node-sized BROADCAST twice, the expensive part), lazy above
+          it (large graphs — there the checkpoint WRITE of a
+          corpus-sized table is the expensive part; the two lazy
+          evaluations are plain SMJs)
 
 Usage: python tools/exp_hits_r11.py OUT.json [SF_DIR] [--reps N]
 """
@@ -48,7 +54,7 @@ def _edges(spark, sf_dir):
     return li.select(o.alias("src"), p.alias("dst")).distinct()
 
 
-def _hits_variant(edges, iterations=ITERATIONS, lazy_auth=False):
+def _hits_variant(edges, iterations=ITERATIONS, lazy_auth=False, hybrid=False):
     """The fused shape: hub fold lands on the auth table directly."""
     raw = (
         edges.select("src", "dst")
@@ -66,6 +72,8 @@ def _hits_variant(edges, iterations=ITERATIONS, lazy_auth=False):
     raw.unpersist()
     n_nodes = nodes.count()
     small = n_nodes <= _KEEP_BCAST_MAX
+    if hybrid:
+        lazy_auth = not small
     tp = 1_000_000 // max(n_nodes, 1)
     scores = nodes.select(
         "node",
@@ -127,6 +135,7 @@ ARMS = {
     "vSHIP": lambda s, d: hits_ppm(_edges(s, d), iterations=ITERATIONS),
     "vFUSE": lambda s, d: _hits_variant(_edges(s, d)),
     "vLAZY": lambda s, d: _hits_variant(_edges(s, d), lazy_auth=True),
+    "vHYB": lambda s, d: _hits_variant(_edges(s, d), hybrid=True),
 }
 
 
