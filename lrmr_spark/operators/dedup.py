@@ -801,7 +801,15 @@ def connected_components(
     # the same runs, so on deep-or-unknown-diameter graphs star is
     # now the faster choice as well — hashmin stays the default for
     # the shallow near-dup cliques this operator's contract names,
-    # where 2-3 rounds converge). A SHUFFLE_HASH hint on the label side
+    # and that default is now MEASURED on the contract shape (r11,
+    # tools/exp_cc_cliques.py → EXP_CC_CLIQUES*.json: 10M nodes in 2M
+    # 5-cliques, 20M intra-clique pairs, fingerprint-identical labels,
+    # two interleaved sessions — hashmin 17.6/18.8 s min-of-2 vs star
+    # 30.9/25.6: HashMin converges in 2 rounds + 1 count-only confirm
+    # on cliques while star pays its per-round window sorts +
+    # distinct either way, so the default wins ~1.4-1.75× exactly
+    # where the contract says to use it; pick algorithm="star" for
+    # deep/unknown-diameter graphs). A SHUFFLE_HASH hint on the label side
     # stays rejected (inverted at sf10 in the pagerank twin —
     # EXP_SHJ_SF10B.json, pitfall 24); below ~4M nodes Catalyst
     # broadcasts the checkpointed label table off its propagated
