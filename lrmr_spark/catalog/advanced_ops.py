@@ -582,6 +582,94 @@ def graph_random_walks_multi(spark, sf_dir):
     )
 
 
+def _bfs_round(prev: str, rnd: int) -> str:
+    """One multi-source-BFS round as a DuckDB CTE: the frontier-free
+    unroll — relax every edge from the labeled set and min-fold the
+    (dist, root) BIGINT encoding (enc = dist·2^42 + root, min(enc) ≡
+    lexicographic min — operators/graph.py bfs_levels). The unroll
+    re-sends settled nodes (fine at oracle scale); the operator sends
+    only the frontier."""
+    return f"""
+    l{rnd} AS (
+      SELECT node, min(enc) AS enc FROM (
+        SELECT node, enc FROM l{rnd - 1}
+        UNION ALL
+        SELECT e.dst AS node, l.enc + 4398046511104 AS enc
+        FROM e JOIN l{rnd - 1} l ON e.src = l.node
+      ) GROUP BY node)"""
+
+
+@query(
+    "graph_bfs_levels",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT CAST(l_orderkey AS BIGINT) * 2 AS src,
+                      CAST(l_partkey AS BIGINT) * 2 + 1 AS dst
+      FROM lineitem
+      UNION ALL
+      SELECT DISTINCT CAST(l_partkey AS BIGINT) * 2 + 1,
+                      CAST(l_orderkey AS BIGINT) * 2
+      FROM lineitem),
+    l0 AS (
+      SELECT node, node AS enc FROM (
+        SELECT DISTINCT src AS node FROM e
+        WHERE src % 2 = 0 AND (src // 2) % 997 = 1)),
+    {_bfs_round('l0', 1)},
+    {_bfs_round('l1', 2)},
+    {_bfs_round('l2', 3)},
+    d AS (
+      SELECT node, enc // 4398046511104 AS dist,
+             enc % 4398046511104 AS root
+      FROM l3)
+    SELECT 'o:' || CAST(root // 2 AS VARCHAR) AS root,
+           CAST(dist AS BIGINT) AS dist,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(node) AS BIGINT) AS sum_node
+    FROM d GROUP BY 1, 2 ORDER BY root, dist
+    """,
+)
+def graph_bfs_levels(spark, sf_dir):
+    """Multi-source BFS distance labeling (3 hops) over the undirected
+    order↔part graph from every 997th order — the distance-to-trusted-
+    seed feature of TrustRank-style corpus curation
+    (operators/graph.py bfs_levels): every reached node labeled with
+    (hop distance, smallest nearest seed), ties dist-then-id. The
+    result is aggregated per (root, dist) into node count + id sum —
+    compact rows that still pin every node's label through the exact
+    BIGINT sum. The oracle unrolls the identical rounds as chained
+    CTEs over the same (dist, root) single-BIGINT min encoding —
+    exact integer arithmetic, bit-identical across engines. Scale
+    shape: per round only the FRONTIER joins the sorted adjacency
+    cache (total sends bounded by edge count across all rounds); one
+    full-outer min-fold updates labels and yields the next frontier."""
+    li = load(spark, sf_dir, "lineitem")
+    o = F.col("l_orderkey").cast("long") * 2
+    p = F.col("l_partkey").cast("long") * 2 + 1
+    fwd = li.select(o.alias("src"), p.alias("dst")).distinct()
+    rev = li.select(p.alias("src"), o.alias("dst")).distinct()
+    from ..operators.graph import bfs_levels
+
+    seeds = (
+        li.select(o.alias("node"))
+        .filter(F.expr("(node DIV 2) % 997 = 1"))
+        .distinct()
+    )
+    res = bfs_levels(fwd.unionAll(rev), seeds, max_depth=3)
+    return (
+        res.groupBy(
+            F.concat(F.lit("o:"), F.expr("root DIV 2").cast("string")).alias(
+                "root"
+            ),
+            F.col("dist").cast("bigint").alias("dist"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("node").cast("bigint").alias("sum_node"),
+        )
+        .orderBy("root", "dist")
+    )
+
+
 def _pagerank_dangling_round(prev: str, rnd: int) -> str:
     """One dangling-PageRank round as DuckDB CTEs: the held mass of
     out-edge-less nodes (one scalar) redistributed uniformly into the

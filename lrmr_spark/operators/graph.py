@@ -33,6 +33,7 @@ __all__ = [
     "personalized_pagerank_ppm",
     "hits_ppm",
     "random_walks",
+    "bfs_levels",
     "triangle_count",
     "label_propagation",
     "kcore_peel",
@@ -544,6 +545,129 @@ def random_walks(
         s.unpersist()
     adj.unpersist()
     return packed
+
+
+# (dist, root) packed into ONE BIGINT for bfs_levels: enc = dist·2^42
+# + root — min(enc) is then exactly lexicographic min(dist, root), a
+# single map-side-combinable aggregate instead of a struct min, and
+# the SAME arithmetic replays in any SQL engine (the exact-integer
+# discipline). 2^42 bounds ids at ~4.4e12 and depth at 2^21 — checked.
+_BFS_SHIFT = 1 << 42
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 3,
+    hub_safe: bool = False,
+    chunk_cap: int = 131_072,
+) -> DataFrame:
+    """Deterministic multi-source BFS distance labeling over directed
+    ``edges`` (src, dst): every node reachable from ``seeds`` (a
+    (node) frame) within ``max_depth`` hops gets its hop distance and
+    the SMALLEST nearest seed — ties broken first by distance, then by
+    seed id, so the labeling is unique and cross-engine checkable.
+    The corpus-pipeline use is trust/spam propagation features:
+    "distance to the nearest trusted (or banned) domain" as a
+    first-class column, TrustRank's BFS skeleton (Gyöngyi et al.,
+    VLDB'04 seed-propagation family) without the rank smoothing.
+
+    Exact-integer state: each labeled node carries ``enc = dist·2^42 +
+    root`` — one BIGINT whose min IS lexicographic min(dist, root), so
+    every fold is a plain map-side-combinable ``min`` and one hop is
+    ``enc + 2^42`` (dist+1, same root). Ids must be non-negative
+    integral and < 2^42 (raises on violation at seed check; ~4.4e12
+    headroom), max_depth ≥ 0. Output: (node, dist, root) — seeds not
+    in the graph keep their row at dist 0 (they are labels, not
+    joins); unreached nodes are absent.
+
+    Scale shape: the adjacency working set (pitfall 25,
+    operators._iterloop.adjacency_cache; ``hub_safe=`` selects the
+    chunked layout above the measured ~1e7 out-degree crossover,
+    EXP_ADJ_HUB.json). Per round only the FRONTIER — nodes first
+    discovered or improved last round — joins the cache (BFS's
+    defining optimization: total sends across ALL rounds are bounded
+    by edge count, not rounds × edges; a full-label join would
+    re-send every settled node every round), the explode to (dst,
+    enc+2^42) candidates happens inside the map stage of the partial
+    min, and one node-keyed min-fold against the label table both
+    updates labels and yields the NEXT frontier (strict improvements
+    only) from the same join. Frontier and label tables are
+    node-sized, localCheckpoint'd per round (pitfall 12/19); the
+    frontier is explicitly broadcast under _KEEP_BCAST_MAX
+    (checkpointed frames carry no size statistics — pitfall 20
+    corollary). Early exit when the frontier empties (a count on the
+    node-sized frontier, no edge work — the k-core precheck
+    discipline)."""
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    if hub_safe:
+        adj, chunks, n_nodes = chunked_adjacency(
+            edges.select("src", "dst"), cap=chunk_cap
+        )
+    else:
+        adj, n_nodes = adjacency_cache(edges.select("src", "dst"))
+        chunks = None
+    small = n_nodes <= _KEEP_BCAST_MAX
+    labels = (
+        seeds.where(F.col("node").isNotNull())
+        .distinct()
+        .select("node", F.col("node").cast("long").alias("enc"))
+        .localCheckpoint(eager=True)
+    )
+    bad = labels.where(
+        (F.col("enc") < 0) | (F.col("enc") >= _BFS_SHIFT)
+    ).count()
+    if bad:
+        raise ValueError(
+            f"{bad} seed id(s) outside [0, 2^42) break the (dist, root) "
+            "BIGINT encoding"
+        )
+    frontier = labels
+    round_ckpt = labels  # the checkpoint backing labels AND frontier
+    for _ in range(max_depth):
+        if frontier.count() == 0:
+            break  # node-sized count; no edge work on the fixed point
+        cand = (
+            state_adjacency_join(
+                adj, chunks, frontier, "src", broadcast_state=small
+            )
+            .select(
+                F.explode("_nbrs").alias("node"),
+                (F.col("enc") + F.lit(_BFS_SHIFT)).alias("enc"),
+            )
+            .groupBy("node")
+            .agg(F.min("enc").alias("enc"))
+        )
+        # one outer min-fold updates the label table AND derives the
+        # next frontier (strict improvements / first discoveries) —
+        # labels and frontier are PROJECTIONS of this one checkpoint
+        merged = (
+            labels.select("node", F.col("enc").alias("_old"))
+            .join(cand.select("node", F.col("enc").alias("_new")), "node", "full")
+            .select(
+                "node",
+                F.least(F.col("_old"), F.col("_new")).alias("enc"),
+                (
+                    F.col("_old").isNull()
+                    | (F.col("_new") < F.col("_old"))
+                ).alias("_improved"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        round_ckpt.unpersist()  # pitfall 19: the dead round's blocks
+        round_ckpt = merged
+        labels = merged.select("node", "enc")
+        frontier = merged.where("_improved").select("node", "enc")
+    out = labels.select(
+        "node",
+        F.expr(f"enc DIV {_BFS_SHIFT}").cast("long").alias("dist"),
+        F.expr(f"enc % {_BFS_SHIFT}").cast("long").alias("root"),
+    )
+    adj.unpersist()
+    if chunks is not None:
+        chunks.unpersist()
+    return out
 
 
 def hits_ppm(edges: DataFrame, iterations: int = 3) -> DataFrame:

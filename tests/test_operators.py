@@ -552,6 +552,49 @@ def test_random_walks_sanitizes_user_starts(spark):
     assert all(None not in p for _, _, p in got)
 
 
+def test_bfs_levels_closed_form(spark):
+    # path 1->2->3->4 plus a shortcut 10->3 and an isolated seed 99:
+    # dist/root labels must match hand BFS with (dist, root) min ties
+    from lrmr_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 3), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame(
+        [(1,), (10,), (99,), (None,), (1,)], "node long"
+    )
+    got = {
+        r["node"]: (r["dist"], r["root"])
+        for r in bfs_levels(edges, seeds, max_depth=3).collect()
+    }
+    assert got == {
+        1: (0, 1),
+        10: (0, 10),
+        99: (0, 99),  # isolated seed keeps its row
+        2: (1, 1),
+        3: (1, 10),  # 10's 1-hop beats 1's 2-hop
+        4: (2, 10),
+        5: (3, 10),
+    }
+    # depth 0: seeds only; depth bound respected (node 5 absent at 2)
+    d0 = {r["node"] for r in bfs_levels(edges, seeds, 0).collect()}
+    assert d0 == {1, 10, 99}
+    d2 = {r["node"] for r in bfs_levels(edges, seeds, 2).collect()}
+    assert d2 == {1, 10, 99, 2, 3, 4}
+    # early exit past the fixed point changes nothing
+    got9 = {
+        r["node"]: (r["dist"], r["root"])
+        for r in bfs_levels(edges, seeds, max_depth=9).collect()
+    }
+    assert got9 == got
+    with pytest.raises(ValueError):
+        bfs_levels(edges, seeds, max_depth=-1)
+    with pytest.raises(ValueError):
+        bfs_levels(
+            edges, spark.createDataFrame([(-3,)], "node long"), 1
+        )
+
+
 def test_hits_ppm_rejects_nonpositive_iterations(spark):
     # r10 ADVICE: returning the uniform initial scores for
     # iterations <= 0 silently hid the user error random_walks raises
@@ -624,6 +667,7 @@ def test_hub_safe_layouts_fingerprint_equal(spark):
     # the hub's 40 out-edges into multiple chunks at test size.
     from lrmr_spark.operators.dedup import connected_components
     from lrmr_spark.operators.graph import (
+        bfs_levels,
         label_propagation,
         pagerank_ppm,
         personalized_pagerank_ppm,
@@ -647,6 +691,7 @@ def test_hub_safe_layouts_fingerprint_equal(spark):
         lambda **kw: personalized_pagerank_ppm(ed, seeds, 2, **kw),
         lambda **kw: label_propagation(sym, 3, **kw),
         lambda **kw: connected_components(pairs, **kw),
+        lambda **kw: bfs_levels(ed, seeds, 3, **kw),
     ]
     for fn in cases:
         want = sorted(map(tuple, fn().collect()))
