@@ -483,7 +483,11 @@ def random_walks(
     if starts is None:
         starts = adj.select(F.col("src").alias("node"))
     else:
-        starts = starts.where(F.col("node").isNotNull()).distinct()
+        # select BEFORE distinct: a frame with extra columns would
+        # otherwise keep per-node duplicates that differ elsewhere
+        starts = (
+            starts.select("node").where(F.col("node").isNotNull()).distinct()
+        )
     state = starts.select(
         F.col("node").alias("start"),
         F.explode(
@@ -610,7 +614,8 @@ def bfs_levels(
         chunks = None
     small = n_nodes <= _KEEP_BCAST_MAX
     labels = (
-        seeds.where(F.col("node").isNotNull())
+        seeds.select("node")  # before distinct: drop any extra columns
+        .where(F.col("node").isNotNull())
         .distinct()
         .select("node", F.col("node").cast("long").alias("enc"))
         .localCheckpoint(eager=True)

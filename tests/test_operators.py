@@ -537,8 +537,11 @@ def test_random_walks_sanitizes_user_starts(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 1)], "src long, dst long"
     )
+    # extra column: per-node duplicates differing only there must
+    # still collapse (select-before-distinct)
     starts = spark.createDataFrame(
-        [(1,), (1,), (None,), (2,)], "node long"
+        [(1, "a"), (1, "b"), (None, "c"), (2, "d")],
+        "node long, extra string",
     )
     got = sorted(
         (r["start"], r["w"], tuple(r["path"]))
@@ -550,6 +553,13 @@ def test_random_walks_sanitizes_user_starts(spark):
     assert len(keys) == len(set(keys)) == 4  # 2 starts x 2 walks
     assert all(s is not None for s, _, _ in got)
     assert all(None not in p for _, _, p in got)
+    # same contract for bfs_levels seeds
+    from lrmr_spark.operators.graph import bfs_levels
+
+    labs = sorted(
+        map(tuple, bfs_levels(edges, starts, max_depth=1).collect())
+    )
+    assert labs == [(1, 0, 1), (2, 0, 2)]
 
 
 def test_bfs_levels_closed_form(spark):

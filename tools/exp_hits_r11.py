@@ -26,6 +26,13 @@ interleaved, fingerprint-verified:
           evaluations are plain SMJs)
 
 Usage: python tools/exp_hits_r11.py OUT.json [SF_DIR] [--reps N]
+
+HISTORICAL NOTE: this experiment decided the r11 ship — vFUSE won the
+4-arm sf10 session (79.7 s min-of-2 vs vSHIP 125.8, lazy arms within
+cross-session noise) and hits_ppm now IS the fused shape, so the
+vSHIP arm no longer reproduces the r10 code: rerunning pairs the
+fused shape against itself plus the (rejected) lazy variants.
+EXP_HITS_R11*.json hold the decisive pre-ship runs.
 """
 
 from __future__ import annotations

@@ -18,6 +18,12 @@ interleaved, fingerprint-verified at each length:
 
 Usage: python tools/exp_walks_len.py OUT.json [SF_DIR] [--reps N]
        [--lens 4,40,80]
+
+HISTORICAL NOTE: this experiment decided the r11 ship — vROWS won
+(L=40 74.1 vs 87.4 min-of-2, ties at 4/80) and random_walks now IS
+the step-rows shape, so the vPACK arm no longer reproduces the old
+code: rerunning pairs two equivalent shapes. EXP_WALKS_LEN.json holds
+the decisive pre-ship run.
 """
 
 from __future__ import annotations
