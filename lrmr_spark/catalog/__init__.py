@@ -177,10 +177,12 @@ _PRIORITY = [
     # fully covered by check_oracle): graph_pagerank_dangling's r9
     # siblings' refresh rows — the 20 r9-note rows, the 6 r4-list
     # remainder rows, and the 2 r6-head ANN rows.
-    # --- built this round (r11): multi-walk w-term oracle pin +
-    # multi-source BFS distance labeling (trust-propagation features)
+    # --- built this round (r11): multi-walk w-term oracle pin,
+    # multi-source BFS distance labeling (trust-propagation features),
+    # and weighted deterministic walks (cumulative-range pick)
     "graph_random_walks_multi",
     "graph_bfs_levels",
+    "graph_random_walks_weighted",
     # --- engine-changed-this-round rows (r11)
     "graph_random_walks",
     "graph_hits_authorities",
@@ -197,11 +199,12 @@ _PRIORITY = [
     "streaming_mincount_sketch",
     "streaming_backfill_available_now",
     "streaming_interval_join_left_outer",
-    # --- refresh rows 32-50: the first 19 r7 rotated-out rows, in
+    # --- refresh rows 33-50: the first 18 r7 rotated-out rows, in
     # the r8 comment's order (BPE rows = pair_counts/merge_apply/
     # train_merges/encode_corpus; mixture rows = unimax_weights/
-    # temperature_weights/unimax_sample; ann_sq8_stored_topk was
-    # displaced to r12 by the built-this-round graph_bfs_levels)
+    # temperature_weights/unimax_sample; token_diversity_index and
+    # ann_sq8_stored_topk were displaced to r12 by the two
+    # built-this-round graph entries bfs_levels/walks_weighted)
     "ann_ivfpq_rerank_topk",
     "docs_dsir_weights",
     "text_dup_span_removal",
@@ -220,14 +223,13 @@ _PRIORITY = [
     "ann_sq8_sdc_topk",
     "ann_ivf_recall_at_nprobe",
     "multimodal_phash_dedup",
-    "token_diversity_index",
 ]
 # r12 ROTATION NOTE (for the next session): window = 16 standing
 # keeps + anything built or ENGINE-CHANGED in r12 + the
 # longest-unrefreshed pass* rows, continuing where r11's refresh tail
-# stopped — next in line, in order: the REMAINING 14 r7 rotated-out
-# rows in the r8 comment's order (ann_sq8_stored_topk,
-# ann_sq8_recall_at_k,
+# stopped — next in line, in order: the REMAINING 15 r7 rotated-out
+# rows in the r8 comment's order (token_diversity_index,
+# ann_sq8_stored_topk, ann_sq8_recall_at_k,
 # dedup_threshold_sweep, source_overlap_matrix,
 # multimodal_curation_pipeline, multimodal_phash_index_match,
 # streaming_phash_index_match, ann_sq8_append_topk,

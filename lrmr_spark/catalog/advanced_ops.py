@@ -582,6 +582,113 @@ def graph_random_walks_multi(spark, sf_dir):
     )
 
 
+def _wwalk_step(prev: str, prev_col: str, rnd: int, w_sql: str) -> str:
+    """One WEIGHTED deterministic-walk step as a DuckDB range join:
+    the shared LCG hash mod W(u) lands in exactly one neighbor's
+    cumulative-weight range [lo, hi) (operators/graph.py
+    weighted_random_walks — windowed running sums in the adjacency
+    CTE ``a``)."""
+    p = 2_147_483_647
+    tw = f"({w_sql} * 12345) % {p}"
+    tc = (rnd * 1_013_904_223) % p
+    hh = (
+        f"((s.{prev_col} % {p}) * 1103515245 % {p} + {tw} + {tc}) % {p}"
+    )
+    return f"""
+    s{rnd} AS (
+      SELECT s.*, a.dst AS n{rnd}
+      FROM {prev} s JOIN a
+        ON a.src = s.{prev_col}
+       AND {hh} % a.W >= a.lo
+       AND {hh} % a.W < a.hi)"""
+
+
+@query(
+    "graph_random_walks_weighted",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(l_orderkey AS BIGINT) * 2 AS src,
+             CAST(l_partkey AS BIGINT) * 2 + 1 AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+      UNION ALL
+      SELECT CAST(l_partkey AS BIGINT) * 2 + 1,
+             CAST(l_orderkey AS BIGINT) * 2,
+             CAST(count(*) AS BIGINT)
+      FROM lineitem GROUP BY 1, 2),
+    a AS (
+      SELECT src, dst,
+             sum(w) OVER (PARTITION BY src ORDER BY dst) - w AS lo,
+             sum(w) OVER (PARTITION BY src ORDER BY dst) AS hi,
+             sum(w) OVER (PARTITION BY src) AS W
+      FROM b),
+    s0 AS (
+      SELECT n0, CAST(w AS BIGINT) AS w
+      FROM (SELECT DISTINCT src AS n0 FROM b
+            WHERE src % 2 = 0 AND (src // 2) % 97 = 1)
+      CROSS JOIN (SELECT unnest([0, 1]) AS w)),
+    {_wwalk_step('s0', 'n0', 1, 's.w')},
+    {_wwalk_step('s1', 'n1', 2, 's.w')}
+    SELECT 'o:' || CAST(n0 // 2 AS VARCHAR) AS start,
+           w,
+           CAST(3 AS BIGINT) AS n_steps,
+           'o:' || CAST(n0 // 2 AS VARCHAR)
+             || ' p:' || CAST((n1 - 1) // 2 AS VARCHAR)
+             || ' o:' || CAST(n2 // 2 AS VARCHAR) AS path
+    FROM s2 ORDER BY start, w
+    """,
+)
+def graph_random_walks_weighted(spark, sf_dir):
+    """Weighted deterministic walks (2 walks × 3 steps from every
+    97th order) over the order↔part graph with LINEITEM MULTIPLICITY
+    as the edge weight — a part ordered in 3 lineitems of an order is
+    3× as likely per step, the weighted co-occurrence regime
+    production DeepWalk corpora train on (operators/graph.py
+    weighted_random_walks). The oracle replays every step as a range
+    join of the LCG hash mod W(u) into windowed cumulative-weight
+    ranges — exact BIGINT arithmetic both sides. Scale shape: the
+    shared step-rows loop (constant walk-count checkpoint bytes per
+    step) over the packed (dst, cum)-struct adjacency; the pick costs
+    O(out-degree) filter work per walker-step, JVM-side."""
+    li = load(spark, sf_dir, "lineitem")
+    o = F.col("l_orderkey").cast("long") * 2
+    p = F.col("l_partkey").cast("long") * 2 + 1
+    fwd = li.groupBy(o.alias("src"), p.alias("dst")).agg(
+        F.count(F.lit(1)).cast("long").alias("weight")
+    )
+    rev = li.groupBy(p.alias("src"), o.alias("dst")).agg(
+        F.count(F.lit(1)).cast("long").alias("weight")
+    )
+    from ..operators.graph import weighted_random_walks
+
+    starts = (
+        li.select(o.alias("node"))
+        .filter(F.expr("(node DIV 2) % 97 = 1"))
+        .distinct()
+    )
+    walks = weighted_random_walks(
+        fwd.unionAll(rev), starts=starts, walk_len=3, walks_per_node=2
+    )
+
+    def lab(col: str) -> str:
+        return (
+            f"CASE WHEN {col} % 2 = 0 THEN 'o:' || CAST({col} DIV 2 AS STRING) "
+            f"ELSE 'p:' || CAST(({col} - 1) DIV 2 AS STRING) END"
+        )
+
+    return (
+        walks.select(
+            F.expr(lab("start")).alias("start"),
+            F.col("w").cast("bigint").alias("w"),
+            F.col("n_steps").cast("bigint").alias("n_steps"),
+            F.expr(f"array_join(transform(path, x -> {lab('x')}), ' ')").alias(
+                "path"
+            ),
+        )
+        .orderBy("start", "w")
+    )
+
+
 def _bfs_round(prev: str, rnd: int) -> str:
     """One multi-source-BFS round as a DuckDB CTE: the frontier-free
     unroll — relax every edge from the labeled set and min-fold the

@@ -33,6 +33,7 @@ __all__ = [
     "personalized_pagerank_ppm",
     "hits_ppm",
     "random_walks",
+    "weighted_random_walks",
     "bfs_levels",
     "triangle_count",
     "label_propagation",
@@ -488,6 +489,23 @@ def random_walks(
         starts = (
             starts.select("node").where(F.col("node").isNotNull()).distinct()
         )
+    nxt_fn = lambda h: F.element_at(  # noqa: E731
+        "a._nbrs", (F.pmod(h, F.col("a.outdeg")) + 1).cast("int")
+    )
+    packed = _walk_state_loop(adj, small, starts, walk_len, walks_per_node, nxt_fn)
+    adj.unpersist()
+    return packed
+
+
+def _walk_state_loop(adj, small, starts, walk_len, walks_per_node, nxt_fn):
+    """The shared step-rows walk loop (random_walks /
+    weighted_random_walks): per-step state carries only
+    (start, w, _cur); each step contributes a (start, w, t, node)
+    projection of its checkpoint; ONE end pack rebuilds the paths.
+    ``nxt_fn(h)`` maps the step's LCG hash Column to the next-node
+    Column against the adjacency alias ``a`` — the only part the two
+    pick disciplines (uniform index, weighted cumulative range)
+    differ in."""
     state = starts.select(
         F.col("node").alias("start"),
         F.explode(
@@ -513,15 +531,12 @@ def random_walks(
             + (F.col("s.w") * _WALK_B) % _WALK_P
             + F.lit((t * _WALK_C) % _WALK_P)
         ) % _WALK_P
-        nxt = F.element_at(
-            "a._nbrs", (F.pmod(h, F.col("a.outdeg")) + 1).cast("int")
-        )
         # inner join: a walker at a node with no out-edge has no
         # adjacency row and drops from the state — its prefix rows
         # already sit in `steps`
         state = (
             st.join(a, F.col("s._cur") == F.col("a.src"))
-            .select("s.start", "s.w", nxt.alias("_cur"))
+            .select("s.start", "s.w", nxt_fn(h).alias("_cur"))
             .localCheckpoint(eager=True)
         )
         kept.append(state)
@@ -547,6 +562,108 @@ def random_walks(
     )
     for s in kept:
         s.unpersist()
+    return packed
+
+
+def weighted_random_walks(
+    edges: DataFrame,
+    starts: DataFrame | None = None,
+    walk_len: int = 4,
+    walks_per_node: int = 1,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """random_walks over a WEIGHTED graph — ``edges`` carries
+    (src, dst, ``weight_col``) and the walker at node u picks its
+    next neighbor with probability proportional to the edge weight,
+    the weighted co-occurrence regime production DeepWalk pipelines
+    actually train on (co-click / co-purchase counts, not 0/1
+    adjacency). Determinism discipline unchanged: the step hash is
+    the shared mod-2^31-1 LCG over (node, walk, step); the pick maps
+    ``h mod W(u)`` into the CUMULATIVE-weight ranges of u's
+    dst-sorted neighbors (neighbor i owns [cum_{i-1}, cum_i)), so a
+    weight-w neighbor owns exactly w slots of the range — uniform
+    over WEIGHT mass per step, exactly replayable in SQL as a range
+    join on windowed running sums (the rank-join oracle, weighted
+    edition).
+
+    Weights must be POSITIVE integers (exact BIGINT arithmetic —
+    raises if any aggregated (src, dst) weight is ≤ 0 or NULL);
+    parallel (src, dst) rows are SUMMED before the walk (count-style
+    co-occurrence semantics). Node ids integral, as in random_walks;
+    start sanitization, dead-end stop semantics, knob validation and
+    the (start, w, n_steps, path) output contract are identical.
+
+    Scale shape: the step-rows loop of random_walks
+    (_walk_state_loop — constant walk-count checkpoint bytes per
+    step, one end pack; EXP_WALKS_LEN.json), over a packed weighted
+    adjacency (src, W, outdeg, sorted (dst, cum) struct array) built
+    with one exchange + one per-src window pass. The pick is
+    ``size(filter(_nc, x -> x._cum <= r))`` — O(out-degree) work per
+    walker-step inside whole-stage codegen where the uniform pick is
+    O(1); that is the honest price of weighted sampling without
+    alias tables, and it stays JVM-side and spill-free."""
+    if walk_len < 1 or walks_per_node < 1:
+        raise ValueError(
+            f"walk_len and walks_per_node must be >= 1, got "
+            f"{walk_len}/{walks_per_node}"
+        )
+    from pyspark.sql import Window
+
+    e = edges.where(
+        F.col("dst").isNotNull() & F.col("src").isNotNull()
+    ).select(
+        "src", "dst", F.col(weight_col).cast("long").alias("_w")
+    )
+    # coalesce NULL weights to a huge negative sentinel BEFORE the sum
+    # (sum SKIPS nulls — a silently-dropped NULL weight would violate
+    # the raise-on-NULL contract); any null drives the group's sum
+    # negative and the min-weight gate below raises
+    agg = e.groupBy("src", "dst").agg(
+        F.sum(F.coalesce("_w", F.lit(-(1 << 60)))).alias("_w")
+    )
+    win = Window.partitionBy("src").orderBy("dst")
+    wts = agg.select(
+        "src", "dst", "_w", F.sum("_w").over(win).alias("_cum")
+    )
+    adj = (
+        wts.groupBy("src")
+        .agg(
+            F.max("_cum").alias("W"),
+            F.count(F.lit(1)).alias("outdeg"),
+            F.sort_array(F.collect_list(F.struct("dst", "_cum"))).alias("_nc"),
+            F.min("_w").alias("_minw"),
+        )
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    stats = adj.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("outdeg"), F.lit(0)).alias("m"),
+        F.min("_minw").alias("minw"),
+    ).collect()[0]
+    if stats["n"] and (stats["minw"] is None or int(stats["minw"]) < 1):
+        adj.unpersist()
+        raise ValueError(
+            "edge weights must be positive integers (aggregated "
+            f"(src, dst) min is {stats['minw']!r})"
+        )
+    small = (
+        int(stats["n"]) <= _KEEP_BCAST_MAX
+        and int(stats["m"]) <= _WALK_BCAST_EDGE_MAX
+    )
+    if starts is None:
+        starts = adj.select(F.col("src").alias("node"))
+    else:
+        starts = (
+            starts.select("node").where(F.col("node").isNotNull()).distinct()
+        )
+
+    def nxt_fn(h):
+        r = F.pmod(h, F.col("a.W"))
+        idx = F.size(F.filter("a._nc", lambda x: x["_cum"] <= r))
+        return F.element_at("a._nc", idx + 1)["dst"]
+
+    packed = _walk_state_loop(adj, small, starts, walk_len, walks_per_node, nxt_fn)
     adj.unpersist()
     return packed
 

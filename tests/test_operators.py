@@ -562,6 +562,72 @@ def test_random_walks_sanitizes_user_starts(spark):
     assert labs == [(1, 0, 1), (2, 0, 2)]
 
 
+def _weighted_walks_python(wedges, walk_len, walks_per_node, starts=None):
+    """Pure-Python unroll of weighted_random_walks: h mod W(u) mapped
+    into cumulative ranges of dst-sorted neighbors."""
+    P, A, B, C = 2_147_483_647, 1_103_515_245, 12_345, 1_013_904_223
+    adj: dict = {}
+    for u, v, w in wedges:
+        if u is not None and v is not None:
+            adj.setdefault(u, {})
+            adj[u][v] = adj[u].get(v, 0) + w
+    packed = {
+        u: sorted(d.items()) for u, d in adj.items()
+    }  # [(dst, w)] dst-sorted
+    if starts is None:
+        starts = sorted(packed)
+    out = []
+    for s in starts:
+        for wk in range(walks_per_node):
+            path, cur = [s], s
+            for t in range(1, walk_len):
+                if cur not in packed:
+                    break
+                h = (((cur % P) * A) % P + (wk * B) % P + (t * C) % P) % P
+                r = h % sum(w for _, w in packed[cur])
+                cum = 0
+                for dst, w in packed[cur]:
+                    cum += w
+                    if r < cum:
+                        cur = dst
+                        break
+                path.append(cur)
+            out.append((s, wk, len(path), tuple(path)))
+    return sorted(out)
+
+
+def test_weighted_random_walks_closed_form(spark):
+    from lrmr_spark.operators.graph import weighted_random_walks
+
+    # 3 is a dead end; heavy 1->2 edge; parallel rows for (2, 1) sum
+    wedges = [(1, 2, 7), (1, 3, 2), (2, 1, 3), (2, 3, 1), (2, 1, 2)]
+    df = spark.createDataFrame(wedges, "src long, dst long, weight long")
+    got = sorted(
+        (r["start"], r["w"], r["n_steps"], tuple(r["path"]))
+        for r in weighted_random_walks(
+            df, walk_len=4, walks_per_node=2
+        ).collect()
+    )
+    assert got == _weighted_walks_python(wedges, 4, 2)
+    # explicit starts incl. the dead end; weight validation raises
+    starts = spark.createDataFrame([(3,), (1,)], "node long")
+    got2 = sorted(
+        (r["start"], r["w"], r["n_steps"], tuple(r["path"]))
+        for r in weighted_random_walks(
+            df, starts=starts, walk_len=3, walks_per_node=1
+        ).collect()
+    )
+    assert got2 == _weighted_walks_python(wedges, 3, 1, starts=[1, 3])
+    for bad in ([(1, 2, 0)], [(1, 2, None)], [(1, 2, -4)]):
+        with pytest.raises(ValueError):
+            weighted_random_walks(
+                spark.createDataFrame(bad, "src long, dst long, weight long"),
+                walk_len=2,
+            )
+    with pytest.raises(ValueError):
+        weighted_random_walks(df, walk_len=0)
+
+
 def test_bfs_levels_closed_form(spark):
     # path 1->2->3->4 plus a shortcut 10->3 and an isolated seed 99:
     # dist/root labels must match hand BFS with (dist, root) min ties
