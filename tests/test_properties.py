@@ -389,3 +389,33 @@ def test_random_walks_match_python_and_partitioning(spark, edges):
             for r in random_walks(frame, walk_len=4, walks_per_node=2).collect()
         )
         assert got == want
+
+
+@given(
+    wedges=st.lists(
+        st.tuples(
+            st.integers(0, 9), st.integers(0, 9), st.integers(1, 5)
+        ).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=15,
+    )
+)
+@_SETTINGS
+def test_weighted_walks_match_python_and_partitioning(spark, wedges):
+    # the weighted pick (hash mod W into cumulative ranges) must equal
+    # the Python unroll exactly — including parallel-edge weight
+    # summing — and be partitioning-independent
+    from lrmr_spark.operators.graph import weighted_random_walks
+
+    from test_operators import _weighted_walks_python
+
+    df = spark.createDataFrame(wedges, "src long, dst long, weight long")
+    want = _weighted_walks_python(wedges, 4, 2)
+    for frame in (df, df.repartition(7, "dst")):
+        got = sorted(
+            (r["start"], r["w"], r["n_steps"], tuple(r["path"]))
+            for r in weighted_random_walks(
+                frame, walk_len=4, walks_per_node=2
+            ).collect()
+        )
+        assert got == want
