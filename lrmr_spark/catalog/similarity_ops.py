@@ -267,7 +267,7 @@ def ann_ivf_pruned_df(spark, sf_dir):
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         emb = load(spark, sf_dir, "embeddings")
         assigned = emb.withColumn(
-            "part", SIM.ivf_assign(F.col("embedding"), cents)
+            "part", SIM.ivf_assign("embedding", cents)
         )
         assigned.write.mode("overwrite").partitionBy("part").parquet(path)
     q = list(_query_vec())
@@ -390,7 +390,7 @@ def embedding_kmeans_iter(spark, sf_dir):
     cents = [list(c) for c in _centroids()]
     dim = len(cents[0])
     emb = load(spark, sf_dir, "embeddings")
-    assigned = emb.withColumn("cluster", SIM.ivf_assign(F.col("embedding"), cents))
+    assigned = emb.withColumn("cluster", SIM.ivf_assign("embedding", cents))
     sums = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members"),
         *[
@@ -1663,7 +1663,7 @@ def ann_ivf_recall_at_nprobe(spark, sf_dir):
     qcol = F.array(*[F.lit(float(x)) for x in q])
     scored = load(spark, sf_dir, "embeddings").select(
         "vec_id",
-        SIM.ivf_assign(F.col("embedding"), cents).alias("part"),
+        SIM.ivf_assign("embedding", cents).alias("part"),
         F.round(SIM.cosine(F.col("embedding"), qcol), 6).alias("score"),
     )
     exact = (

@@ -86,6 +86,55 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
+# ---------------------------------------------------------------------------
+# Fast expression CONSTRUCTION (r11 optimization round, measured): building
+# the per-dimension literal arithmetic through the Column API costs one py4j
+# round-trip per node — the 8-column PQ encode projection (≈2.6k nodes at
+# dim 64) spent ~2.3 s per call in DRIVER-side construction alone (vs 0.7 s
+# of Catalyst analysis), which was ~50% of ann_ivfpq_topk's whole measured
+# build. The same expressions rendered as ONE SQL string and parsed JVM-side
+# via F.expr construct in ~0.19 s with a bit-identical result fingerprint
+# (plan/value equality pinned by tests/test_operators.py::
+# test_pq_code_sql_construction_matches_column_api). Rules that keep the
+# arithmetic EXACTLY the reference Column formulation:
+#   - double literals render as CAST('<repr>' AS DOUBLE) — string→double
+#     parse is per-element exact (pitfall 18), repr round-trips float64;
+#   - accumulators seed with CAST(0.0 AS DOUBLE) (a bare SQL 0.0 would
+#     parse as DECIMAL and change the fold's type);
+#   - '+' chains stay left-associated (SQL and the Column fold agree).
+def _dlit_sql(x: float) -> str:
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _darr_sql(vals) -> str:
+    return "array(" + ", ".join(_dlit_sql(v) for v in vals) + ")"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _l2_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), "
+        f"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return f"try_divide({_dot_sql(a, b)}, {_l2_sql(a)} * {_l2_sql(b)})"
+
+
+def _dlit_arr(vals) -> Column:
+    """One-literal array<double> — value-identical to
+    ``F.array(*[F.lit(float(v)) for v in vals])`` (fingerprint-verified)
+    at O(1) py4j round-trips instead of O(dim)."""
+    return F.lit([float(v) for v in vals])
+
+
 def cosine_topk(
     df: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -93,7 +142,7 @@ def cosine_topk(
     """Brute-force cosine top-k against a literal query vector.
     Output: (id, score) — score rounded to 6 so results are
     engine-portable; ordering tiebreaks on id."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _dlit_arr(query_vec)
     scored = df.select(
         F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score")
     )
@@ -142,7 +191,7 @@ def lsh_topk(
     qbits = "".join(
         "1" if sum(w * x for w, x in zip(row, query_vec)) > 0 else "0" for row in planes
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _dlit_arr(query_vec)
     bucketed = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
     return (
         bucketed.filter(F.col("_bucket") == qbits)
@@ -152,13 +201,19 @@ def lsh_topk(
     )
 
 
-def ivf_assign(vec_col: Column, centroids: list[list[float]]) -> Column:
+def ivf_assign(vec_col: Column | str, centroids: list[list[float]]) -> Column:
     """IVF partition assignment: index (0-based) of the nearest
     centroid by cosine. Pure column expressions — at scale the
     assignment is precomputed and the table partitioned by it, so a
     query probes only its centroid's partition (coarse quantizer of an
     IVF index; centroids would come from k-means — any deterministic
-    list works for the plumbing)."""
+    list works for the plumbing).
+
+    Pass the vector column NAME (str) on hot construction paths: the
+    expression then renders as one SQL string parsed JVM-side (the
+    _dlit_sql/_cosine_sql discipline above — value-identical, O(1)
+    py4j round-trips). A Column argument keeps the original builder
+    for composed expressions."""
     # Argmax via a scores ARRAY, not a when-chain: a chained
     # best_idx/best_score fold embeds every cosine() HOF expression in
     # all later when() branches, and HOF lambdas never enter codegen so
@@ -166,11 +221,18 @@ def ivf_assign(vec_col: Column, centroids: list[list[float]]) -> Column:
     # 500 rows at k=8). The array form evaluates each cosine twice
     # (position + max). array_position returns the FIRST index holding
     # the max — identical tie-break to the strict-> update loop.
+    if isinstance(vec_col, str):
+        v = f"`{vec_col}`"
+        scores = (
+            "array("
+            + ", ".join(_cosine_sql(v, _darr_sql(c)) for c in centroids)
+            + ")"
+        )
+        return F.expr(
+            f"CAST(array_position({scores}, array_max({scores})) - 1 AS INT)"
+        )
     scores = F.array(
-        *[
-            cosine(vec_col, F.array(*[F.lit(float(x)) for x in c]))
-            for c in centroids
-        ]
+        *[cosine(vec_col, _dlit_arr(c)) for c in centroids]
     )
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
@@ -198,8 +260,8 @@ def ivf_topk(
 
     order = sorted(range(len(centroids)), key=lambda i: -py_cos(centroids[i], query_vec))
     probes = order[:n_probe]
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    assigned = df.withColumn("_part", ivf_assign(F.col(vec_col), centroids))
+    q = _dlit_arr(query_vec)
+    assigned = df.withColumn("_part", ivf_assign(vec_col, centroids))
     return (
         assigned.filter(F.col("_part").isin(probes))
         .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))
@@ -309,7 +371,7 @@ def semdedup(
         "_id",
         "_v",
         "_nrm",
-        F.when(F.col("_nrm") > 0, ivf_assign(F.col("_v"), centroids))
+        F.when(F.col("_nrm") > 0, ivf_assign("_v", centroids))
         .otherwise(F.lit(-1))
         .alias("_c"),
     ).persist()
@@ -533,7 +595,7 @@ def _adc_dist_col(
     adist: Column | None = None
     for s in range(num_sub):
         term = F.element_at(
-            F.array(*[F.lit(float(x)) for x in lut[s]]), F.col(f"code_{s}")
+            _dlit_arr(lut[s]), F.col(f"code_{s}")
         )
         adist = term if adist is None else adist + term
     return adist
@@ -778,7 +840,7 @@ def pq_adc_topk_stored(
     adist: Column | None = None
     for s in range(num_sub):
         term = F.element_at(
-            F.array(*[F.lit(float(x)) for x in lut[s]]), F.col(f"code_{s}")
+            _dlit_arr(lut[s]), F.col(f"code_{s}")
         )
         adist = term if adist is None else adist + term
     return (
@@ -884,7 +946,7 @@ def _exact_rerank(
         return emb_df.select(
             F.col(id_col), F.lit(None).cast("double").alias("score")
         ).limit(0)
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = _dlit_arr(query)
     return (
         emb_df.filter(F.col(id_col).isin(ids))
         .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))
@@ -1078,7 +1140,7 @@ def _ivfpq_encode(
     are deterministic in (vector, codebooks), which is what makes
     append ≡ rebuild)."""
     assigned = df.withColumn(
-        "_part", ivf_assign(F.col(vec_col), coarse_centroids)
+        "_part", ivf_assign(vec_col, coarse_centroids)
     )
     if by_residual:
         # materialize the residual ONCE per row, behind a checkpoint
@@ -1093,12 +1155,7 @@ def _ivfpq_encode(
         # the expression tree — a 677 KB plan whose analysis/codegen
         # dominated, 36 s). This formulation: ~5 s.
         coarse_lookup = F.element_at(
-            F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in cc])
-                    for cc in coarse_centroids
-                ]
-            ),
+            F.lit([[float(x) for x in cc] for cc in coarse_centroids]),
             F.col("_part") + 1,
         )
         assigned = assigned.withColumn(
@@ -1129,22 +1186,33 @@ def _pq_code_col(
 ) -> Column:
     """The code_s column expression pq_codes builds, exposed so callers
     can compose it with other columns in ONE projection (identical
-    arithmetic: left-associated squared-L2, first-min-wins argmin)."""
+    arithmetic: left-associated squared-L2, first-min-wins argmin).
+
+    Rendered as ONE SQL string parsed JVM-side (the _dlit_sql
+    discipline above): the Column-API construction of the 8-column
+    encode projection measured ~2.3 s of py4j round-trips per call —
+    the dominant cost of the whole index build — vs ~0.19 s for the
+    parsed form, value-fingerprint-identical (pinned by
+    test_pq_code_sql_construction_matches_column_api)."""
     dim = len(centroids[0])
     sub_d = dim // num_sub
     dists = []
     for cent in centroids:
-        acc: Column | None = None
+        terms = []
         for j in range(sub_d):
             idx = s * sub_d + j + 1
-            diff = F.element_at(F.col(vec_col), idx).cast("double") - F.lit(
-                float(cent[s * sub_d + j])
+            diff = (
+                f"(CAST(element_at(`{vec_col}`, {idx}) AS DOUBLE) - "
+                f"{_dlit_sql(cent[s * sub_d + j])})"
             )
-            sq = diff * diff
-            acc = sq if acc is None else acc + sq
-        dists.append(acc)
-    arr = F.array(*dists)
-    return F.array_position(arr, F.array_min(arr)).cast("int").alias(f"code_{s}")
+            terms.append(f"({diff} * {diff})")
+        # ' + '.join keeps the left-associated fold of the original
+        # Column chain (IEEE addition is order-sensitive)
+        dists.append(" + ".join(terms))
+    arr = "array(" + ", ".join(dists) + ")"
+    return F.expr(
+        f"CAST(array_position({arr}, array_min({arr})) AS INT)"
+    ).alias(f"code_{s}")
 
 
 def ivfpq_adc_topk(
@@ -1234,7 +1302,7 @@ def ivfpq_adc_topk(
             term = None
             for p in probes:
                 indexed = F.element_at(
-                    F.array(*[F.lit(float(x)) for x in luts[p][s]]),
+                    _dlit_arr(luts[p][s]),
                     F.col(f"code_{s}"),
                 )
                 term = (
@@ -1244,7 +1312,7 @@ def ivfpq_adc_topk(
                 )
         else:
             term = F.element_at(
-                F.array(*[F.lit(float(x)) for x in luts[probes[0]][s]]),
+                _dlit_arr(luts[probes[0]][s]),
                 F.col(f"code_{s}"),
             )
         adist = term if adist is None else adist + term
@@ -1271,8 +1339,8 @@ def sq8_codes_col(vec_col: Column, mins: list[float], scales: list[float]) -> Co
     tolerance. All three lambdas reference only their lambda variables
     and literal arrays (pitfall-16-safe: no computed subtree is
     re-evaluated per element)."""
-    mins_arr = F.array(*[F.lit(float(m)) for m in mins])
-    sc_arr = F.array(*[F.lit(float(s)) for s in scales])
+    mins_arr = _dlit_arr(mins)
+    sc_arr = _dlit_arr(scales)
     shifted = F.zip_with(vec_col, mins_arr, lambda x, mn: x.cast("double") - mn)
     raw = F.zip_with(shifted, sc_arr, lambda v, sc: F.floor(v * sc))
     return F.transform(

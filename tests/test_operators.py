@@ -3878,3 +3878,67 @@ def test_topk_threshold_bucketed_exact_on_adversarial_inputs(spark):
         .collect()[0]["_t"]
         == 9
     )
+
+
+# ------------------------------------------- r11 opt: SQL-built expressions
+def test_pq_code_sql_construction_matches_column_api(emb):
+    """The r11 optimization round rebuilt _pq_code_col/ivf_assign as
+    JVM-parsed SQL strings (construction measured ~12× faster than the
+    py4j-per-node Column chain). This pins the arithmetic identity
+    against an inline reference copy of the ORIGINAL Column-API
+    formulation — left-associated squared-L2, first-min argmin,
+    cosine-argmax with array_position tie-breaking."""
+    from lrmr_spark.catalog.similarity_ops import _centroids
+
+    coarse = [list(c) for c in _centroids()]
+    pq = [list(c) for c in _centroids()[:4]]
+    base = emb.filter(F.col("embedding").isNotNull()).limit(200)
+
+    def ref_code_col(vec_col, centroids, num_sub, s):
+        dim = len(centroids[0])
+        sub_d = dim // num_sub
+        dists = []
+        for cent in centroids:
+            acc = None
+            for j in range(sub_d):
+                idx = s * sub_d + j + 1
+                diff = F.element_at(F.col(vec_col), idx).cast("double") - F.lit(
+                    float(cent[s * sub_d + j])
+                )
+                sq = diff * diff
+                acc = sq if acc is None else acc + sq
+            dists.append(acc)
+        arr = F.array(*dists)
+        return (
+            F.array_position(arr, F.array_min(arr)).cast("int").alias(f"code_{s}")
+        )
+
+    def ref_ivf_assign(vec_col, centroids):
+        scores = F.array(
+            *[
+                SIM.cosine(vec_col, F.array(*[F.lit(float(x)) for x in c]))
+                for c in centroids
+            ]
+        )
+        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+    got = base.select(
+        "vec_id",
+        SIM.ivf_assign("embedding", coarse).alias("part"),
+        *[SIM._pq_code_col("embedding", pq, 8, s) for s in range(8)],
+    ).collect()
+    want = base.select(
+        "vec_id",
+        ref_ivf_assign(F.col("embedding"), coarse).alias("part"),
+        *[ref_code_col("embedding", pq, 8, s) for s in range(8)],
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # the Column-arg path of ivf_assign (API compat) agrees with the
+    # string-arg fast path
+    both = base.select(
+        (
+            SIM.ivf_assign("embedding", coarse)
+            == SIM.ivf_assign(F.col("embedding"), coarse)
+        ).alias("eq")
+    ).agg(F.min("eq").alias("all_eq")).collect()[0]
+    assert both["all_eq"] is True
