@@ -1531,11 +1531,25 @@ def graph_label_propagation(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     o = F.col("l_orderkey").cast("long") * 2
     p = F.col("l_partkey").cast("long") * 2 + 1
-    fwd = li.select(o.alias("src"), p.alias("dst")).distinct()
-    rev = li.select(p.alias("src"), o.alias("dst")).distinct()
+    # Symmetrize AFTER one distinct over the base pairs (r11 opt
+    # round): the former per-direction distincts shuffled 2E rows
+    # through two exchanges and scanned lineitem twice; one distinct
+    # (E rows, one scan) + a 2-element explode emits the identical
+    # symmetric edge set from a single lineage (no Union, no reliance
+    # on exchange reuse). distinct(rev) ≡ reverse(distinct(fwd))
+    # because rev is the mirrored image of the same pair set.
+    pairs = li.select(o.alias("src"), p.alias("dst")).distinct()
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     from ..operators.graph import label_propagation
 
-    labels = label_propagation(fwd.unionAll(rev), iterations=3)
+    labels = label_propagation(sym, iterations=3)
     community = F.when(
         F.col("label") % 2 == 0,
         F.concat(F.lit("o:"), F.expr("label DIV 2").cast("string")),

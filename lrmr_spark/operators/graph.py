@@ -1075,15 +1075,40 @@ def label_propagation(
         .localCheckpoint(eager=True)
     )
     small = labels.count() <= _KEEP_BCAST_MAX  # node count: driver scalar
+    n_part = int(
+        labels.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     for _ in range(iterations):
-        votes = (
-            state_adjacency_join(
-                adj, chunks, labels, "src", broadcast_state=small
+        raw = state_adjacency_join(
+            adj, chunks, labels, "src", broadcast_state=small
+        ).select(F.explode("_nbrs").alias("nd"), "label")
+        # Vote-path exchange fusion, gated on the SAME node-count
+        # scalar as the broadcasts (r11 opt round, EXP_LPA_FUSION.json,
+        # fingerprint-identical labels on every arm): under the gate,
+        # hash-repartitioning the raw votes by nd makes ONE exchange
+        # serve both the (nd, label) count AND the nd argmax
+        # (partitioning keys ⊆ grouping keys — the minhash
+        # _FUSE_REPS_EXCHANGE lesson), measured sf0.1 5.18→4.61 s and
+        # sf1 23.9→18.2 / 41.8→19.0 s min-of-2. ABOVE the gate the
+        # fused form shuffles edge-count raw votes where the shipped
+        # shape ships post-partial-agg (nd, label) pairs, and the sf10
+        # paired sessions did not show a fusion win (65.4 vs 75.9 s
+        # min-of-2) — so the two-exchange shape stays above the gate.
+        # The pinned count is spark.sql.shuffle.partitions — the same
+        # conf every groupBy exchange uses (scale-adaptive through the
+        # same knob); an UNpinned repartition("nd") was measured 3.5×
+        # slower at sf1 (AQE coalesced the advisory exchange to too
+        # few partitions for the downstream aggregations).
+        if small:
+            votes = (
+                raw.repartition(n_part, "nd")
+                .groupBy("nd", "label")
+                .agg(F.count(F.lit(1)).alias("c"))
             )
-            .select(F.explode("_nbrs").alias("nd"), "label")
-            .groupBy("nd", "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
+        else:
+            votes = raw.groupBy("nd", "label").agg(
+                F.count(F.lit(1)).alias("c")
+            )
         argmax = votes.groupBy(F.col("nd").alias("node")).agg(
             (-F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl")))["nl"])
             .cast("long")

@@ -60,9 +60,12 @@ def _edges(spark, sf_dir):
     return fwd.unionAll(rev)
 
 
-def _lpa_variant(edges, mode_agg: bool):
+def _lpa_variant(edges, mode_agg: bool, pin_n: bool = True):
     """The shipped adjacency-cache loop with the vote path fused to a
-    single exchange; `mode_agg` selects vM_mode over vF_repart."""
+    single exchange; `mode_agg` selects vM_mode over vF_repart.
+    ``pin_n=False`` repartitions by nd WITHOUT a pinned partition
+    count, leaving the count to spark.sql.shuffle.partitions + AQE
+    (the scale-adaptive form a 100 TB deployment wants)."""
     spark = edges.sparkSession
     adj, _ = adjacency_cache(edges.select("src", "dst"))
     labels = (
@@ -83,10 +86,11 @@ def _lpa_variant(edges, mode_agg: bool):
                 F.expr("mode(label, true)").cast("long").alias("_vl")
             )
         else:
-            votes = (
-                raw.repartition(n_part, "nd")
-                .groupBy("nd", "label")
-                .agg(F.count(F.lit(1)).alias("c"))
+            part = (
+                raw.repartition(n_part, "nd") if pin_n else raw.repartition("nd")
+            )
+            votes = part.groupBy("nd", "label").agg(
+                F.count(F.lit(1)).alias("c")
             )
             argmax = votes.groupBy(F.col("nd").alias("node")).agg(
                 (-F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl")))["nl"])
@@ -111,6 +115,7 @@ def _lpa_variant(edges, mode_agg: bool):
 VARIANTS = {
     "v0_shipped": lambda e: label_propagation(e, iterations=ITERATIONS),
     "vF_repart": lambda e: _lpa_variant(e, mode_agg=False),
+    "vF2_noN": lambda e: _lpa_variant(e, mode_agg=False, pin_n=False),
     "vM_mode": lambda e: _lpa_variant(e, mode_agg=True),
 }
 
