@@ -1955,7 +1955,11 @@ def corpus_bloom_stored(spark, sf_dir):
         F.lit(fp).alias("params"),
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
 
-    meta = spark.read.json(f"{path}/_meta").collect()[0]
+    meta = (
+        spark.read.schema("bits bigint, hashes int, params string")
+        .json(f"{path}/_meta")
+        .collect()[0]
+    )
     if meta["params"] != fp:
         raise ValueError(
             "bloom-geometry drift: the stored sketch was built with "

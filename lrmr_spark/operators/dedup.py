@@ -629,7 +629,14 @@ def append_minhash_index(
 def read_minhash_index_meta(spark, path: str) -> dict:
     """The hashing parameters a stored index was built with
     (write_minhash_index's ``path/_meta``)."""
-    row = spark.read.json(f"{path}/_meta").collect()[0]
+    row = (
+        spark.read.schema(
+            "num_hashes int, bands int, unit string, shingle_k int, "
+            "fast boolean"
+        )
+        .json(f"{path}/_meta")
+        .collect()[0]
+    )
     return {
         "num_hashes": int(row["num_hashes"]),
         "bands": int(row["bands"]),
@@ -1429,6 +1436,9 @@ def delete_minhash_index_content(
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_meta")
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    # deliberately schema-INFERRED (unlike the hot-path _meta reads):
+    # this generic backup must round-trip every field the writer emits,
+    # known or future, and it runs once per delete, not per query
     meta_backup = spark.read.json(f"{path}/_meta").collect()[0].asDict()
     fs.delete(jpath, True)
     keep_reps.write.mode("overwrite").parquet(f"{path}/reps")

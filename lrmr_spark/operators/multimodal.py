@@ -408,7 +408,7 @@ def delete_phash_index_content(takedown_media: DataFrame, path: str) -> int:
     scanned once and rewritten — the rewrite IS the compaction a
     tombstone variant would eventually run."""
     spark = takedown_media.sparkSession
-    meta = spark.read.json(f"{path}/_meta").collect()[0]
+    meta = spark.read.schema("n_bits int").json(f"{path}/_meta").collect()[0]
     t_hashes = phash_media(takedown_media).select("phash").distinct()
     stored = spark.read.parquet(f"{path}/hashes")
     survivors = stored.join(t_hashes, "phash", "left_anti").localCheckpoint(
@@ -442,7 +442,7 @@ def match_phash_index(
     from .dedup import _block_bounds
 
     spark = batch_media.sparkSession
-    meta = spark.read.json(f"{index_path}/_meta").collect()[0]
+    meta = spark.read.schema("n_bits int").json(f"{index_path}/_meta").collect()[0]
     n_bits = int(meta["n_bits"])
     blocks = k + 1
     bounds = _block_bounds(n_bits, blocks)

@@ -52,6 +52,16 @@ __all__ = [
 ]
 
 
+# Stored-index _meta schemas, exactly the fields each writer emits: an
+# explicit schema makes every _meta read a single job (schema inference
+# runs an extra scan job per read — measured ~0.13 s/read on the
+# lifecycle entries, r11 opt round). Missing-path reads still raise
+# AnalysisException (the torn-state contract) with or without a schema.
+_PQ_META_SCHEMA = "num_sub int, dim int, n_centroids int, codebook_md5 string, id_col string"
+_IVFPQ_META_SCHEMA = "num_sub int, dim int, n_coarse int, n_pq_centroids int, coarse_md5 string, pq_md5 string, by_residual boolean, id_col string"
+_SQ8_META_SCHEMA = "dim int, params_md5 string, id_col string"
+
+
 def _centroid_fingerprint(centroids: list[list[float]]) -> str:
     """md5 over the exact float reprs — the codebook identity a stored
     codes table is bound to (repr round-trips float64 exactly)."""
@@ -776,7 +786,7 @@ def write_pq_codes(
 def read_pq_codes_meta(spark, path: str) -> dict:
     """The parameters a stored PQ codes table was built with
     (write_pq_codes' ``path/_meta``)."""
-    row = spark.read.json(f"{path}/_meta").collect()[0]
+    row = spark.read.schema(_PQ_META_SCHEMA).json(f"{path}/_meta").collect()[0]
     return {
         "num_sub": int(row["num_sub"]),
         "dim": int(row["dim"]),
@@ -1029,7 +1039,7 @@ def append_ivfpq_index(
     determinism argument as append_pq_codes, asserted in tests).
     Returns rows appended."""
     spark = new_df.sparkSession
-    row = spark.read.json(f"{path}/_meta").collect()[0]
+    row = spark.read.schema(_IVFPQ_META_SCHEMA).json(f"{path}/_meta").collect()[0]
     if row["coarse_md5"] != _centroid_fingerprint(coarse_centroids):
         raise ValueError(
             "coarse-codebook drift: the stored index was partitioned by a "
@@ -1238,7 +1248,7 @@ def ivfpq_adc_topk(
     Codebook drift between write and query raises."""
     import math
 
-    row = spark.read.json(f"{path}/_meta").collect()[0]
+    row = spark.read.schema(_IVFPQ_META_SCHEMA).json(f"{path}/_meta").collect()[0]
     if row["coarse_md5"] != _centroid_fingerprint(coarse_centroids):
         raise ValueError(
             "coarse-codebook drift: the stored index was partitioned by "
@@ -1418,7 +1428,7 @@ def sq8_sdc_topk_stored(
     quantizer or the read raises (codes index into THIS quantizer's
     grid). Distance stays exact BIGINT; NULL-code rows (pre-filter
     legacy writes) are dropped defensively."""
-    row = spark.read.json(f"{path}/_meta").collect()[0]
+    row = spark.read.schema(_SQ8_META_SCHEMA).json(f"{path}/_meta").collect()[0]
     fp = _sq8_fingerprint(mins, scales)
     if fp != row["params_md5"]:
         raise ValueError(
@@ -1460,7 +1470,7 @@ def append_sq8_codes(
     column; quantization is the same zero-shuffle projection as
     write_sq8_codes. Returns rows appended."""
     spark = new_df.sparkSession
-    row = spark.read.json(f"{path}/_meta").collect()[0]
+    row = spark.read.schema(_SQ8_META_SCHEMA).json(f"{path}/_meta").collect()[0]
     fp = _sq8_fingerprint(mins, scales)
     if fp != row["params_md5"]:
         raise ValueError(
@@ -1655,7 +1665,7 @@ def delete_ivfpq_index(spark, path: str, ids: list[int]) -> int:
     _meta. An interruption leaves no _meta → the next read raises
     rather than scoring a half-rewritten index. Returns rows removed.
     Idempotent: a second identical delete removes 0 rows."""
-    row = spark.read.json(f"{path}/_meta").collect()[0]
+    row = spark.read.schema(_IVFPQ_META_SCHEMA).json(f"{path}/_meta").collect()[0]
     sid = row["id_col"]
     codes = spark.read.parquet(f"{path}/codes")
     takedown = [int(i) for i in ids]
@@ -1718,7 +1728,7 @@ def delete_sq8_codes(spark, path: str, ids: list[int]) -> int:
     invalidated across the rewrite and restored after, so an
     interruption leaves a loudly-failing index. Idempotent; returns
     rows removed."""
-    row = spark.read.json(f"{path}/_meta").collect()[0]
+    row = spark.read.schema(_SQ8_META_SCHEMA).json(f"{path}/_meta").collect()[0]
     sid = row["id_col"]
     codes = spark.read.parquet(f"{path}/codes")
     keep = codes.filter(~F.col(sid).isin([int(i) for i in ids]))

@@ -420,7 +420,15 @@ def _read_winnowing_meta(spark, path: str) -> dict | None:
     indexes written before the df side table lack ``empty``/``id_type``
     — callers use .get with defaults."""
     try:
-        return spark.read.json(f"{path}/_meta").collect()[0].asDict()
+        return (
+            spark.read.schema(
+                "k int, w int, max_df int, hash string, id_col string, "
+                "id_type string, empty boolean"
+            )
+            .json(f"{path}/_meta")
+            .collect()[0]
+            .asDict()
+        )
     except AnalysisException:
         return None
 
@@ -1142,7 +1150,15 @@ def load_quality_model(spark, path: str) -> tuple[list[int], dict]:
     convention than this library scores with), and on a weights table
     that does not cover exactly buckets 0..n_buckets−1 (torn)."""
     try:
-        meta = spark.read.json(f"{path}/_meta").collect()[0].asDict()
+        meta = (
+            spark.read.schema(
+                "n_buckets int, iterations int, feature string, "
+                "hash string, teacher_fp string"
+            )
+            .json(f"{path}/_meta")
+            .collect()[0]
+            .asDict()
+        )
     except AnalysisException:
         raise ValueError(
             f"no quality model _meta at {path} (absent or torn)"
@@ -1656,7 +1672,7 @@ def write_line_index(
     (the codebook-fingerprint discipline of the ANN indexes)."""
     spark = df.sparkSession
     try:
-        prev = spark.read.json(f"{path}/_meta").collect()[0]
+        prev = spark.read.schema("width int, hash string, id_col string").json(f"{path}/_meta").collect()[0]
         if int(prev["width"]) != int(width):
             raise ValueError(
                 f"line-index width drift: stored epochs were segmented at "
@@ -1714,7 +1730,7 @@ def line_dedup_with_index(
     from pyspark.sql import Window as W
 
     spark = df.sparkSession
-    meta = spark.read.json(f"{path}/_meta").collect()[0]
+    meta = spark.read.schema("width int, hash string, id_col string").json(f"{path}/_meta").collect()[0]
     width = int(meta["width"])
     stored = spark.read.parquet(f"{path}/counts")
     if before_epoch is not None:
@@ -1745,7 +1761,7 @@ def compact_line_index(spark, path: str) -> int:
     invalidated across the static overwrite and restored after, so an
     interruption leaves a loudly-failing index, not a half-folded one.
     Returns the number of epochs folded."""
-    meta = spark.read.json(f"{path}/_meta").collect()[0]
+    meta = spark.read.schema("width int, hash string, id_col string").json(f"{path}/_meta").collect()[0]
     counts = spark.read.parquet(f"{path}/counts")
     n_epochs = counts.select("_epoch").distinct().count()
     folded = (
