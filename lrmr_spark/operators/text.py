@@ -1027,18 +1027,24 @@ def _train_rounds(base, dim: int, iterations: int) -> list[int]:
     hashed_ngram_classifier and train_hashed_ngram_weights."""
     w = [0] * dim
     for _ in range(iterations):
-        w_lit = F.array(*[F.lit(int(wi)).cast("bigint") for wi in w])
-        z = F.aggregate(
-            F.zip_with(F.col("_x"), w_lit, lambda a, b: a * b),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
+        # one parsed SQL string per gradient sum instead of py4j
+        # Column construction (the PQ/IVF lesson): measured 0.38 vs
+        # 0.73 s per round at sf0.1, gradients asserted identical
+        # (tools/exp_qround_ab.py). Integer literals carry the L
+        # suffix and the accumulator seed is CAST(0 AS BIGINT), so
+        # the arithmetic stays the exact-BIGINT form the oracle pins.
+        w_arr = "array(" + ", ".join(f"{int(wi)}L" for wi in w) + ")"
+        z = (
+            f"aggregate(zip_with(_x, {w_arr}, (a, b) -> a * b), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         )
-        mis = (F.col("_y") * z) <= 0
+        mis = f"(_y * ({z})) <= 0"
         row = base.agg(
             *[
-                F.sum(
-                    F.when(mis, F.col("_y") * F.element_at("_x", j + 1)).otherwise(0)
-                ).alias(f"g{j}")
+                F.expr(
+                    f"sum(CASE WHEN {mis} THEN _y * element_at(_x, {j + 1}) "
+                    f"ELSE 0 END) AS g{j}"
+                )
                 for j in range(dim)
             ]
         ).collect()[0]
