@@ -482,32 +482,31 @@ def pq_train_iter(
     sub_d = dim // num_sub
     k = len(centroids)
     src = df.filter(F.col(vec_col).isNotNull())
-    code_cols = []
-    for s in range(num_sub):
-        arr = F.array(*_sub_dists(vec_col, centroids, s, sub_d))
-        code_cols.append(
-            F.array_position(arr, F.array_min(arr)).cast("int").alias(f"_c{s}")
-        )
-    assigned = src.select(F.col(vec_col), *code_cols)
-    aggs = []
+    # Assignment reuses _pq_code_col's parsed-SQL rendering (identical
+    # left-associated arithmetic, shared with pq_codes); the update's
+    # num_sub*k*(1+sub_d) aggregate columns are likewise rendered as
+    # SQL strings in ONE selectExpr — the Column-API construction of
+    # those 288 aggs paid one py4j round-trip per expression node per
+    # round (the pathology measured for the encode projection).
+    assigned = src.select(
+        F.col(vec_col),
+        *[
+            _pq_code_col(vec_col, centroids, num_sub, s).alias(f"_c{s}")
+            for s in range(num_sub)
+        ],
+    )
+    agg_exprs = []
     for s in range(num_sub):
         for c in range(k):
-            hit = F.col(f"_c{s}") == c + 1
-            aggs.append(
-                F.count(F.when(hit, F.lit(1))).alias(f"n{s}_{c}")
-            )
+            hit = f"(_c{s} = {c + 1})"
+            agg_exprs.append(f"count(CASE WHEN {hit} THEN 1 END) AS n{s}_{c}")
             for j in range(sub_d):
-                aggs.append(
-                    F.sum(
-                        F.when(
-                            hit,
-                            F.element_at(F.col(vec_col), s * sub_d + j + 1).cast(
-                                "double"
-                            ),
-                        )
-                    ).alias(f"m{s}_{c}_{j}")
+                agg_exprs.append(
+                    f"sum(CASE WHEN {hit} THEN "
+                    f"CAST(element_at(`{vec_col}`, {s * sub_d + j + 1}) "
+                    f"AS DOUBLE) END) AS m{s}_{c}_{j}"
                 )
-    one = assigned.agg(*aggs)
+    one = assigned.selectExpr(*agg_exprs)
     stack_args = ", ".join(
         f"{s}, {c + 1}, {j + 1}, m{s}_{c}_{j}, n{s}_{c}"
         for s in range(num_sub)
