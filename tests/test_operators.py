@@ -3942,3 +3942,70 @@ def test_pq_code_sql_construction_matches_column_api(emb):
         ).alias("eq")
     ).agg(F.min("eq").alias("all_eq")).collect()[0]
     assert both["all_eq"] is True
+
+
+def test_pq_train_iter_sql_aggs_match_column_api(emb):
+    """The r11 optimization round rebuilt pq_train_iter's update stage
+    (num_sub*k*(1+sub_d) conditional aggregates) as SQL strings in one
+    selectExpr. This pins the result against an inline reference copy
+    of the ORIGINAL Column-API formulation (count(when)/sum(when) aggs
+    over the same assignment columns) on a single-partition frame, so
+    double-sum order is identical and equality is exact."""
+    from lrmr_spark.catalog.similarity_ops import _centroids
+
+    pq = [list(c) for c in _centroids()[:4]]
+    num_sub, k = 8, len(pq)
+    dim = len(pq[0])
+    sub_d = dim // num_sub
+    base = (
+        emb.filter(F.col("embedding").isNotNull()).limit(200).coalesce(1)
+    )
+
+    assigned = base.select(
+        F.col("embedding"),
+        *[
+            SIM._pq_code_col("embedding", pq, num_sub, s).alias(f"_c{s}")
+            for s in range(num_sub)
+        ],
+    )
+    aggs = []
+    for s in range(num_sub):
+        for c in range(k):
+            hit = F.col(f"_c{s}") == c + 1
+            aggs.append(F.count(F.when(hit, F.lit(1))).alias(f"n{s}_{c}"))
+            for j in range(sub_d):
+                aggs.append(
+                    F.sum(
+                        F.when(
+                            hit,
+                            F.element_at(
+                                F.col("embedding"), s * sub_d + j + 1
+                            ).cast("double"),
+                        )
+                    ).alias(f"m{s}_{c}_{j}")
+                )
+    one = assigned.agg(*aggs)
+    stack_args = ", ".join(
+        f"{s}, {c + 1}, {j + 1}, m{s}_{c}_{j}, n{s}_{c}"
+        for s in range(num_sub)
+        for c in range(k)
+        for j in range(sub_d)
+    )
+    want = (
+        one.selectExpr(
+            f"stack({num_sub * k * sub_d}, {stack_args}) "
+            "AS (sub, code, dim, msum, n)"
+        )
+        .filter(F.col("n") > 0)
+        .select(
+            F.col("sub").cast("bigint"),
+            F.col("code").cast("bigint"),
+            F.col("dim").cast("bigint"),
+            F.round(F.col("msum") / F.col("n"), 5).alias("centroid_val"),
+            F.col("n").cast("bigint").alias("n_members"),
+        )
+        .orderBy("sub", "code", "dim")
+        .collect()
+    )
+    got = SIM.pq_train_iter(base, pq, num_sub).collect()
+    assert list(map(tuple, got)) == list(map(tuple, want))
