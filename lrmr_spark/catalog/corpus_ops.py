@@ -20,6 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators import text as TX
+from ..operators._meta_io import read_meta_row
 from ..tables import load
 from . import query
 from .oracle_util import grams_expr
@@ -1955,10 +1956,8 @@ def corpus_bloom_stored(spark, sf_dir):
         F.lit(fp).alias("params"),
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
 
-    meta = (
-        spark.read.schema("bits bigint, hashes int, params string")
-        .json(f"{path}/_meta")
-        .collect()[0]
+    meta = read_meta_row(
+        spark, f"{path}/_meta", "bits bigint, hashes int, params string"
     )
     if meta["params"] != fp:
         raise ValueError(

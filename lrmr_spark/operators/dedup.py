@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Column
 from pyspark.sql import functions as F
 
+from ._meta_io import read_meta_row
 from .text import distinct_tokens, fingerprint, tokens
 
 # A/B switch for the MinHash reps-stage exchange fusion (see
@@ -629,13 +630,11 @@ def append_minhash_index(
 def read_minhash_index_meta(spark, path: str) -> dict:
     """The hashing parameters a stored index was built with
     (write_minhash_index's ``path/_meta``)."""
-    row = (
-        spark.read.schema(
-            "num_hashes int, bands int, unit string, shingle_k int, "
-            "fast boolean"
-        )
-        .json(f"{path}/_meta")
-        .collect()[0]
+    row = read_meta_row(
+        spark,
+        f"{path}/_meta",
+        "num_hashes int, bands int, unit string, shingle_k int, "
+        "fast boolean",
     )
     return {
         "num_hashes": int(row["num_hashes"]),

@@ -1075,9 +1075,18 @@ def label_propagation(
         .localCheckpoint(eager=True)
     )
     small = labels.count() <= _KEEP_BCAST_MAX  # node count: driver scalar
-    n_part = int(
-        labels.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    n_part = 0
+    if small:
+        # resolved only where the fused vote path uses it, with a
+        # fallback for platforms that set the conf non-numerically
+        # (e.g. 'auto') — the unfused path must not fail on int()
+        # (r11 ADVICE)
+        try:
+            n_part = int(
+                labels.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            n_part = labels.rdd.getNumPartitions() or 200
     for _ in range(iterations):
         raw = state_adjacency_join(
             adj, chunks, labels, "src", broadcast_state=small

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ._meta_io import read_meta_row
+
 __all__ = [
     "MEDIA_SCHEMA",
     "attach_binary_payload",
@@ -408,7 +410,7 @@ def delete_phash_index_content(takedown_media: DataFrame, path: str) -> int:
     scanned once and rewritten — the rewrite IS the compaction a
     tombstone variant would eventually run."""
     spark = takedown_media.sparkSession
-    meta = spark.read.schema("n_bits int").json(f"{path}/_meta").collect()[0]
+    meta = read_meta_row(spark, f"{path}/_meta", "n_bits int")
     t_hashes = phash_media(takedown_media).select("phash").distinct()
     stored = spark.read.parquet(f"{path}/hashes")
     survivors = stored.join(t_hashes, "phash", "left_anti").localCheckpoint(
@@ -442,7 +444,7 @@ def match_phash_index(
     from .dedup import _block_bounds
 
     spark = batch_media.sparkSession
-    meta = spark.read.schema("n_bits int").json(f"{index_path}/_meta").collect()[0]
+    meta = read_meta_row(spark, f"{index_path}/_meta", "n_bits int")
     n_bits = int(meta["n_bits"])
     blocks = k + 1
     bounds = _block_bounds(n_bits, blocks)

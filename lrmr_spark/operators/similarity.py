@@ -20,6 +20,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._meta_io import read_meta_row
+
 __all__ = [
     "dot",
     "l2_norm",
@@ -113,7 +115,19 @@ def cosine(a: Column, b: Column) -> Column:
 #     parse as DECIMAL and change the fold's type);
 #   - '+' chains stay left-associated (SQL and the Column fold agree).
 def _dlit_sql(x: float) -> str:
-    return f"CAST('{float(x)!r}' AS DOUBLE)"
+    x = float(x)
+    # Spark's string→double cast rejects Python repr spellings of the
+    # non-finite values ('inf'/'nan' → NULL, or an ANSI error) where
+    # F.lit(float('inf')) worked — map to the Spark-parseable
+    # 'Infinity'/'NaN' so pathological codebooks/queries keep their
+    # values instead of silently narrowing to NULL (r11 ADVICE).
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"CAST('{x!r}' AS DOUBLE)"
 
 
 def _darr_sql(vals) -> str:
@@ -223,7 +237,11 @@ def ivf_assign(vec_col: Column | str, centroids: list[list[float]]) -> Column:
     expression then renders as one SQL string parsed JVM-side (the
     _dlit_sql/_cosine_sql discipline above — value-identical, O(1)
     py4j round-trips). A Column argument keeps the original builder
-    for composed expressions."""
+    for composed expressions. The str form must be a TOP-LEVEL column
+    name: it renders as one backtick-quoted identifier, so a dotted
+    name stays a single column where F.col("a.b") would resolve a
+    nested field — pass F.col(...) for nested vector columns (all
+    current callers pass simple names; r11 ADVICE)."""
     # Argmax via a scores ARRAY, not a when-chain: a chained
     # best_idx/best_score fold embeds every cosine() HOF expression in
     # all later when() branches, and HOF lambdas never enter codegen so
@@ -785,7 +803,7 @@ def write_pq_codes(
 def read_pq_codes_meta(spark, path: str) -> dict:
     """The parameters a stored PQ codes table was built with
     (write_pq_codes' ``path/_meta``)."""
-    row = spark.read.schema(_PQ_META_SCHEMA).json(f"{path}/_meta").collect()[0]
+    row = read_meta_row(spark, f"{path}/_meta", _PQ_META_SCHEMA)
     return {
         "num_sub": int(row["num_sub"]),
         "dim": int(row["dim"]),
@@ -1038,7 +1056,7 @@ def append_ivfpq_index(
     determinism argument as append_pq_codes, asserted in tests).
     Returns rows appended."""
     spark = new_df.sparkSession
-    row = spark.read.schema(_IVFPQ_META_SCHEMA).json(f"{path}/_meta").collect()[0]
+    row = read_meta_row(spark, f"{path}/_meta", _IVFPQ_META_SCHEMA)
     if row["coarse_md5"] != _centroid_fingerprint(coarse_centroids):
         raise ValueError(
             "coarse-codebook drift: the stored index was partitioned by a "
@@ -1247,7 +1265,7 @@ def ivfpq_adc_topk(
     Codebook drift between write and query raises."""
     import math
 
-    row = spark.read.schema(_IVFPQ_META_SCHEMA).json(f"{path}/_meta").collect()[0]
+    row = read_meta_row(spark, f"{path}/_meta", _IVFPQ_META_SCHEMA)
     if row["coarse_md5"] != _centroid_fingerprint(coarse_centroids):
         raise ValueError(
             "coarse-codebook drift: the stored index was partitioned by "
@@ -1427,7 +1445,7 @@ def sq8_sdc_topk_stored(
     quantizer or the read raises (codes index into THIS quantizer's
     grid). Distance stays exact BIGINT; NULL-code rows (pre-filter
     legacy writes) are dropped defensively."""
-    row = spark.read.schema(_SQ8_META_SCHEMA).json(f"{path}/_meta").collect()[0]
+    row = read_meta_row(spark, f"{path}/_meta", _SQ8_META_SCHEMA)
     fp = _sq8_fingerprint(mins, scales)
     if fp != row["params_md5"]:
         raise ValueError(
@@ -1469,7 +1487,7 @@ def append_sq8_codes(
     column; quantization is the same zero-shuffle projection as
     write_sq8_codes. Returns rows appended."""
     spark = new_df.sparkSession
-    row = spark.read.schema(_SQ8_META_SCHEMA).json(f"{path}/_meta").collect()[0]
+    row = read_meta_row(spark, f"{path}/_meta", _SQ8_META_SCHEMA)
     fp = _sq8_fingerprint(mins, scales)
     if fp != row["params_md5"]:
         raise ValueError(
@@ -1664,7 +1682,7 @@ def delete_ivfpq_index(spark, path: str, ids: list[int]) -> int:
     _meta. An interruption leaves no _meta → the next read raises
     rather than scoring a half-rewritten index. Returns rows removed.
     Idempotent: a second identical delete removes 0 rows."""
-    row = spark.read.schema(_IVFPQ_META_SCHEMA).json(f"{path}/_meta").collect()[0]
+    row = read_meta_row(spark, f"{path}/_meta", _IVFPQ_META_SCHEMA)
     sid = row["id_col"]
     codes = spark.read.parquet(f"{path}/codes")
     takedown = [int(i) for i in ids]
@@ -1727,7 +1745,7 @@ def delete_sq8_codes(spark, path: str, ids: list[int]) -> int:
     invalidated across the rewrite and restored after, so an
     interruption leaves a loudly-failing index. Idempotent; returns
     rows removed."""
-    row = spark.read.schema(_SQ8_META_SCHEMA).json(f"{path}/_meta").collect()[0]
+    row = read_meta_row(spark, f"{path}/_meta", _SQ8_META_SCHEMA)
     sid = row["id_col"]
     codes = spark.read.parquet(f"{path}/codes")
     keep = codes.filter(~F.col(sid).isin([int(i) for i in ids]))

@@ -4009,3 +4009,60 @@ def test_pq_train_iter_sql_aggs_match_column_api(emb):
     )
     got = SIM.pq_train_iter(base, pq, num_sub).collect()
     assert list(map(tuple, got)) == list(map(tuple, want))
+
+
+# ------------------------------------------- _meta read hardening (r12)
+def test_meta_read_empty_dir_raises_torn_not_indexerror(spark, tmp_path):
+    """A _meta dir that EXISTS but holds no JSON row (interrupted
+    overwrite leaving only _SUCCESS) must fail as the documented torn
+    state, not a bare IndexError from collect()[0] (r11 ADVICE). Both
+    a direct reader and the two absence-branching callers are covered."""
+    import os
+
+    from lrmr_spark.operators._meta_io import TornMetaError
+
+    path = str(tmp_path / "idx")
+    os.makedirs(f"{path}/_meta")
+    open(f"{path}/_meta/_SUCCESS", "w").close()
+    with pytest.raises(TornMetaError, match="torn"):
+        SIM.read_pq_codes_meta(spark, path)
+    with pytest.raises(TornMetaError, match="torn"):
+        DD.read_minhash_index_meta(spark, path)
+    # winnowing: absence -> None, torn -> raise (not silently None)
+    with pytest.raises(TornMetaError, match="torn"):
+        TX._read_winnowing_meta(spark, path)
+    assert TX._read_winnowing_meta(spark, str(tmp_path / "absent")) is None
+    # quality model: torn folds into its documented ValueError
+    with pytest.raises(ValueError, match="absent or torn"):
+        TX.load_quality_model(spark, path)
+
+
+def test_meta_read_corrupt_record_fails_fast(spark, tmp_path):
+    """A corrupt/field-renamed _meta record must fail AT READ TIME
+    (FAILFAST) instead of parsing to an all-NULL row under PERMISSIVE
+    mode and surfacing later as a misleading drift error (r11 ADVICE)."""
+    import os
+
+    path = str(tmp_path / "idx2")
+    os.makedirs(f"{path}/_meta")
+    with open(f"{path}/_meta/part-00000.json", "w") as f:
+        f.write("{not valid json\n")
+    with pytest.raises(Exception, match="FAILFAST|Malformed|malformed"):
+        SIM.read_pq_codes_meta(spark, path)
+
+
+def test_dlit_sql_nonfinite_literals_round_trip(spark):
+    """_dlit_sql must render inf/-inf/nan as Spark-parseable spellings
+    — Python repr ('inf'/'nan') casts to NULL (r11 ADVICE)."""
+    from lrmr_spark.operators.similarity import _dlit_sql
+
+    row = spark.range(1).selectExpr(
+        f"{_dlit_sql(float('inf'))} AS pinf",
+        f"{_dlit_sql(float('-inf'))} AS ninf",
+        f"{_dlit_sql(float('nan'))} AS nan",
+        f"{_dlit_sql(1.5)} AS v",
+    ).first()
+    assert row["pinf"] == float("inf")
+    assert row["ninf"] == float("-inf")
+    assert row["nan"] != row["nan"]  # NaN
+    assert row["v"] == 1.5
