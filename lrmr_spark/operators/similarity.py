@@ -585,14 +585,21 @@ def pq_codes(
             f"trailing {dim % num_sub if num_sub > 0 else dim} dims "
             "from quantization"
         )
-    sub_d = dim // num_sub
+    # Construction rendered as JVM-parsed SQL (the _pq_code_col /
+    # _dlit_sql discipline): the Column-API form of this projection
+    # measured ~2.3 s of driver-side py4j round-trips PER CALL — the
+    # ann_pq_append_topk lifecycle calls it three times (write, append,
+    # idempotent re-append), so the whole entry paid ~7 s of
+    # data-size-independent construction (EXP_CRUD_PHASES.json, r12).
+    # Arithmetic identity with the original Column chain is pinned by
+    # test_pq_code_sql_construction_matches_column_api (codes AND dists).
     cols: list[Column] = [F.col(id_col)]
     for s in range(num_sub):
-        arr = F.array(*_sub_dists(vec_col, centroids, s, sub_d))
+        arr = _pq_dists_sql(vec_col, centroids, num_sub, s)
+        cols.append(_pq_code_col(vec_col, centroids, num_sub, s))
         cols.append(
-            F.array_position(arr, F.array_min(arr)).cast("int").alias(f"code_{s}")
+            F.expr(f"round(array_min({arr}), 5)").alias(f"dist_{s}")
         )
-        cols.append(F.round(F.array_min(arr), 5).alias(f"dist_{s}"))
     return df.select(*cols)
 
 
@@ -1221,6 +1228,19 @@ def _pq_code_col(
     the dominant cost of the whole index build — vs ~0.19 s for the
     parsed form, value-fingerprint-identical (pinned by
     test_pq_code_sql_construction_matches_column_api)."""
+    arr = _pq_dists_sql(vec_col, centroids, num_sub, s)
+    return F.expr(
+        f"CAST(array_position({arr}, array_min({arr})) AS INT)"
+    ).alias(f"code_{s}")
+
+
+def _pq_dists_sql(
+    vec_col: str, centroids: list[list[float]], num_sub: int, s: int
+) -> str:
+    """SQL ``array(...)`` of per-centroid squared-L2 distances for
+    sub-space ``s`` — the string twin of _sub_dists, shared by
+    _pq_code_col (argmin codes) and pq_codes (codes + min dists) so
+    encode/train/serve agree on the arithmetic by construction."""
     dim = len(centroids[0])
     sub_d = dim // num_sub
     dists = []
@@ -1236,10 +1256,7 @@ def _pq_code_col(
         # ' + '.join keeps the left-associated fold of the original
         # Column chain (IEEE addition is order-sensitive)
         dists.append(" + ".join(terms))
-    arr = "array(" + ", ".join(dists) + ")"
-    return F.expr(
-        f"CAST(array_position({arr}, array_min({arr})) AS INT)"
-    ).alias(f"code_{s}")
+    return "array(" + ", ".join(dists) + ")"
 
 
 def ivfpq_adc_topk(
@@ -1385,7 +1402,10 @@ def sq8_sdc_dist_col(codes_col: Column, qcodes: list[int]) -> Column:
     ``min_j + (code_j + 0.5)/scale_j`` floats — SDC keeps the entire
     hot loop in integers, which is also what a SIMD/codegen engine
     wants at scale."""
-    q_arr = F.array(*[F.lit(int(c)) for c in qcodes])
+    # one-literal array<bigint> (the _dlit_arr rule): O(1) py4j
+    # round-trips instead of O(dim); value-identical to the unrolled
+    # F.array(*[F.lit(int(c))...]) form
+    q_arr = F.lit([int(c) for c in qcodes])
     return F.aggregate(
         F.zip_with(codes_col, q_arr, lambda c, q: (c - q) * (c - q)),
         F.lit(0).cast("bigint"),

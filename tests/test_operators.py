@@ -3942,6 +3942,39 @@ def test_pq_code_sql_construction_matches_column_api(emb):
         ).alias("eq")
     ).agg(F.min("eq").alias("all_eq")).collect()[0]
     assert both["all_eq"] is True
+    # r12: pq_codes itself moved to the parsed-SQL construction (codes
+    # AND the rounded min-dist diagnostics) — pin the full projection
+    # against the original Column-API formulation
+    def ref_dist_col(vec_col, centroids, num_sub, s):
+        dim = len(centroids[0])
+        sub_d = dim // num_sub
+        dists = []
+        for cent in centroids:
+            acc = None
+            for j in range(sub_d):
+                idx = s * sub_d + j + 1
+                diff = F.element_at(F.col(vec_col), idx).cast(
+                    "double"
+                ) - F.lit(float(cent[s * sub_d + j]))
+                sq = diff * diff
+                acc = sq if acc is None else acc + sq
+            dists.append(acc)
+        arr = F.array(*dists)
+        return F.round(F.array_min(arr), 5).alias(f"dist_{s}")
+
+    got_full = SIM.pq_codes(base, pq, num_sub=8).collect()
+    want_full = base.select(
+        F.col("vec_id"),
+        *[
+            c
+            for s in range(8)
+            for c in (
+                ref_code_col("embedding", pq, 8, s),
+                ref_dist_col("embedding", pq, 8, s),
+            )
+        ],
+    ).collect()
+    assert sorted(map(tuple, got_full)) == sorted(map(tuple, want_full))
 
 
 def test_pq_train_iter_sql_aggs_match_column_api(emb):

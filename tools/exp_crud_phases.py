@@ -242,7 +242,9 @@ def main() -> None:
             out[name].append(rec)
             print(f"{name} rep{rep}: {rec}", file=sys.stderr, flush=True)
     payload = {"sf_dir": sf_dir, "reps": reps, "phases": out}
-    with open("/root/repo/EXP_CRUD_PHASES.json", "w") as f:
+    # partial re-runs must not clobber the full before-split artifact
+    dest = os.environ.get("EXP_CRUD_OUT", "/root/repo/EXP_CRUD_PHASES.json")
+    with open(dest, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload))
 
