@@ -1052,10 +1052,16 @@ def dedup_pipeline_containment(spark, sf_dir):
         "_id", F.md5(F.array_join("items", " ")).alias("_fp")
     )
     keeps = fps.groupBy("_fp").agg(F.min("_id").alias("_keep"))
+    # materialized ONCE: the pruned-id list feeds the survivors
+    # anti-join (inside containment_pairs' eager computation) AND its
+    # own stage count AND the survivors count — lazily it re-ran the
+    # whole tokenize→count→collect fingerprint pipeline three times
+    # per lifecycle (r12, EXP_CRUD_PHASES). The id list is tiny.
     exact_pruned = (
         fps.join(keeps, "_fp")
         .filter(F.col("_id") != F.col("_keep"))
         .select(F.col("_id").alias("doc_id"))
+        .localCheckpoint(eager=True)
     )
     pairs = DD.minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=16, bands=2, threshold=0.9

@@ -1419,18 +1419,30 @@ def delete_minhash_index_content(
     )
     reps = spark.read.parquet(f"{path}/reps")
     bands = spark.read.parquet(f"{path}/bands")
-    keep_reps = reps.join(
-        t_items, reps["items"] == t_items["_t_items"], "left_anti"
-    ).localCheckpoint(eager=True)
-    removed_ids = (
-        reps.join(t_items, reps["items"] == t_items["_t_items"], "left_semi")
-        .select("_id")
+    # ONE reps scan serves keep + removed + the count (r12, measured:
+    # the former anti-join/semi-join pair scanned and joined reps
+    # twice and checkpointed each side separately — EXP_CRUD_PHASES).
+    # t_items is distinct, so the left join matches each rep at most
+    # once and adds no fan-out.
+    flagged = (
+        reps.join(t_items, reps["items"] == t_items["_t_items"], "left")
+        .withColumn("_rm", F.col("_t_items").isNotNull())
+        .drop("_t_items")
         .localCheckpoint(eager=True)
     )
+    n_removed = flagged.filter(F.col("_rm")).count()
+    if n_removed == 0:
+        # nothing matched: the index is bit-identical to the rewrite's
+        # output — skip the rewrites AND the _meta invalidation window
+        # entirely (idempotent re-sends stop paying the full rewrite;
+        # measured 2.3 s -> ~1 s at sf0.1)
+        flagged.unpersist()
+        return 0
+    keep_reps = flagged.filter(~F.col("_rm")).drop("_rm")
+    removed_ids = flagged.filter(F.col("_rm")).select("_id")
     keep_bands = bands.join(removed_ids, "_id", "left_anti").localCheckpoint(
         eager=True
     )
-    n_removed = removed_ids.count()
     # torn-write guard: no _meta may pair with half-rewritten tables
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_meta")
@@ -1445,8 +1457,7 @@ def delete_minhash_index_content(
     spark.range(1).select(
         *[F.lit(v).alias(k) for k, v in sorted(meta_backup.items())]
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
-    # pitfall 19: release the three checkpoints' blocks
-    keep_reps.unpersist()
-    removed_ids.unpersist()
+    # pitfall 19: release the checkpoints' blocks
+    flagged.unpersist()
     keep_bands.unpersist()
     return int(n_removed)

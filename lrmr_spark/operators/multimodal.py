@@ -413,10 +413,24 @@ def delete_phash_index_content(takedown_media: DataFrame, path: str) -> int:
     meta = read_meta_row(spark, f"{path}/_meta", "n_bits int")
     t_hashes = phash_media(takedown_media).select("phash").distinct()
     stored = spark.read.parquet(f"{path}/hashes")
-    survivors = stored.join(t_hashes, "phash", "left_anti").localCheckpoint(
-        eager=True
+    # one-scan flag + no-op skip (the delete_pq_codes r12 pattern):
+    # t_hashes is distinct, so the left join matches each stored row
+    # at most once and adds no fan-out
+    flagged = (
+        stored.join(
+            t_hashes.select(F.col("phash").alias("_t_ph")),
+            stored["phash"] == F.col("_t_ph"),
+            "left",
+        )
+        .withColumn("_rm", F.col("_t_ph").isNotNull())
+        .drop("_t_ph")
+        .localCheckpoint(eager=True)
     )
-    n_removed = stored.count() - survivors.count()
+    n_removed = flagged.filter(F.col("_rm")).count()
+    if n_removed == 0:
+        flagged.unpersist()
+        return 0
+    survivors = flagged.filter(~F.col("_rm")).drop("_rm")
     jvm = spark.sparkContext._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_meta")
     fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
@@ -425,7 +439,7 @@ def delete_phash_index_content(takedown_media: DataFrame, path: str) -> int:
     spark.range(1).select(
         F.lit(int(meta["n_bits"])).cast("int").alias("n_bits")
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
-    survivors.unpersist()  # pitfall 19: release the checkpoint blocks
+    flagged.unpersist()  # pitfall 19: release the checkpoint blocks
     return int(n_removed)
 
 

@@ -1552,9 +1552,19 @@ def delete_pq_codes(spark, path: str, ids: list[int]) -> int:
     meta = read_pq_codes_meta(spark, path)
     codes = spark.read.parquet(f"{path}/codes")
     sid = meta["id_col"]
-    keep = codes.filter(~F.col(sid).isin([int(i) for i in ids]))
-    survivors = keep.localCheckpoint(eager=True)  # materialize BEFORE overwrite
-    n_removed = codes.count() - survivors.count()
+    # ONE scan serves survivors + the removed count (the former
+    # keep-checkpoint + two count() passes scanned codes twice), and a
+    # no-op delete (idempotent re-send) skips the rewrite and its
+    # _meta invalidation window entirely — the table is bit-identical
+    # either way (r12, EXP_CRUD_PHASES)
+    flagged = codes.withColumn(
+        "_rm", F.col(sid).isin([int(i) for i in ids])
+    ).localCheckpoint(eager=True)
+    n_removed = flagged.filter(F.col("_rm")).count()
+    if n_removed == 0:
+        flagged.unpersist()
+        return 0
+    survivors = flagged.filter(~F.col("_rm")).drop("_rm")
     _invalidate_meta(spark, path)
     survivors.write.mode("overwrite").parquet(f"{path}/codes")
     spark.range(1).select(
@@ -1564,7 +1574,7 @@ def delete_pq_codes(spark, path: str, ids: list[int]) -> int:
         F.lit(meta["codebook_md5"]).alias("codebook_md5"),
         F.lit(sid).alias("id_col"),
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
-    survivors.unpersist()  # pitfall 19: release the checkpoint blocks
+    flagged.unpersist()  # pitfall 19: release the checkpoint blocks
     return int(n_removed)
 
 
@@ -1715,12 +1725,21 @@ def delete_ivfpq_index(spark, path: str, ids: list[int]) -> int:
     ]
     if not affected:
         return 0
-    hit = codes.filter(F.col("part").isin(affected))
-    survivors = hit.filter(~F.col(sid).isin(takedown)).localCheckpoint(
-        eager=True
+    # ONE affected-partition scan serves survivors, the removed count
+    # and the kept-partition set (the former shape scanned the hit
+    # partitions three times — r12 one-scan flag pattern)
+    flagged = (
+        codes.filter(F.col("part").isin(affected))
+        .withColumn("_rm", F.col(sid).isin(takedown))
+        .localCheckpoint(eager=True)
     )
-    n_removed = hit.count() - survivors.count()
-    kept_parts = {r["part"] for r in survivors.select("part").distinct().collect()}
+    stats = flagged.agg(
+        F.sum(F.col("_rm").cast("long")).alias("_n"),
+        F.collect_set(F.when(~F.col("_rm"), F.col("part"))).alias("_kept"),
+    ).first()
+    n_removed = int(stats["_n"] or 0)
+    kept_parts = set(stats["_kept"])
+    survivors = flagged.filter(~F.col("_rm")).drop("_rm")
     _invalidate_meta(spark, path)
     conf = spark.conf
     prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -1753,7 +1772,7 @@ def delete_ivfpq_index(spark, path: str, ids: list[int]) -> int:
         ).alias("by_residual"),
         F.lit(sid).alias("id_col"),
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
-    survivors.unpersist()  # pitfall 19: release the checkpoint blocks
+    flagged.unpersist()  # pitfall 19: release the checkpoint blocks
     return int(n_removed)
 
 
@@ -1768,9 +1787,15 @@ def delete_sq8_codes(spark, path: str, ids: list[int]) -> int:
     row = read_meta_row(spark, f"{path}/_meta", _SQ8_META_SCHEMA)
     sid = row["id_col"]
     codes = spark.read.parquet(f"{path}/codes")
-    keep = codes.filter(~F.col(sid).isin([int(i) for i in ids]))
-    survivors = keep.localCheckpoint(eager=True)
-    n_removed = codes.count() - survivors.count()
+    # one-scan flag + no-op skip: the delete_pq_codes r12 pattern
+    flagged = codes.withColumn(
+        "_rm", F.col(sid).isin([int(i) for i in ids])
+    ).localCheckpoint(eager=True)
+    n_removed = flagged.filter(F.col("_rm")).count()
+    if n_removed == 0:
+        flagged.unpersist()
+        return 0
+    survivors = flagged.filter(~F.col("_rm")).drop("_rm")
     _invalidate_meta(spark, path)
     survivors.write.mode("overwrite").parquet(f"{path}/codes")
     spark.range(1).select(
@@ -1778,5 +1803,5 @@ def delete_sq8_codes(spark, path: str, ids: list[int]) -> int:
         F.lit(row["params_md5"]).alias("params_md5"),
         F.lit(sid).alias("id_col"),
     ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
-    survivors.unpersist()
+    flagged.unpersist()
     return int(n_removed)

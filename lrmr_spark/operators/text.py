@@ -803,22 +803,32 @@ def delete_winnowing_index_ids(spark, path: str, ids: list) -> int:
     ]
     if not affected:
         return 0
-    hit = post.filter(F.col("_epoch").isin(affected))
-    survivors = hit.filter(~F.col("id").isin(takedown)).localCheckpoint(
-        eager=True
+    # ONE affected-epoch scan serves survivors, the df decrement and
+    # both counts (r12, measured: the former shape scanned the
+    # affected partitions four times — survivors checkpoint, dec
+    # checkpoint, hit.count(), survivors.count() — EXP_CRUD_PHASES);
+    # the flag checkpoint also satisfies the torn-write discipline
+    # (everything downstream materializes off the parquet dir before
+    # it is overwritten)
+    flagged = (
+        post.filter(F.col("_epoch").isin(affected))
+        .withColumn("_rm", F.col("id").isin(takedown))
+        .localCheckpoint(eager=True)
     )
+    survivors = flagged.filter(~F.col("_rm")).drop("_rm")
     dec = (
-        hit.filter(F.col("id").isin(takedown))
+        flagged.filter(F.col("_rm"))
         .select("id", "fp")
         .distinct()
         .groupBy("fp")
         .agg((-F.count(F.lit(1))).cast("bigint").alias("_delta"))
-        .localCheckpoint(eager=True)  # reads postings: materialize pre-rewrite
     )
-    n_removed = hit.count() - survivors.count()
-    kept_epochs = {
-        r["_epoch"] for r in survivors.select("_epoch").distinct().collect()
-    }
+    stats = flagged.agg(
+        F.sum(F.col("_rm").cast("long")).alias("_n_removed"),
+        F.collect_set(F.when(~F.col("_rm"), F.col("_epoch"))).alias("_kept"),
+    ).first()
+    n_removed = int(stats["_n_removed"] or 0)
+    kept_epochs = set(stats["_kept"])
     fs, jvm = _winnowing_fs(spark, path)
     fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_meta"), True)
     emptied = not kept_epochs and len(affected) == len(
@@ -860,8 +870,7 @@ def delete_winnowing_index_ids(spark, path: str, ids: list) -> int:
         ),
         empty=emptied,
     )
-    survivors.unpersist()  # pitfall 19: release the checkpoint blocks
-    dec.unpersist()
+    flagged.unpersist()  # pitfall 19: release the checkpoint blocks
     return int(n_removed)
 
 
