@@ -54,6 +54,54 @@ __all__ = [
     "run_quality_score_stream",
 ]
 
+
+# State/shuffle partition count for the streaming harness runs. Every
+# stateful operator pins its state-store partitioning from
+# spark.sql.shuffle.partitions at the query's FIRST micro-batch; each
+# state partition is an HDFS-backed store instance committing one delta
+# file per batch (stream-stream joins keep FOUR stores per partition).
+# With the session default (one per core, 32 locally) the per-batch
+# commit constant dominated every entry at the bench's bounded epoch
+# sizes: measured fingerprint-identical at sf0.1 (EXP_STREAM_CONST.json,
+# min-of-3) streaming_interval_join 9.03 s -> 3.42 s and
+# streaming_sessionization 3.62 s -> 2.25 s at 8 partitions; 4 bought
+# little more and halves parallel headroom. The knob is env-tunable
+# because the right value tracks STATE VOLUME, not cores: a production
+# deployment with a large key space raises it (state partitioning is
+# fixed per checkpoint, so pick it for the stream's lifetime).
+_STREAM_SHUFFLE_PARTITIONS = os.environ.get(
+    "SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8"
+)
+
+
+class _stream_partitions:
+    """Scoped spark.sql.shuffle.partitions override for a stream run:
+    set before .start() (the first batch pins state partitioning),
+    restored after the query stops. Never raises the session value —
+    min(session, knob) — and falls back to the session value when
+    either is non-numeric."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            n = max(1, int(_STREAM_SHUFFLE_PARTITIONS))
+            try:
+                n = min(n, int(self.prev))
+            except (TypeError, ValueError):
+                pass
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        except (TypeError, ValueError):
+            pass
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     """Streaming sources never infer, so probe the parquet footer with a
     one-off batch read. The generated testdata has shipped events.ts as
@@ -282,16 +330,17 @@ def static_enrich_counts(
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drive a streaming DF to completion on its bounded source and
     return the sink contents as a batch DF (local test harness)."""
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _stream_partitions(df.sparkSession):
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
@@ -309,19 +358,20 @@ def run_available_now(
     commits offsets, and exits — no always-on cluster, identical state
     and watermark semantics to the continuous run, resumable from the
     same checkpoint."""
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        # availableNow terminates on its own once the source is drained
-        if not q.awaitTermination(timeout_s):
-            raise TimeoutError(f"availableNow query {name} did not drain in {timeout_s}s")
-    finally:
-        q.stop()
+    with _stream_partitions(df.sparkSession):
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            # availableNow terminates on its own once the source is drained
+            if not q.awaitTermination(timeout_s):
+                raise TimeoutError(f"availableNow query {name} did not drain in {timeout_s}s")
+        finally:
+            q.stop()
     return df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
@@ -496,6 +546,21 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _drain_available_now(writer, spark: SparkSession, timeout_s: int, what: str) -> None:
+    """Start an availableNow writer under the scoped state-partition
+    override and block until the bounded source drains."""
+    with _stream_partitions(spark):
+        q = writer.trigger(availableNow=True).start()
+        try:
+            if not q.awaitTermination(timeout_s):
+                raise TimeoutError(
+                    f"availableNow {what} stream did not drain in {timeout_s}s"
+                )
+        finally:
+            q.stop()
+
+
 def run_minhash_index_match_stream(
     docs_stream: DataFrame,
     index_path: str,
@@ -543,19 +608,13 @@ def run_minhash_index_match_stream(
             .parquet(out_path)
         )
 
-    q = (
+    _drain_available_now(
         docs_stream.writeStream.foreachBatch(_match_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+        .option("checkpointLocation", checkpoint_dir),
+        spark,
+        timeout_s,
+        "minhash-match",
     )
-    try:
-        if not q.awaitTermination(timeout_s):
-            raise TimeoutError(
-                f"availableNow minhash-match stream did not drain in {timeout_s}s"
-            )
-    finally:
-        q.stop()
     try:
         return spark.read.parquet(out_path).drop("_epoch")
     except AnalysisException:
@@ -627,19 +686,13 @@ def run_pq_index_append_stream(
 
         SIM.append_pq_codes(batch_df, index_path, centroids)
 
-    q = (
+    _drain_available_now(
         emb_stream.writeStream.foreachBatch(_append_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+        .option("checkpointLocation", checkpoint_dir),
+        spark,
+        timeout_s,
+        "pq-append",
     )
-    try:
-        if not q.awaitTermination(timeout_s):
-            raise TimeoutError(
-                f"availableNow pq-append stream did not drain in {timeout_s}s"
-            )
-    finally:
-        q.stop()
     return spark.read.parquet(f"{index_path}/codes")
 
 
@@ -677,19 +730,13 @@ def run_phash_index_match_stream(
             .parquet(out_path)
         )
 
-    q = (
+    _drain_available_now(
         docs_stream.writeStream.foreachBatch(_match_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+        .option("checkpointLocation", checkpoint_dir),
+        spark,
+        timeout_s,
+        "phash-match",
     )
-    try:
-        if not q.awaitTermination(timeout_s):
-            raise TimeoutError(
-                f"availableNow phash-match stream did not drain in {timeout_s}s"
-            )
-    finally:
-        q.stop()
     try:
         return spark.read.parquet(out_path).drop("_epoch")
     except AnalysisException:
@@ -731,21 +778,15 @@ def run_quality_score_stream(
         F.col(id_col),
         TX.hashed_ngram_score(text_col, weights).alias("score"),
     ).withColumn("keep", F.col("score") > 0)
-    q = (
+    _drain_available_now(
         scored.writeStream.format("parquet")
         .option("path", out_path)
         .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+        .outputMode("append"),
+        spark,
+        timeout_s,
+        "quality-score",
     )
-    try:
-        if not q.awaitTermination(timeout_s):
-            raise TimeoutError(
-                f"availableNow quality-score stream did not drain in {timeout_s}s"
-            )
-    finally:
-        q.stop()
     try:
         return spark.read.parquet(out_path)
     except AnalysisException:
@@ -837,19 +878,13 @@ def run_winnowing_index_match_stream(
             .parquet(out_path)
         )
 
-    q = (
+    _drain_available_now(
         docs_stream.writeStream.foreachBatch(_match_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+        .option("checkpointLocation", checkpoint_dir),
+        spark,
+        timeout_s,
+        "winnowing-match",
     )
-    try:
-        if not q.awaitTermination(timeout_s):
-            raise TimeoutError(
-                f"availableNow winnowing-match stream did not drain in {timeout_s}s"
-            )
-    finally:
-        q.stop()
     try:
         return spark.read.parquet(out_path).drop("_epoch")
     except AnalysisException:
@@ -935,19 +970,13 @@ def run_line_dedup_stream(
             width=width, epoch=int(epoch_id),
         )
 
-    q = (
+    _drain_available_now(
         docs_stream.writeStream.foreachBatch(_clean_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+        .option("checkpointLocation", checkpoint_dir),
+        spark,
+        timeout_s,
+        "line-dedup",
     )
-    try:
-        if not q.awaitTermination(timeout_s):
-            raise TimeoutError(
-                f"availableNow line-dedup stream did not drain in {timeout_s}s"
-            )
-    finally:
-        q.stop()
     try:
         return spark.read.parquet(out_path).drop("_epoch")
     except AnalysisException:
