@@ -132,9 +132,12 @@ def main() -> None:
     out_path = sys.argv[1]
     dirs = [a for a in sys.argv[2:] if not a.startswith("--")]
     names = list(VARIANTS)
+    n_reps = 2
     for a in sys.argv[2:]:
         if a.startswith("--variants"):
             names = a.split("=", 1)[1].split(",")
+        elif a.startswith("--reps"):
+            n_reps = int(a.split("=", 1)[1])
     spark = get_spark("lrmr-exp-lpa-fusion")
     out = {"variants": names, "iterations": ITERATIONS, "dirs": {}}
     for d in dirs:
@@ -152,7 +155,7 @@ def main() -> None:
                 )
         rec["fingerprint"] = list(base)
         times = {v: [] for v in names}
-        for rep in range(2):
+        for rep in range(n_reps):
             order = names if rep % 2 == 0 else list(reversed(names))
             for v in order:
                 spark.sparkContext.setJobDescription(f"lpa_fusion:{v}:{d}")
