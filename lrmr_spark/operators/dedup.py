@@ -158,6 +158,7 @@ def _minhash_reps(
     unit: str,
     shingle_k: int,
     fast: bool,
+    keep_fp: bool = False,
 ) -> DataFrame:
     """Representative table for MinHash: per unique item-multiset one
     row (_id = min doc id, items, _h0.._hN signature minima). Shared by
@@ -258,16 +259,18 @@ def _minhash_reps(
         if fast
         else F.md5(F.array_join("items", " "))
     )
-    return (
-        per_doc.withColumn("_fp", fp)
-        .groupBy("_fp")
-        .agg(
-            F.min("_id").alias("_id"),
-            F.first("items").alias("items"),
-            *[F.first(f"_h{s}").alias(f"_h{s}") for s in range(num_hashes)],
-        )
-        .drop("_fp")
+    out = per_doc.withColumn("_fp", fp).groupBy("_fp").agg(
+        F.min("_id").alias("_id"),
+        F.first("items").alias("items"),
+        *[F.first(f"_h{s}").alias(f"_h{s}") for s in range(num_hashes)],
     )
+    # keep_fp: the stored-index write path persists the group key so
+    # append's first-writer-wins anti-join never has to re-read the
+    # WIDE items column (or re-run md5 over whole arrays) from the
+    # stored index — at scale that scan was the append's dominant
+    # read (r12, guide §6). Value is identical to what append used to
+    # recompute: fp(items) of the representative.
+    return out if keep_fp else out.drop("_fp")
 
 
 def _band_keys(num_hashes: int, bands: int, fast: bool):
@@ -552,8 +555,16 @@ def write_minhash_index(
     Hashing parameters are persisted to ``path/_meta`` (single-row
     JSON via Spark, so the index stays self-describing on any
     filesystem Spark writes to); match_minhash_index reads them back,
-    making a parameter drift between write and match impossible."""
-    reps = _minhash_reps(df, id_col, text_col, num_hashes, unit, shingle_k, fast)
+    making a parameter drift between write and match impossible.
+
+    The reps table also persists each rep's multiset fingerprint
+    (``_fp`` — the rep pipeline's own group key, free to keep):
+    append_minhash_index's first-writer-wins anti-join then reads one
+    narrow column instead of re-scanning and re-hashing the wide item
+    arrays (r12, guide §6)."""
+    reps = _minhash_reps(
+        df, id_col, text_col, num_hashes, unit, shingle_k, fast, keep_fp=True
+    )
     reps.write.mode("overwrite").parquet(f"{path}/reps")
     # read back so the band explode consumes the materialized table
     # instead of re-running the rep pipeline
@@ -596,28 +607,40 @@ def append_minhash_index(
 
     Scale shape: the new batch is hashed once (the same one-exchange
     rep pipeline); dedup-against-stored is a narrow anti-join on the
-    8-byte/32-hex multiset fingerprint — stored item arrays never
-    load beyond that projection. Appends are plain parquet appends;
-    single-writer, like the index's write-once discipline."""
+    8-byte/32-hex multiset fingerprint, which r12 indexes PERSIST as
+    a rep column (_fp) — the stored side of the anti-join is a single
+    narrow column scan and the wide item arrays are never read at all
+    (pre-r12 indexes without the column fall back to recomputing it).
+    Appends are plain parquet appends; single-writer, like the
+    index's write-once discipline."""
     spark = new_df.sparkSession
     meta = read_minhash_index_meta(spark, path)
     num_hashes, bands = meta["num_hashes"], meta["bands"]
     unit, shingle_k, fast = meta["unit"], meta["shingle_k"], meta["fast"]
     reps_new = _minhash_reps(
-        new_df, id_col, text_col, num_hashes, unit, shingle_k, fast
+        new_df, id_col, text_col, num_hashes, unit, shingle_k, fast, keep_fp=True
     )
-    fp = (
-        (lambda c: F.xxhash64(c)) if fast else (lambda c: F.md5(F.array_join(c, " ")))
-    )
-    stored_fps = spark.read.parquet(f"{path}/reps").select(
-        fp(F.col("items")).alias("_fp")
-    )
-    fresh = (
-        reps_new.withColumn("_fp", fp(F.col("items")))
-        .join(stored_fps, "_fp", "left_anti")
-        .drop("_fp")
-        .localCheckpoint(eager=True)  # one computation serves both writes
-    )
+    stored = spark.read.parquet(f"{path}/reps")
+    # Indexes written since r12 persist the rep fingerprint (_fp) —
+    # the anti-join then reads ONE narrow stored column instead of
+    # re-scanning the wide items arrays and re-hashing every one
+    # (guide §6; at 100 TB the items scan was the append's dominant
+    # read). Pre-r12 indexes lack the column: recompute, and keep the
+    # stored layout unchanged by dropping _fp from the appended rows.
+    legacy = "_fp" not in stored.columns
+    if legacy:
+        fp = (
+            (lambda c: F.xxhash64(c))
+            if fast
+            else (lambda c: F.md5(F.array_join(c, " ")))
+        )
+        stored_fps = stored.select(fp(F.col("items")).alias("_fp"))
+    else:
+        stored_fps = stored.select("_fp")
+    fresh = reps_new.join(stored_fps, "_fp", "left_anti")
+    if legacy:
+        fresh = fresh.drop("_fp")
+    fresh = fresh.localCheckpoint(eager=True)  # one computation, both writes
     n_new = fresh.count()
     if n_new:
         fresh.write.mode("append").parquet(f"{path}/reps")
@@ -1048,7 +1071,10 @@ def containment_pairs(
        reach the pair stage.
     2. global item document-frequency; each rep orders its items
        rarest-first — the standard prefix-filter ordering that keeps
-       stopword-grade hot postings out of every prefix.
+       stopword-grade hot postings out of every prefix. The filter
+       stages (df, rank, candidate join) run on xxhash64(item) longs,
+       not shingle strings — 8-byte shuffle keys; still lossless,
+       see the inline note (r12).
     3. PREFIX explode: the first m - ⌈t·m⌉ + 1 items per rep
        (floor-based integer bound — conservative by at most one item,
        immune to FP-ceil drift). Pigeonhole: if C(A,B) ≥ t with
@@ -1103,8 +1129,25 @@ def containment_pairs(
         .agg(F.min("_id").alias("_id"))
         .persist()
     )
-    posts = reps.select(
-        "_id", F.size("_items").alias("_m"), F.explode("_items").alias("_item")
+    # Filter stages run on xxhash64(item) LONGS, not shingle strings
+    # (r12, EXP_CONTAINMENT_PHASES.json): the dfreq aggregation, the
+    # rarest-first window sort and the candidate join shuffle 8-byte
+    # keys instead of ~25-40-byte shingles. LOSSLESS: prefix filtering
+    # needs only (a) a global total order consistent across docs —
+    # (dfreq, hash) is one; the pigeonhole suffix bound counts ARRAY
+    # ELEMENTS (distinct strings), which collisions never merge into
+    # one row — and (b) an equality join, where hash-equality
+    # candidates are a SUPERSET of string-equality candidates; the
+    # exact verify on true item arrays below discards any excess, so
+    # the emitted pair set is bit-identical (oracle-checked). Persisted
+    # ONCE: dfreq, the ranked join and the candidate probe side all
+    # consume this frame — unpersisted with reps at the end.
+    posts = (
+        reps.select(
+            "_id", F.size("_items").alias("_m"), F.explode("_items").alias("_item")
+        )
+        .withColumn("_item", F.xxhash64("_item"))
+        .persist()
     )
     dfreq = posts.groupBy("_item").agg(F.count(F.lit(1)).alias("_dfreq"))
     # prefix bound: floor(t·m) ≤ ⌈t·m⌉ always, so the floor-based
@@ -1145,6 +1188,7 @@ def containment_pairs(
         )
     )
     out = out.localCheckpoint(eager=True)
+    posts.unpersist()
     reps.unpersist()
     return out
 

@@ -1075,49 +1075,47 @@ def label_propagation(
         .localCheckpoint(eager=True)
     )
     small = labels.count() <= _KEEP_BCAST_MAX  # node count: driver scalar
-    n_part = 0
-    if small:
-        # resolved only where the fused vote path uses it, with a
-        # fallback for platforms that set the conf non-numerically
-        # (e.g. 'auto') — the unfused path must not fail on int()
-        # (r11 ADVICE)
-        try:
-            n_part = int(
-                labels.sparkSession.conf.get("spark.sql.shuffle.partitions")
-            )
-        except (TypeError, ValueError):
-            n_part = labels.rdd.getNumPartitions() or 200
+    # fallback for platforms that set the conf non-numerically (e.g.
+    # 'auto') — label_propagation must not fail on int() (r11 ADVICE)
+    try:
+        n_part = int(
+            labels.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        n_part = labels.rdd.getNumPartitions() or 200
     for _ in range(iterations):
         raw = state_adjacency_join(
             adj, chunks, labels, "src", broadcast_state=small
         ).select(F.explode("_nbrs").alias("nd"), "label")
-        # Vote-path exchange fusion, gated on the SAME node-count
-        # scalar as the broadcasts (r11 opt round, EXP_LPA_FUSION.json,
-        # fingerprint-identical labels on every arm): under the gate,
+        # Vote-path exchange fusion (r11 opt round below the gate,
+        # settled ABOVE the gate in r12 — EXP_LPA_FUSION.json,
+        # fingerprint-identical labels on every arm):
         # hash-repartitioning the raw votes by nd makes ONE exchange
         # serve both the (nd, label) count AND the nd argmax
         # (partitioning keys ⊆ grouping keys — the minhash
-        # _FUSE_REPS_EXCHANGE lesson), measured sf0.1 5.18→4.61 s and
-        # sf1 23.9→18.2 / 41.8→19.0 s min-of-2. ABOVE the gate the
-        # fused form shuffles edge-count raw votes where the shipped
-        # shape ships post-partial-agg (nd, label) pairs, and the sf10
-        # paired sessions did not show a fusion win (65.4 vs 75.9 s
-        # min-of-2) — so the two-exchange shape stays above the gate.
-        # The pinned count is spark.sql.shuffle.partitions — the same
-        # conf every groupBy exchange uses (scale-adaptive through the
-        # same knob); an UNpinned repartition("nd") was measured 3.5×
-        # slower at sf1 (AQE coalesced the advisory exchange to too
-        # few partitions for the downstream aggregations).
-        if small:
-            votes = (
-                raw.repartition(n_part, "nd")
-                .groupBy("nd", "label")
-                .agg(F.count(F.lit(1)).alias("c"))
-            )
-        else:
-            votes = raw.groupBy("nd", "label").agg(
-                F.count(F.lit(1)).alias("c")
-            )
+        # _FUSE_REPS_EXCHANGE lesson). Measured: sf0.1 5.18→4.61 s,
+        # sf1 23.9→18.2 / 41.8→19.0 s min-of-2; at sf10 (16.7M nodes,
+        # above the broadcast gate) the r12 settle at loadavg <3 ran
+        # fused 57.7 vs unfused 77.4 s min-of-3 with 2/3 paired reps
+        # faster, agreeing with r11's quiet session (104.7 vs 121.0) —
+        # the one contended r11 arm that read the other way was host
+        # drift. Trade-off stated honestly: the fused exchange carries
+        # RAW edge-count votes where the two-exchange shape ships
+        # post-partial-agg (nd, label) pairs; with the declared 3
+        # rounds labels stay near-distinct and partials reduce little,
+        # so deleting the second exchange wins — a deployment running
+        # MANY rounds to convergence (labels coalesced, partials
+        # highly reductive) should re-A/B. The pinned count is
+        # spark.sql.shuffle.partitions — the same conf every groupBy
+        # exchange uses (scale-adaptive through the same knob); an
+        # UNpinned repartition("nd") was measured 3.5× slower at sf1
+        # (AQE coalesced the advisory exchange to too few partitions
+        # for the downstream aggregations).
+        votes = (
+            raw.repartition(n_part, "nd")
+            .groupBy("nd", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
         argmax = votes.groupBy(F.col("nd").alias("node")).agg(
             (-F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl")))["nl"])
             .cast("long")

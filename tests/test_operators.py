@@ -1590,6 +1590,43 @@ def test_minhash_index_append_skips_known_multisets(spark, docs, tmp_path):
     assert DD.append_minhash_index(docs, path, "doc_id", "text") == 0
 
 
+def test_minhash_index_append_legacy_layout_without_fp(spark, docs, tmp_path):
+    # r12: new indexes persist the rep fingerprint (_fp) so append's
+    # anti-join reads one narrow column instead of re-hashing the wide
+    # items arrays. A pre-r12 index has no _fp column: append must
+    # recompute fingerprints AND keep the legacy layout (no _fp in the
+    # appended rows), with match results identical to the new layout.
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    t1, t2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+    day1 = docs.filter(F.col("doc_id") < t1)
+    day2 = docs.filter((F.col("doc_id") >= t1) & (F.col("doc_id") < t2))
+    day3 = docs.filter(F.col("doc_id") >= t2)
+
+    new = str(tmp_path / "newfmt")
+    DD.write_minhash_index(day1, "doc_id", "text", new, num_hashes=16, bands=4)
+    assert "_fp" in spark.read.parquet(f"{new}/reps").columns
+
+    legacy = str(tmp_path / "legacy")
+    DD.write_minhash_index(day1, "doc_id", "text", legacy, num_hashes=16, bands=4)
+    stripped = spark.read.parquet(f"{legacy}/reps").drop("_fp").localCheckpoint()
+    stripped.write.mode("overwrite").parquet(f"{legacy}/reps")
+
+    n_new = DD.append_minhash_index(day2, new, "doc_id", "text")
+    n_legacy = DD.append_minhash_index(day2, legacy, "doc_id", "text")
+    assert n_new == n_legacy > 0
+    assert "_fp" not in spark.read.parquet(f"{legacy}/reps").columns
+
+    got_new = {
+        (r["new_id"], r["base_id"], r["jaccard"])
+        for r in DD.match_minhash_index(day3, new, "doc_id", "text").collect()
+    }
+    got_legacy = {
+        (r["new_id"], r["base_id"], r["jaccard"])
+        for r in DD.match_minhash_index(day3, legacy, "doc_id", "text").collect()
+    }
+    assert got_new == got_legacy and got_new
+
+
 def test_ivfpq_residual_roundtrip_matches_python_model(spark, emb, tmp_path):
     # by_residual=True: codes quantize vec - coarse[part]; the query
     # builds one ADC table per probed list. Exact-match against an
