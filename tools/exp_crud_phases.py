@@ -242,10 +242,14 @@ def main() -> None:
             out[name].append(rec)
             print(f"{name} rep{rep}: {rec}", file=sys.stderr, flush=True)
     payload = {"sf_dir": sf_dir, "reps": reps, "phases": out}
-    # partial re-runs must not clobber the full before-split artifact
-    dest = os.environ.get("EXP_CRUD_OUT", "/root/repo/EXP_CRUD_PHASES.json")
-    with open(dest, "w") as f:
-        json.dump(payload, f, indent=1)
+    # partial re-runs must not clobber the full before-split artifact:
+    # only write a file when EXP_CRUD_OUT is set explicitly (an r12
+    # winnowing-only re-run silently overwrote the committed 5-entry
+    # baseline through the old default)
+    dest = os.environ.get("EXP_CRUD_OUT")
+    if dest:
+        with open(dest, "w") as f:
+            json.dump(payload, f, indent=1)
     print(json.dumps(payload))
 
 
