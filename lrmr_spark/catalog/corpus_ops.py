@@ -20,7 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators import text as TX
-from ..operators._meta_io import read_meta_row
+from ..operators._meta_io import read_meta_row, write_meta_row
 from ..tables import load
 from . import query
 from .oracle_util import grams_expr
@@ -1950,11 +1950,11 @@ def corpus_bloom_stored(spark, sf_dir):
     bf_build = inserts.groupBy("w").agg(F.bit_or("m").alias("bits"))
     bf_build.write.mode("overwrite").parquet(f"{path}/words")
     fp = f"bits={_BF_BITS};hashes={_BF_HASHES};hash=md5-bf"
-    spark.range(1).select(
-        F.lit(int(_BF_BITS)).cast("bigint").alias("bits"),
-        F.lit(int(_BF_HASHES)).cast("int").alias("hashes"),
-        F.lit(fp).alias("params"),
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    write_meta_row(
+        spark,
+        f"{path}/_meta",
+        {"bits": int(_BF_BITS), "hashes": int(_BF_HASHES), "params": fp},
+    )
 
     meta = read_meta_row(
         spark, f"{path}/_meta", "bits bigint, hashes int, params string"

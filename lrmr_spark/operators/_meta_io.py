@@ -28,7 +28,9 @@ behavior.
 
 from __future__ import annotations
 
-__all__ = ["TornMetaError", "read_meta_row"]
+import json
+
+__all__ = ["TornMetaError", "read_meta_row", "write_meta_row"]
 
 
 class TornMetaError(ValueError):
@@ -54,3 +56,48 @@ def read_meta_row(spark, meta_path: str, schema: str):
             "index or restore _meta"
         )
     return rows[0]
+
+
+def write_meta_row(spark, meta_path: str, payload: dict) -> None:
+    """Overwrite ``meta_path`` with ONE JSON row via the Hadoop
+    filesystem API directly — a driver-side, milliseconds write.
+
+    The previous shape (``spark.range(1).select(lits).coalesce(1)
+    .write.json``) ran a full Spark job (~0.15-0.25 s scheduling +
+    commit protocol) for a single row, once per stored-index
+    write/delete/compact across the whole catalog — pure overhead for
+    driver-scale data (r12, guide §5). Layout stays reader-compatible:
+    a directory holding one ``part-00000.json`` file, exactly what the
+    explicit-schema FAILFAST hot paths and the generic schema-inferred
+    backup both read; works on any filesystem Spark's Hadoop conf
+    resolves (same FS the old writer used).
+
+    Torn-write discipline is PRESERVED: the row lands in a
+    dot-prefixed temp file (hidden from readers) and renames into
+    place — same-directory rename is atomic on local FS and HDFS. A
+    crash mid-write leaves either an empty-looking dir (read raises
+    TornMetaError) or nothing (AnalysisException), never a silent
+    half-row; json.dumps cannot emit a prefix that parses as a
+    complete object.
+
+    ``None`` values are DROPPED from the payload: Spark's JSON writer
+    omits null fields, and the schema-inferred backup reader
+    distinguishes absent-column from present-null — keep that contract
+    byte-identical."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    dirp = hpath(meta_path)
+    fs = dirp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(dirp):
+        fs.delete(dirp, True)
+    fs.mkdirs(dirp)
+    tmp = hpath(f"{meta_path}/.part-00000.json.tmp")
+    row = {k: v for k, v in payload.items() if v is not None}
+    out = fs.create(tmp, True)
+    try:
+        line = json.dumps(row, separators=(",", ":")) + "\n"
+        out.write(bytearray(line.encode("utf-8")))
+    finally:
+        out.close()
+    if not fs.rename(tmp, hpath(f"{meta_path}/part-00000.json")):
+        raise IOError(f"_meta rename failed under {meta_path}")

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Column
 from pyspark.sql import functions as F
 
-from ._meta_io import read_meta_row
+from ._meta_io import read_meta_row, write_meta_row
 from .text import distinct_tokens, fingerprint, tokens
 
 # A/B switch for the MinHash reps-stage exchange fusion (see
@@ -573,15 +573,17 @@ def write_minhash_index(
     stored.select(
         "_id", F.explode(_band_keys(num_hashes, bands, fast)).alias("_band")
     ).write.mode("overwrite").parquet(f"{path}/bands")
-    # pure-JVM single row (createDataFrame from a Python list would
-    # boot Python RDD workers — measured 5.5 s of pure startup cost)
-    spark.range(1).select(
-        F.lit(int(num_hashes)).cast("int").alias("num_hashes"),
-        F.lit(int(bands)).cast("int").alias("bands"),
-        F.lit(unit).alias("unit"),
-        F.lit(int(shingle_k)).cast("int").alias("shingle_k"),
-        F.lit(bool(fast)).alias("fast"),
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    write_meta_row(
+        spark,
+        f"{path}/_meta",
+        {
+            "num_hashes": int(num_hashes),
+            "bands": int(bands),
+            "unit": unit,
+            "shingle_k": int(shingle_k),
+            "fast": bool(fast),
+        },
+    )
 
 
 def append_minhash_index(
@@ -1498,9 +1500,7 @@ def delete_minhash_index_content(
     fs.delete(jpath, True)
     keep_reps.write.mode("overwrite").parquet(f"{path}/reps")
     keep_bands.write.mode("overwrite").parquet(f"{path}/bands")
-    spark.range(1).select(
-        *[F.lit(v).alias(k) for k, v in sorted(meta_backup.items())]
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    write_meta_row(spark, f"{path}/_meta", meta_backup)
     # pitfall 19: release the checkpoints' blocks
     flagged.unpersist()
     keep_bands.unpersist()

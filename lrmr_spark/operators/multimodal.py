@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ._meta_io import read_meta_row
+from ._meta_io import read_meta_row, write_meta_row
 
 __all__ = [
     "MEDIA_SCHEMA",
@@ -383,9 +383,7 @@ def write_phash_index(media: DataFrame, path: str) -> None:
         .agg(F.min("media_id").alias("media_id"))
     )
     reps.write.mode("overwrite").parquet(f"{path}/hashes")
-    media.sparkSession.range(1).select(
-        F.lit(16).cast("int").alias("n_bits")
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    write_meta_row(media.sparkSession, f"{path}/_meta", {"n_bits": 16})
 
 
 def delete_phash_index_content(takedown_media: DataFrame, path: str) -> int:
@@ -436,9 +434,7 @@ def delete_phash_index_content(takedown_media: DataFrame, path: str) -> int:
     fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     fs.delete(jpath, True)
     survivors.write.mode("overwrite").parquet(f"{path}/hashes")
-    spark.range(1).select(
-        F.lit(int(meta["n_bits"])).cast("int").alias("n_bits")
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    write_meta_row(spark, f"{path}/_meta", {"n_bits": int(meta["n_bits"])})
     flagged.unpersist()  # pitfall 19: release the checkpoint blocks
     return int(n_removed)
 

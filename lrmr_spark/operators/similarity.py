@@ -20,7 +20,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ._meta_io import read_meta_row
+from ._meta_io import read_meta_row, write_meta_row
 
 __all__ = [
     "dot",
@@ -797,14 +797,17 @@ def write_pq_codes(
         id_col, *code_cols
     ).write.mode("overwrite").parquet(f"{path}/codes")
     spark = df.sparkSession
-    # pure-JVM single row (createDataFrame would boot Python workers)
-    spark.range(1).select(
-        F.lit(int(num_sub)).cast("int").alias("num_sub"),
-        F.lit(int(len(centroids[0]))).cast("int").alias("dim"),
-        F.lit(int(len(centroids))).cast("int").alias("n_centroids"),
-        F.lit(_centroid_fingerprint(centroids)).alias("codebook_md5"),
-        F.lit(id_col).alias("id_col"),
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    write_meta_row(
+        spark,
+        f"{path}/_meta",
+        {
+            "num_sub": int(num_sub),
+            "dim": int(len(centroids[0])),
+            "n_centroids": int(len(centroids)),
+            "codebook_md5": _centroid_fingerprint(centroids),
+            "id_col": id_col,
+        },
+    )
 
 
 def read_pq_codes_meta(spark, path: str) -> dict:
@@ -1146,16 +1149,20 @@ def write_ivfpq_index(
     _invalidate_meta(df.sparkSession, path)  # torn-write guard: no stale _meta over new codes
     out.write.mode("overwrite").partitionBy("part").parquet(f"{path}/codes")
     spark = df.sparkSession
-    spark.range(1).select(
-        F.lit(int(num_sub)).cast("int").alias("num_sub"),
-        F.lit(int(len(pq_centroids[0]))).cast("int").alias("dim"),
-        F.lit(int(len(coarse_centroids))).cast("int").alias("n_coarse"),
-        F.lit(int(len(pq_centroids))).cast("int").alias("n_pq_centroids"),
-        F.lit(_centroid_fingerprint(coarse_centroids)).alias("coarse_md5"),
-        F.lit(_centroid_fingerprint(pq_centroids)).alias("pq_md5"),
-        F.lit(bool(by_residual)).alias("by_residual"),
-        F.lit(id_col).alias("id_col"),
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    write_meta_row(
+        spark,
+        f"{path}/_meta",
+        {
+            "num_sub": int(num_sub),
+            "dim": int(len(pq_centroids[0])),
+            "n_coarse": int(len(coarse_centroids)),
+            "n_pq_centroids": int(len(pq_centroids)),
+            "coarse_md5": _centroid_fingerprint(coarse_centroids),
+            "pq_md5": _centroid_fingerprint(pq_centroids),
+            "by_residual": bool(by_residual),
+            "id_col": id_col,
+        },
+    )
 
 
 def _ivfpq_encode(
@@ -1443,11 +1450,15 @@ def write_sq8_codes(
         F.col(id_col),
         sq8_codes_col(F.col(vec_col), mins, scales).alias("codes"),
     ).write.mode("overwrite").parquet(f"{path}/codes")
-    spark.range(1).select(
-        F.lit(int(len(mins))).cast("int").alias("dim"),
-        F.lit(_sq8_fingerprint(mins, scales)).alias("params_md5"),
-        F.lit(id_col).alias("id_col"),
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    write_meta_row(
+        spark,
+        f"{path}/_meta",
+        {
+            "dim": int(len(mins)),
+            "params_md5": _sq8_fingerprint(mins, scales),
+            "id_col": id_col,
+        },
+    )
 
 
 def sq8_sdc_topk_stored(
@@ -1567,13 +1578,17 @@ def delete_pq_codes(spark, path: str, ids: list[int]) -> int:
     survivors = flagged.filter(~F.col("_rm")).drop("_rm")
     _invalidate_meta(spark, path)
     survivors.write.mode("overwrite").parquet(f"{path}/codes")
-    spark.range(1).select(
-        F.lit(int(meta["num_sub"])).cast("int").alias("num_sub"),
-        F.lit(int(meta["dim"])).cast("int").alias("dim"),
-        F.lit(int(meta["n_centroids"])).cast("int").alias("n_centroids"),
-        F.lit(meta["codebook_md5"]).alias("codebook_md5"),
-        F.lit(sid).alias("id_col"),
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    write_meta_row(
+        spark,
+        f"{path}/_meta",
+        {
+            "num_sub": int(meta["num_sub"]),
+            "dim": int(meta["dim"]),
+            "n_centroids": int(meta["n_centroids"]),
+            "codebook_md5": meta["codebook_md5"],
+            "id_col": sid,
+        },
+    )
     flagged.unpersist()  # pitfall 19: release the checkpoint blocks
     return int(n_removed)
 
@@ -1760,18 +1775,22 @@ def delete_ivfpq_index(spark, path: str, ids: list[int]) -> int:
             jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/codes/part={p}")
             fs = jpath.getFileSystem(jsc)
             fs.delete(jpath, True)
-    spark.range(1).select(
-        F.lit(int(row["num_sub"])).cast("int").alias("num_sub"),
-        F.lit(int(row["dim"])).cast("int").alias("dim"),
-        F.lit(int(row["n_coarse"])).cast("int").alias("n_coarse"),
-        F.lit(int(row["n_pq_centroids"])).cast("int").alias("n_pq_centroids"),
-        F.lit(row["coarse_md5"]).alias("coarse_md5"),
-        F.lit(row["pq_md5"]).alias("pq_md5"),
-        F.lit(
-            bool(row["by_residual"]) if "by_residual" in row else False
-        ).alias("by_residual"),
-        F.lit(sid).alias("id_col"),
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    write_meta_row(
+        spark,
+        f"{path}/_meta",
+        {
+            "num_sub": int(row["num_sub"]),
+            "dim": int(row["dim"]),
+            "n_coarse": int(row["n_coarse"]),
+            "n_pq_centroids": int(row["n_pq_centroids"]),
+            "coarse_md5": row["coarse_md5"],
+            "pq_md5": row["pq_md5"],
+            "by_residual": (
+                bool(row["by_residual"]) if "by_residual" in row else False
+            ),
+            "id_col": sid,
+        },
+    )
     flagged.unpersist()  # pitfall 19: release the checkpoint blocks
     return int(n_removed)
 
@@ -1798,10 +1817,14 @@ def delete_sq8_codes(spark, path: str, ids: list[int]) -> int:
     survivors = flagged.filter(~F.col("_rm")).drop("_rm")
     _invalidate_meta(spark, path)
     survivors.write.mode("overwrite").parquet(f"{path}/codes")
-    spark.range(1).select(
-        F.lit(int(row["dim"])).cast("int").alias("dim"),
-        F.lit(row["params_md5"]).alias("params_md5"),
-        F.lit(sid).alias("id_col"),
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    write_meta_row(
+        spark,
+        f"{path}/_meta",
+        {
+            "dim": int(row["dim"]),
+            "params_md5": row["params_md5"],
+            "id_col": sid,
+        },
+    )
     flagged.unpersist()
     return int(n_removed)

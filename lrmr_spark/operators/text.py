@@ -18,7 +18,7 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ._meta_io import TornMetaError, read_meta_row
+from ._meta_io import TornMetaError, read_meta_row, write_meta_row
 
 # Serving-path broadcast gate for the banned-fingerprint frame (the
 # over-max_df template noise anti-joined out of a match batch). On any
@@ -438,15 +438,19 @@ def _read_winnowing_meta(spark, path: str) -> dict | None:
 def _write_winnowing_meta(
     spark, path: str, *, k, w, max_df, hash_name, id_col, id_type, empty
 ) -> None:
-    spark.range(1).select(
-        F.lit(int(k)).cast("int").alias("k"),
-        F.lit(int(w)).cast("int").alias("w"),
-        F.lit(int(max_df)).cast("int").alias("max_df"),
-        F.lit(hash_name).alias("hash"),
-        F.lit(id_col).alias("id_col"),
-        F.lit(id_type).alias("id_type"),
-        F.lit(bool(empty)).alias("empty"),
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    write_meta_row(
+        spark,
+        f"{path}/_meta",
+        {
+            "k": int(k),
+            "w": int(w),
+            "max_df": int(max_df),
+            "hash": hash_name,
+            "id_col": id_col,
+            "id_type": id_type,
+            "empty": bool(empty),
+        },
+    )
 
 
 def _apply_winnowing_df_delta(spark, path: str, inc, dec) -> None:
@@ -1158,13 +1162,17 @@ def write_quality_model(
     teacher_fp = _hashlib.md5(
         ",".join(str(int(t)) for t in teacher).encode()
     ).hexdigest()[:16]
-    spark.range(1).select(
-        F.lit(len(teacher)).cast("int").alias("n_buckets"),
-        F.lit(int(iterations)).cast("int").alias("iterations"),
-        F.lit(_QM_FEATURE).alias("feature"),
-        F.lit(_QM_HASH).alias("hash"),
-        F.lit(teacher_fp).alias("teacher_fp"),
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    write_meta_row(
+        spark,
+        f"{path}/_meta",
+        {
+            "n_buckets": len(teacher),
+            "iterations": int(iterations),
+            "feature": _QM_FEATURE,
+            "hash": _QM_HASH,
+            "teacher_fp": teacher_fp,
+        },
+    )
     return w
 
 
@@ -1715,11 +1723,11 @@ def write_line_index(
         .partitionBy("_epoch")
         .parquet(f"{path}/counts")
     )
-    spark.range(1).select(
-        F.lit(int(width)).cast("int").alias("width"),
-        F.lit("md5-16").alias("hash"),
-        F.lit(id_col).alias("id_col"),
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    write_meta_row(
+        spark,
+        f"{path}/_meta",
+        {"width": int(width), "hash": "md5-16", "id_col": id_col},
+    )
 
 
 def line_dedup_with_index(
@@ -1805,11 +1813,15 @@ def compact_line_index(spark, path: str) -> int:
     folded.write.mode("overwrite").option(
         "partitionOverwriteMode", "static"
     ).partitionBy("_epoch").parquet(f"{path}/counts")
-    spark.range(1).select(
-        F.lit(int(meta["width"])).cast("int").alias("width"),
-        F.lit(meta["hash"]).alias("hash"),
-        F.lit(meta["id_col"]).alias("id_col"),
-    ).coalesce(1).write.mode("overwrite").json(f"{path}/_meta")
+    write_meta_row(
+        spark,
+        f"{path}/_meta",
+        {
+            "width": int(meta["width"]),
+            "hash": meta["hash"],
+            "id_col": meta["id_col"],
+        },
+    )
     folded.unpersist()  # pitfall 19: release the checkpoint blocks
     return int(n_epochs)
 

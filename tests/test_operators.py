@@ -1740,17 +1740,15 @@ def test_pq_write_torn_between_codes_and_meta_fails_loudly(
     # write: the stale _meta from the previous write must be gone, so
     # the next read raises instead of accepting the OLD codebook
     # fingerprint against the NEW codes (r5 advice fix)
-    from pyspark.sql import SparkSession
-
     cents = [[float((i * 13 + j) % 7) for j in range(64)] for i in range(4)]
     other = [[c + 1.0 for c in row] for row in cents]
     path = str(tmp_path / "pq_torn")
     SIM.write_pq_codes(emb, path, cents, num_sub=8)
 
-    def boom(self, *a, **k):
+    def boom(*a, **k):
         raise RuntimeError("simulated crash before _meta write")
 
-    monkeypatch.setattr(SparkSession, "range", boom)
+    monkeypatch.setattr(SIM, "write_meta_row", boom)
     with pytest.raises(RuntimeError, match="simulated crash"):
         SIM.write_pq_codes(emb, path, other, num_sub=8)
     monkeypatch.undo()
@@ -4119,6 +4117,39 @@ def test_meta_read_corrupt_record_fails_fast(spark, tmp_path):
         f.write("{not valid json\n")
     with pytest.raises(Exception, match="FAILFAST|Malformed|malformed"):
         SIM.read_pq_codes_meta(spark, path)
+
+
+def test_write_meta_row_round_trips_like_spark_writer(spark, tmp_path):
+    """write_meta_row (r12: driver-side FS write replacing a full Spark
+    job per single-row _meta) must stay reader-compatible with what the
+    old spark.range(1)...write.json shape produced: same types back
+    through the explicit-schema FAILFAST read AND the schema-inferred
+    backup read, None fields DROPPED (Spark's JSON writer omits null
+    fields), and overwrite-on-rewrite semantics."""
+    from lrmr_spark.operators._meta_io import read_meta_row, write_meta_row
+
+    p = str(tmp_path / "wm" / "_meta")
+    write_meta_row(
+        spark, p, {"k": 4, "hash": "md5", "fast": True, "id_type": None}
+    )
+    row = read_meta_row(
+        spark, p, "k int, hash string, fast boolean, id_type string"
+    )
+    assert row.asDict() == {
+        "k": 4, "hash": "md5", "fast": True, "id_type": None
+    }
+    # the generic inferred backup read (dedup delete path) must see the
+    # None field as ABSENT, exactly as under the old writer
+    inferred = spark.read.json(p).collect()[0].asDict()
+    assert inferred == {"k": 4, "hash": "md5", "fast": True}
+    # overwrite replaces the row wholesale — no stale fields survive
+    write_meta_row(spark, p, {"k": 9})
+    assert spark.read.json(p).collect()[0].asDict() == {"k": 9}
+    # exactly one visible file: a reader never sees a half state
+    import os
+
+    visible = [f for f in os.listdir(p) if not f.startswith((".", "_"))]
+    assert visible == ["part-00000.json"]
 
 
 def test_dlit_sql_nonfinite_literals_round_trip(spark):
