@@ -2129,10 +2129,15 @@ def docs_quality_topfrac(spark, sf_dir):
     from ..operators import text as TX
 
     d = load(spark, sf_dir, "documents")
-    w = TX.train_hashed_ngram_weights(d, "text", _QC_TEACHER, iterations=3)
-    scored = d.select(
-        "doc_id", TX.hashed_ngram_score("text", w).alias("score")
-    ).localCheckpoint(eager=True)
+    # featurize ONCE (r12): the classifier trains and serves from one
+    # materialized (_x, _y) working set; score is a cheap dot-product
+    # projection of that checkpoint. The previous shape ran the md5
+    # featurize chain twice over the corpus (train + score) and
+    # checkpointed twice — fingerprint-identical, every paired rep
+    # faster (tools/ab_quality_topfrac.py, EXP_QUALITY_TOPFRAC.json)
+    scored = TX.hashed_ngram_classifier(
+        d, "doc_id", "text", _QC_TEACHER, iterations=3
+    ).select("doc_id", "score")
     # k >= 1 (mirrored by greatest(1, …) in the oracle): at N < 3 docs
     # a zero k would make the cumulative filter vacuous and the
     # threshold collapse to the global max — the oracle's empty top-k
@@ -2361,10 +2366,11 @@ def docs_quality_topfrac_bucketed(spark, sf_dir):
     single task). Equivalence on exactly that adversarial input is
     pytested."""
     d = load(spark, sf_dir, "documents")
-    w = TX.train_hashed_ngram_weights(d, "text", _QC_TEACHER, iterations=3)
-    scored = d.select(
-        "doc_id", TX.hashed_ngram_score("text", w).alias("score")
-    ).localCheckpoint(eager=True)
+    # featurize ONCE via the classifier's shared working set — same
+    # restructure as docs_quality_topfrac (EXP_QUALITY_TOPFRAC.json)
+    scored = TX.hashed_ngram_classifier(
+        d, "doc_id", "text", _QC_TEACHER, iterations=3
+    ).select("doc_id", "score")
     k = max(1, (2 * scored.count()) // 5)
     th = TX.exact_topk_threshold_bucketed(scored, "score", k, bucket_width=1024)
     return (
