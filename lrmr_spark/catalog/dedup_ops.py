@@ -461,12 +461,22 @@ def dedup_minhash_fast_vs_md5(spark, sf_dir):
     emitted-pair precision, is the only probabilistic part of either
     path."""
     docs = load(spark, sf_dir, "documents")
+    # tokenize/count ONCE, hash twice (r12): the two arms' item tables
+    # are byte-identical (hashing is everything downstream), so the
+    # shared frame is built and persisted once — persist, not
+    # checkpoint, so hashpartitioning(_id) survives into both per-doc
+    # signature aggregations (tools/ab_fast_vs_md5.py,
+    # EXP_FAST_VS_MD5.json: fingerprint-identical, every rep faster)
+    items = DD._minhash_items(docs, "doc_id", "text", "multiset", 3).persist()
     fast = DD.minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=16, bands=4, threshold=0.9, fast=True
+        docs, "doc_id", "text", num_hashes=16, bands=4, threshold=0.9,
+        fast=True, shared_items=items,
     )
     md5 = DD.minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=16, bands=4, threshold=0.9, fast=False
+        docs, "doc_id", "text", num_hashes=16, bands=4, threshold=0.9,
+        fast=False, shared_items=items,
     )
+    items.unpersist()  # both pair lists are eagerly checkpointed above
     f_, m_ = fast.alias("f"), md5.alias("m")
     return (
         f_.join(

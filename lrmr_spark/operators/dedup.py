@@ -150,6 +150,45 @@ def minhash_band_keys(sig: Column, num_hashes: int = 16, bands: int = 4) -> Colu
     )
 
 
+def _minhash_items(
+    df: DataFrame, id_col: str, text_col: str, unit: str, shingle_k: int
+) -> DataFrame:
+    """The hash-free front half of the rep pipeline: per-document
+    distinct item STRINGS (_id, _item) — tokenize/shingle, explode,
+    the fused _id exchange, and the per-(doc, item) dedup/count.
+    Split out (r12) so a caller running BOTH hash families over the
+    same corpus (the fast-vs-md5 gate diagnostic) can build this once,
+    persist it, and hash twice: everything from here on differs by
+    hash family, everything up to here is byte-identical between
+    them. Callers that share it MUST persist() (not localCheckpoint —
+    the cache preserves hashpartitioning(_id), which keeps the
+    per-doc signature aggregation exchange-free; a checkpoint would
+    forget the partitioning and re-shuffle both paths)."""
+    if unit == "shingles":
+        from .text import shingles
+
+        items_df = df.select(
+            F.col(id_col).alias("_id"),
+            F.explode_outer(shingles(text_col, shingle_k)).alias("_item"),
+        )
+        if _FUSE_REPS_EXCHANGE:
+            items_df = items_df.repartition("_id")
+        return items_df.dropDuplicates(["_id", "_item"])
+    if unit == "multiset":
+        exploded = df.select(
+            F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok")
+        )
+        if _FUSE_REPS_EXCHANGE:
+            exploded = exploded.repartition("_id")
+        item = F.concat(F.col("_tok"), F.lit(":"), F.col("_cnt"))
+        return (
+            exploded.groupBy("_id", "_tok")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .select("_id", item.alias("_item"))
+        )
+    raise ValueError(f"unknown unit {unit!r} (expected 'multiset' or 'shingles')")
+
+
 def _minhash_reps(
     df: DataFrame,
     id_col: str,
@@ -159,10 +198,13 @@ def _minhash_reps(
     shingle_k: int,
     fast: bool,
     keep_fp: bool = False,
+    shared_items: DataFrame | None = None,
 ) -> DataFrame:
     """Representative table for MinHash: per unique item-multiset one
     row (_id = min doc id, items, _h0.._hN signature minima). Shared by
-    the self-join pair finder and the incremental matcher."""
+    the self-join pair finder and the incremental matcher.
+    ``shared_items`` short-circuits the item construction with a
+    caller-persisted ``_minhash_items`` frame (fast-vs-md5 sharing)."""
     # Signature computed inside the item aggregation: the per-item
     # md5s are plain (whole-stage-codegen'd) column expressions and the
     # 16 minima fold via map-side-combinable min() — no interpreted
@@ -191,30 +233,11 @@ def _minhash_reps(
     # drift, not signal (identical code spans 27–163 s on this host).
     # Fusion stays the default. _FUSE_REPS_EXCHANGE is the A/B switch
     # the tool flips — not a user-facing knob.
-    if unit == "shingles":
-        from .text import shingles
-
-        items_df = df.select(
-            F.col(id_col).alias("_id"),
-            F.explode_outer(shingles(text_col, shingle_k)).alias("_item"),
-        )
-        if _FUSE_REPS_EXCHANGE:
-            items_df = items_df.repartition("_id")
-        items_df = items_df.dropDuplicates(["_id", "_item"])
-    elif unit == "multiset":
-        exploded = df.select(
-            F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok")
-        )
-        if _FUSE_REPS_EXCHANGE:
-            exploded = exploded.repartition("_id")
-        item = F.concat(F.col("_tok"), F.lit(":"), F.col("_cnt"))
-        items_df = (
-            exploded.groupBy("_id", "_tok")
-            .agg(F.count(F.lit(1)).alias("_cnt"))
-            .select("_id", item.alias("_item"))
-        )
-    else:
-        raise ValueError(f"unknown unit {unit!r} (expected 'multiset' or 'shingles')")
+    items_df = (
+        shared_items
+        if shared_items is not None
+        else _minhash_items(df, id_col, text_col, unit, shingle_k)
+    )
     if fast:
         # Hash every item string to a 64-bit id ONCE; the 16 seeded
         # hashes then fold over the 8-byte id, and the verify join
@@ -338,6 +361,7 @@ def minhash_lsh_pairs(
     fast: bool = False,
     eager: bool = True,
     sig_prefilter: bool = False,
+    shared_items: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup *representative* pairs via MinHash+LSH with
     exact-Jaccard verification over token-multiset items.
@@ -378,6 +402,13 @@ def minhash_lsh_pairs(
     sf0.1 and ~10% slower at sf1 on the test corpus (collisions there
     are mostly true dups — nothing to prune); enable it for corpora
     where most band collisions fail verification.
+
+    ``shared_items``: a caller-persisted ``_minhash_items`` frame for
+    the same (df, id_col, text_col, unit, shingle_k) — lets a caller
+    running BOTH hash families over one corpus (the fast-vs-md5
+    diagnostic) tokenize/count once and hash twice. The caller owns
+    the persist lifetime; values are identical by construction (the
+    item build is the hash-free front half either way).
     """
     # persist: the representative table is referenced four times (both
     # band-join sides + both verify sides); without it Spark recomputes
@@ -385,7 +416,8 @@ def minhash_lsh_pairs(
     # slowdown at sf0.1). One row per unique multiset — small relative
     # to the corpus; the default storage level spills safely at scale.
     reps = _minhash_reps(
-        df, id_col, text_col, num_hashes, unit, shingle_k, fast
+        df, id_col, text_col, num_hashes, unit, shingle_k, fast,
+        shared_items=shared_items,
     ).persist()
     cutoff = (
         _sig_prefilter_cutoff(num_hashes, bands, threshold)
