@@ -1058,8 +1058,17 @@ def dedup_pipeline_containment(spark, sf_dir):
     # exact-dup prune: same multiset fingerprint minhash collapses on
     # (md5 over sorted token:count items), keep the min doc_id per
     # fingerprint. groupBy-min + join — only (fp, id) rows shuffle.
-    fps = DD.token_multiset_items(docs, "doc_id", "text").select(
-        "_id", F.md5(F.array_join("items", " ")).alias("_fp")
+    # The (_id, _item) frame is built ONCE and shared with the minhash
+    # stage (r12: _minhash_reps re-ran the identical tokenize→explode→
+    # count front half over the same corpus — shared_items tokenizes
+    # once, the dedup_minhash_fast_vs_md5 pattern; item strings and
+    # fps are byte-identical by construction, tools/ab_pipeline_front.py
+    # fingerprint-asserts prune ids AND pairs before timing).
+    items = DD._minhash_items(docs, "doc_id", "text", "multiset", 3).persist()
+    fps = (
+        items.groupBy("_id")
+        .agg(F.array_sort(F.collect_list("_item")).alias("items"))
+        .select("_id", F.md5(F.array_join("items", " ")).alias("_fp"))
     )
     keeps = fps.groupBy("_fp").agg(F.min("_id").alias("_keep"))
     # materialized ONCE: the pruned-id list feeds the survivors
@@ -1074,8 +1083,10 @@ def dedup_pipeline_containment(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     pairs = DD.minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=16, bands=2, threshold=0.9
+        docs, "doc_id", "text", num_hashes=16, bands=2, threshold=0.9,
+        shared_items=items,
     )
+    items.unpersist()  # pairs eagerly checkpointed; exact_pruned too
     cc = DD.connected_components(pairs)
     cc_pruned = cc.filter(F.col("comp") != F.col("id")).select(
         F.col("id").alias("doc_id")
