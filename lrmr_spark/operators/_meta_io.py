@@ -30,7 +30,12 @@ from __future__ import annotations
 
 import json
 
-__all__ = ["TornMetaError", "read_meta_row", "write_meta_row"]
+__all__ = [
+    "TornMetaError",
+    "overwrite_parquet_swap",
+    "read_meta_row",
+    "write_meta_row",
+]
 
 
 class TornMetaError(ValueError):
@@ -101,3 +106,49 @@ def write_meta_row(spark, meta_path: str, payload: dict) -> None:
         out.close()
     if not fs.rename(tmp, hpath(f"{meta_path}/part-00000.json")):
         raise IOError(f"_meta rename failed under {meta_path}")
+
+
+def overwrite_parquet_swap(frame, final_dir: str, partition_by=None) -> None:
+    """Replace the parquet dir at ``final_dir`` with ``frame``'s rows
+    in ONE pass over the data: write to a dot-prefixed sibling temp
+    dir, then delete the old dir and rename the temp into place (two
+    driver-side FS metadata ops).
+
+    This is the single-pass alternative to ``localCheckpoint(eager) +
+    overwrite`` for rewrites whose checkpoint had exactly ONE consumer
+    — the write itself (winnowing df merge, epoch compactors, the
+    minhash delete's bands rewrite). ``frame``'s plan may READ from
+    ``final_dir``: the job reads the old files while writing the temp
+    dir — distinct paths, never read-and-overwrite one dir in a plan —
+    and the old data stays intact until the job has fully succeeded.
+    The checkpoint shape paid a full extra materialization (the whole
+    rewritten table through executor storage, then a second pass to
+    write it); at index scale that doubles the rewrite's data motion
+    (r12, guide §5/§6).
+
+    Crash discipline matches the checkpoint shape — callers invalidate
+    ``_meta`` around the call: a crash mid-write leaves the old dir
+    intact plus a stale temp (clobbered by the next call's overwrite
+    and invisible to readers, which open named subdirs, never list the
+    index root); a crash between delete and rename leaves the dir
+    missing — both states fail loudly at the next ``_meta`` read.
+
+    A leaked session-level ``partitionOverwriteMode=dynamic`` cannot
+    half-replace the table here (the hazard the compactors pinned
+    ``static`` against): the temp dir starts empty, so partitioned
+    writes into it have no pre-existing partitions to leave alive, and
+    the swap replaces the WHOLE final dir by construction."""
+    spark = frame.sparkSession
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    final = hpath(final_dir)
+    parent, name = final.getParent(), final.getName()
+    tmp = hpath(parent, f".{name}.swap")
+    fs = final.getFileSystem(spark._jsc.hadoopConfiguration())
+    writer = frame.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(tmp))
+    fs.delete(final, True)
+    if not fs.rename(tmp, final):
+        raise IOError(f"parquet swap rename failed for {final_dir}")

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Column
 from pyspark.sql import functions as F
 
-from ._meta_io import read_meta_row, write_meta_row
+from ._meta_io import overwrite_parquet_swap, read_meta_row, write_meta_row
 from .text import distinct_tokens, fingerprint, tokens
 
 # A/B switch for the MinHash reps-stage exchange fusion (see
@@ -1518,9 +1518,11 @@ def delete_minhash_index_content(
         return 0
     keep_reps = flagged.filter(~F.col("_rm")).drop("_rm")
     removed_ids = flagged.filter(F.col("_rm")).select("_id")
-    keep_bands = bands.join(removed_ids, "_id", "left_anti").localCheckpoint(
-        eager=True
-    )
+    # bands survivors in ONE pass: the anti-join plan reads the old
+    # bands dir (removed_ids comes off the flagged checkpoint) while
+    # writing a sibling temp, swapped in after success — the former
+    # eager checkpoint's only consumer was this write (r12, guide §5)
+    keep_bands = bands.join(removed_ids, "_id", "left_anti")
     # torn-write guard: no _meta may pair with half-rewritten tables
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_meta")
@@ -1531,9 +1533,7 @@ def delete_minhash_index_content(
     meta_backup = spark.read.json(f"{path}/_meta").collect()[0].asDict()
     fs.delete(jpath, True)
     keep_reps.write.mode("overwrite").parquet(f"{path}/reps")
-    keep_bands.write.mode("overwrite").parquet(f"{path}/bands")
+    overwrite_parquet_swap(keep_bands, f"{path}/bands")
     write_meta_row(spark, f"{path}/_meta", meta_backup)
-    # pitfall 19: release the checkpoints' blocks
-    flagged.unpersist()
-    keep_bands.unpersist()
+    flagged.unpersist()  # pitfall 19: release the checkpoint blocks
     return int(n_removed)

@@ -18,7 +18,12 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ._meta_io import TornMetaError, read_meta_row, write_meta_row
+from ._meta_io import (
+    TornMetaError,
+    overwrite_parquet_swap,
+    read_meta_row,
+    write_meta_row,
+)
 
 # Serving-path broadcast gate for the banned-fingerprint frame (the
 # over-max_df template noise anti-joined out of a match batch). On any
@@ -461,8 +466,10 @@ def _apply_winnowing_df_delta(spark, path: str, inc, dec) -> None:
     DISTINCT indexed documents per fingerprint (exactly what the
     read-time window computed). Merge = union the current table with
     the deltas, sum per fp, drop non-positive rows; the merged frame
-    is materialized (eager checkpoint) before overwriting the dir it
-    was read from — never read-and-overwrite in one plan."""
+    lands via write-to-temp + rename (overwrite_parquet_swap) so the
+    plan reads the old df dir while writing a sibling temp — ONE pass
+    instead of the former eager-checkpoint + overwrite two-pass shape
+    (r12; the checkpoint's only consumer was this write)."""
     frames = []
     try:
         frames.append(
@@ -484,10 +491,8 @@ def _apply_winnowing_df_delta(spark, path: str, inc, dec) -> None:
         merged.groupBy("fp")
         .agg(F.sum("_delta").cast("bigint").alias("df"))
         .filter(F.col("df") > 0)
-        .localCheckpoint(eager=True)
     )
-    merged.write.mode("overwrite").parquet(f"{path}/df")
-    merged.unpersist()  # pitfall 19: release the checkpoint blocks
+    overwrite_parquet_swap(merged, f"{path}/df")
 
 
 def write_winnowing_index(
@@ -884,14 +889,18 @@ def compact_winnowing_index(spark, path: str) -> int:
     (compact_line_index's twin): postings are deduped on (id, fp)
     while folding — exactly the dedupe the matcher applies at read —
     so compaction CHANGES NO ANSWER. Torn-write discipline: the
-    folded postings materialize first (eager checkpoint — never
-    read-and-overwrite one parquet dir in a plan), _meta is
-    invalidated across the static overwrite and restored after, so an
-    interruption leaves a loudly-failing index, not a half-folded
-    one. The df side table is untouched: folding preserves the
-    distinct (id, fp) multiset, so per-fp document frequency is
-    compaction-invariant by construction. Returns the number of
-    epochs folded (0 for a validly-empty index)."""
+    folded postings land via write-to-temp + rename
+    (overwrite_parquet_swap — the fold plan reads the old epochs
+    while writing a sibling temp dir, ONE pass over the index instead
+    of the former eager-checkpoint + overwrite two-pass shape; at
+    index scale the checkpoint pushed the whole folded table through
+    executor storage twice, r12 guide §5/§6), _meta is invalidated
+    across the swap and restored after, so an interruption leaves a
+    loudly-failing index, not a half-folded one. The df side table is
+    untouched: folding preserves the distinct (id, fp) multiset, so
+    per-fp document frequency is compaction-invariant by
+    construction. Returns the number of epochs folded (0 for a
+    validly-empty index)."""
     meta = _read_winnowing_meta(spark, path)
     if meta is None:
         raise ValueError(f"no winnowing index _meta at {path}")
@@ -903,18 +912,16 @@ def compact_winnowing_index(spark, path: str) -> int:
         post.select("id", "fp")
         .distinct()
         .withColumn("_epoch", F.lit(0))
-        .localCheckpoint(eager=True)
     )
     jvm = spark.sparkContext._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_meta")
     fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     fs.delete(jpath, True)
-    # STATIC overwrite pinned on the write (the compact_line_index
-    # lesson): under a leaked dynamic session mode only _epoch=0 would
-    # be replaced and the old epochs would survive, double-posting
-    folded.write.mode("overwrite").option(
-        "partitionOverwriteMode", "static"
-    ).partitionBy("_epoch").parquet(f"{path}/postings")
+    # the swap replaces the WHOLE postings dir by construction, so a
+    # leaked dynamic session overwrite mode cannot leave old epochs
+    # alive (the hazard the former static-pinned overwrite guarded —
+    # the compact_line_index lesson; asserted by the same tests)
+    overwrite_parquet_swap(folded, f"{path}/postings", ["_epoch"])
     _write_winnowing_meta(
         spark,
         path,
@@ -928,7 +935,6 @@ def compact_winnowing_index(spark, path: str) -> int:
         ),
         empty=False,
     )
-    folded.unpersist()  # pitfall 19: release the checkpoint blocks
     return int(n_epochs)
 
 
@@ -1786,11 +1792,13 @@ def compact_line_index(spark, path: str) -> int:
     compaction pre-folds that sum. Counts are associative, so
     compaction CHANGES NO ANSWER (clean-after ≡ clean-before, the
     hash-gated claim of text_line_dedup_compacted). Torn-write
-    discipline: folded counts materialize first (eager checkpoint —
-    never read-and-overwrite one parquet dir in a plan), _meta is
-    invalidated across the static overwrite and restored after, so an
-    interruption leaves a loudly-failing index, not a half-folded one.
-    Returns the number of epochs folded."""
+    discipline: folded counts land via write-to-temp + rename
+    (overwrite_parquet_swap — the fold plan reads the old epochs while
+    writing a sibling temp dir, ONE pass over the index instead of
+    the former eager-checkpoint + overwrite two-pass shape, r12 guide
+    §5/§6), _meta is invalidated across the swap and restored after,
+    so an interruption leaves a loudly-failing index, not a
+    half-folded one. Returns the number of epochs folded."""
     meta = read_meta_row(spark, f"{path}/_meta", "width int, hash string, id_col string")
     counts = spark.read.parquet(f"{path}/counts")
     n_epochs = counts.select("_epoch").distinct().count()
@@ -1798,21 +1806,18 @@ def compact_line_index(spark, path: str) -> int:
         counts.groupBy("h")
         .agg(F.sum("df").alias("df"))
         .withColumn("_epoch", F.lit(0))
-        .localCheckpoint(eager=True)
     )
     _p = f"{path}/_meta"
     jvm = spark.sparkContext._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(_p)
     fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     fs.delete(jpath, True)
-    # partitionOverwriteMode pinned STATIC on the write itself: under a
-    # session-level dynamic mode (leaked by any partial index-op
-    # failure) a plain overwrite would replace only _epoch=0 and leave
-    # the old epochs alive — every post-compaction df would then be
-    # double-counted, silently breaking the changes-no-answer contract
-    folded.write.mode("overwrite").option(
-        "partitionOverwriteMode", "static"
-    ).partitionBy("_epoch").parquet(f"{path}/counts")
+    # the swap replaces the WHOLE counts dir by construction, so a
+    # session-level dynamic overwrite mode (leaked by any partial
+    # index-op failure) cannot leave old epochs alive double-counting
+    # every post-compaction df — the hazard the former static-pinned
+    # overwrite guarded; asserted by the same hash-gated entry
+    overwrite_parquet_swap(folded, f"{path}/counts", ["_epoch"])
     write_meta_row(
         spark,
         f"{path}/_meta",
@@ -1822,7 +1827,6 @@ def compact_line_index(spark, path: str) -> int:
             "id_col": meta["id_col"],
         },
     )
-    folded.unpersist()  # pitfall 19: release the checkpoint blocks
     return int(n_epochs)
 
 

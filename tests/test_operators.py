@@ -4167,3 +4167,56 @@ def test_dlit_sql_nonfinite_literals_round_trip(spark):
     assert row["ninf"] == float("-inf")
     assert row["nan"] != row["nan"]  # NaN
     assert row["v"] == 1.5
+
+
+# --------------------------------------- single-pass rewrite swap (r12)
+def test_overwrite_parquet_swap_reads_old_dir_in_one_pass(spark, tmp_path):
+    """overwrite_parquet_swap replaces a parquet dir with a frame whose
+    plan READS that same dir — the single-pass shape that retired the
+    eager-checkpoint + overwrite rewrites (winnowing df merge, both
+    epoch compactors, the minhash delete's bands table)."""
+    import os
+
+    from lrmr_spark.operators._meta_io import overwrite_parquet_swap
+
+    p = str(tmp_path / "t")
+    spark.range(10).write.parquet(p)
+    # a stale temp from a crashed earlier swap must be clobbered
+    os.makedirs(str(tmp_path / ".t.swap"))
+    open(str(tmp_path / ".t.swap" / "junk"), "w").close()
+    overwrite_parquet_swap(spark.read.parquet(p).filter("id < 5"), p)
+    assert sorted(r["id"] for r in spark.read.parquet(p).collect()) == list(
+        range(5)
+    )
+    assert not os.path.exists(str(tmp_path / ".t.swap"))
+
+
+def test_overwrite_parquet_swap_replaces_whole_dir_under_dynamic_leak(
+    spark, tmp_path
+):
+    """The compactors' old static-pinned overwrite guarded against a
+    leaked session-level dynamic partition-overwrite mode leaving old
+    epochs alive (double-counting every post-compaction df). The swap
+    must keep that guarantee by construction: the whole dir is
+    replaced, leaked mode or not."""
+    from lrmr_spark.operators._meta_io import overwrite_parquet_swap
+
+    p = str(tmp_path / "parts")
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], "id long, _epoch int"
+    )
+    df.write.partitionBy("_epoch").parquet(p)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        folded = (
+            spark.read.parquet(p)
+            .select("id")
+            .withColumn("_epoch", F.lit(0))
+        )
+        overwrite_parquet_swap(folded, p, ["_epoch"])
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    rows = spark.read.parquet(p).collect()
+    assert sorted(r["id"] for r in rows) == [1, 2, 3, 4]
+    assert {r["_epoch"] for r in rows} == {0}  # old epochs are GONE
