@@ -572,11 +572,6 @@ def write_winnowing_index(
                 f"supplied { {n: v[1] for n, v in bad.items()} } — "
                 f"mixed selections never match across epochs"
             )
-    post = (
-        winnowing_postings(df, id_col, text_col, k, w)
-        .select(F.col("_id").alias("id"), "fp")
-        .localCheckpoint(eager=True)  # referenced by the epoch write AND the df delta
-    )
     fs, jvm = _winnowing_fs(spark, path)
     # appending to a PRE-df-era index (epochs exist, no side table —
     # e.g. one written before the table shipped): the incremental
@@ -585,37 +580,77 @@ def write_winnowing_index(
     bootstrap = bool(epochs) and not fs.exists(
         jvm.org.apache.hadoop.fs.Path(f"{path}/df")
     )
-    old_e = hit = None
-    if bootstrap:
-        inc = dec = None
-    elif epochs:
-        allp = spark.read.parquet(f"{path}/postings")
-        probe = post.select("fp").distinct()
-        if int(epoch) in epochs:
-            # epoch REPLAY (checkpoint recovery): materialize the old
-            # contribution BEFORE the overwrite replaces its partition
-            old_e = (
-                allp.filter(F.col("_epoch") == int(epoch))
-                .select("id", "fp")
-                .localCheckpoint(eager=True)
-            )
-            probe = probe.union(old_e.select("fp")).distinct()
-        # pairs from OTHER epochs sharing a fingerprint with this batch:
-        # one narrow stored-side scan behind a broadcast semi-join
-        hit = (
-            allp.filter(F.col("_epoch") != int(epoch))
+    id_type = df.schema[id_col].dataType.simpleString()
+    post_schema = f"id {id_type}, fp string, _epoch int"
+    old_e = None
+    if int(epoch) in epochs and not bootstrap:
+        # epoch REPLAY (checkpoint recovery): materialize the old
+        # contribution BEFORE the overwrite replaces its partition —
+        # the one frame that MUST checkpoint here (its source files
+        # are about to be rewritten)
+        old_e = (
+            spark.read.schema(post_schema)
+            .parquet(f"{path}/postings")
+            .filter(F.col("_epoch") == int(epoch))
             .select("id", "fp")
-            .join(F.broadcast(probe), "fp", "left_semi")
-            .distinct()
             .localCheckpoint(eager=True)
         )
-        inc = post.join(hit, ["id", "fp"], "left_anti")
-        dec_src = (
-            old_e.join(hit, ["id", "fp"], "left_anti") if old_e is not None else None
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_meta"), True)
+    # the epoch lands FIRST, computed and written in ONE pass (r12:
+    # the former shape eager-checkpointed the batch postings — a full
+    # batch-sized copy through executor storage — then wrote them from
+    # the cache and fed the df delta from the cache too; the df-delta
+    # inputs below derive from a NARROW explicit-schema read-back of
+    # the partition just written instead, guide §5/§6). _meta is
+    # already invalidated, so a crash anywhere in this window fails
+    # loudly at the next read — same torn discipline as before.
+    (
+        winnowing_postings(df, id_col, text_col, k, w)
+        .select(
+            F.col("_id").alias("id"), "fp", F.lit(int(epoch)).alias("_epoch")
         )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_epoch")
+        .parquet(f"{path}/postings")
+    )
+    # explicit schema: no footer-inference job, and an empty batch
+    # (dir holding only _SUCCESS) reads back as an empty frame
+    allp = spark.read.schema(post_schema).parquet(f"{path}/postings")
+    post_rb = allp.filter(F.col("_epoch") == int(epoch)).select("id", "fp")
+    if bootstrap:
+        full = (
+            allp.select("id", "fp")
+            .distinct()
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        )
+        overwrite_parquet_swap(full, f"{path}/df")
     else:
-        inc, dec_src = post, None
-    if not bootstrap:
+        if epochs:
+            probe = post_rb.select("fp").distinct()
+            if old_e is not None:
+                probe = probe.union(old_e.select("fp")).distinct()
+            # pairs from OTHER epochs sharing a fingerprint with this
+            # batch: a narrow stored-side scan behind a broadcast
+            # semi-join, left LAZY — it folds into the one df-merge
+            # job below (replay's dec branch recomputes it inside that
+            # same job — the rare recovery path; the former eager
+            # checkpoint cost EVERY write a separate job for it)
+            hit = (
+                allp.filter(F.col("_epoch") != int(epoch))
+                .select("id", "fp")
+                .join(F.broadcast(probe), "fp", "left_semi")
+                .distinct()
+            )
+            inc = post_rb.join(hit, ["id", "fp"], "left_anti")
+            dec_src = (
+                old_e.join(hit, ["id", "fp"], "left_anti")
+                if old_e is not None
+                else None
+            )
+        else:
+            inc, dec_src = post_rb, None
         inc = inc.groupBy("fp").agg(
             F.count(F.lit(1)).cast("bigint").alias("_delta")
         )
@@ -626,26 +661,6 @@ def write_winnowing_index(
             if dec_src is not None
             else None
         )
-    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/_meta"), True)
-    (
-        post.withColumn("_epoch", F.lit(int(epoch)))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_epoch")
-        .parquet(f"{path}/postings")
-    )
-    if bootstrap:
-        full = (
-            spark.read.parquet(f"{path}/postings")
-            .select("id", "fp")
-            .distinct()
-            .groupBy("fp")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-            .localCheckpoint(eager=True)
-        )
-        full.write.mode("overwrite").parquet(f"{path}/df")
-        full.unpersist()
-    else:
         _apply_winnowing_df_delta(spark, path, inc, dec)
     _write_winnowing_meta(
         spark,
@@ -655,12 +670,11 @@ def write_winnowing_index(
         max_df=max_df,
         hash_name="md5-8",
         id_col=id_col,
-        id_type=df.schema[id_col].dataType.simpleString(),
+        id_type=id_type,
         empty=False,
     )
-    for cp in (post, old_e, hit):
-        if cp is not None:
-            cp.unpersist()  # pitfall 19: release the checkpoint blocks
+    if old_e is not None:
+        old_e.unpersist()  # pitfall 19: release the checkpoint blocks
 
 
 def match_winnowing_index(
