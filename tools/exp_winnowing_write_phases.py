@@ -1,9 +1,15 @@
 """Phase-split ONE write_winnowing_index call (the cost every
 winnowing lifecycle entry pays twice; the r12 CRUD split only timed
-whole writes). Replays the operator's exact internal sequence with a
+whole writes). Replays the PRE-restructure internal sequence with a
 wall-clock timer per phase: postings build+checkpoint, stored-side
 hit scan (2nd epoch only), epoch parquet write, df-delta merge
 (checkpoint + overwrite), _meta write.
+
+NOTE: this is the BEFORE evidence (EXP_WINNOWING_WRITE_PHASES.json).
+The shipped operator was restructured mid-r12 (epoch lands first in
+one fused pass, df deltas from a narrow read-back, hit left lazy);
+tools/ab_winnowing_write.py carries the after-evidence, with the old
+body inlined and index/match fingerprints asserted identical.
 
 Usage: python tools/exp_winnowing_write_phases.py OUT.json [sf_dir] [reps]
 """
@@ -82,7 +88,30 @@ def split_write(spark, df, path, epoch, rec, pfx):
             .parquet(f"{path}/postings")
         )
     with P(rec, f"{pfx}:df_delta_merge"):
-        TX._apply_winnowing_df_delta(spark, path, inc, None)
+        # pre-restructure merge, inlined verbatim (checkpoint +
+        # overwrite) so re-runs keep measuring the BEFORE shape even
+        # though the shipped _apply_winnowing_df_delta now swaps
+        frames = []
+        try:
+            frames.append(
+                spark.read.parquet(f"{path}/df").select(
+                    "fp", F.col("df").cast("bigint").alias("_delta")
+                )
+            )
+        except Exception:
+            pass
+        frames.append(inc)
+        merged = frames[0]
+        for fr in frames[1:]:
+            merged = merged.unionByName(fr)
+        merged = (
+            merged.groupBy("fp")
+            .agg(F.sum("_delta").cast("bigint").alias("df"))
+            .filter(F.col("df") > 0)
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(f"{path}/df")
+        merged.unpersist()
     with P(rec, f"{pfx}:meta_write"):
         TX._write_winnowing_meta(
             spark, path, k=k, w=w, max_df=max_df, hash_name="md5-8",
