@@ -1101,18 +1101,37 @@ def cogroup_click_purchase_profile(spark, sf_dir):
     cogroup degenerates to FULL OUTER join of two aggregates — two
     independent formulations must agree. The reference's Reduce gets
     one grouped stream (transformation.go); cogroup is the two-input
-    generalization Spark offers."""
+    generalization Spark offers.
+
+    SELF-cogroup sharp edge (r12, found by the catalog sweep's
+    ``count()``): deriving BOTH sides from one scan gives them the
+    same attribute exprIds, and under any downstream projection
+    (``count()``, a column subset) Spark 4.1's column pruning then
+    strips the right side's non-key columns — the pandas function
+    received a purchases frame holding only ``user_id`` (rows intact,
+    values gone): a worker crash under count-only consumption and a
+    silent-wrong-value hazard under partial projection. The sides are
+    therefore built from two INDEPENDENT scans (fresh exprIds — the
+    two filter branches each scanned the table anyway), and the
+    function raises loudly if a needed column ever goes missing again
+    instead of fabricating -1s."""
     import pandas as pd
 
-    ev = load(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "event_id"
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id"
-    )
+    clicks = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    ).select("user_id", "event_id")
+    purchases = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "event_id")
 
     def profile(key, cdf: "pd.DataFrame", pdf: "pd.DataFrame") -> "pd.DataFrame":
+        for side, frame in (("clicks", cdf), ("purchases", pdf)):
+            if len(frame) and "event_id" not in frame.columns:
+                raise RuntimeError(
+                    f"cogroup {side} side arrived without event_id "
+                    f"(got {list(frame.columns)}): column pruning "
+                    "reached into the cogroup child again"
+                )
         nc, np_ = len(cdf), len(pdf)
         return pd.DataFrame(
             [

@@ -104,3 +104,29 @@ def test_checksum_reconcile_finds_only_planted_shards(spark, sf_dir):
         for r in queries()["table_checksum_reconcile"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_cogroup_profile_survives_count_and_column_pruning(spark, sf_dir):
+    """The self-cogroup sharp edge (r12): with both sides derived from
+    ONE scan, Spark 4.1's column pruning stripped the right side's
+    non-key columns under any downstream projection — count() crashed
+    the pandas worker and a column subset could silently fabricate
+    -1s. The entry now builds its sides from independent scans; pin
+    the two previously-broken consumption modes and subset==full
+    value equality."""
+    from pyspark.sql import functions as F
+
+    q = queries()["cogroup_click_purchase_profile"]
+    out = q(spark, sf_dir)
+    n = out.count()  # crashed before the fix
+    assert n > 0
+    full = {r["user_id"]: r["first_purchase_id"] for r in out.collect()}
+    sub = {
+        r["user_id"]: r["first_purchase_id"]
+        for r in out.select("user_id", "first_purchase_id").collect()
+    }
+    assert sub == full and len(full) == n
+    # a partial aggregate (values consumed, schema pruned) agrees with
+    # the full-collect values
+    s = out.agg(F.sum("first_purchase_id")).collect()[0][0]
+    assert s == sum(full.values())
