@@ -677,11 +677,25 @@ def _banding_vs_brute_diffs(docs, k: int = 3, max_reps: int = _BRUTE_REPS_BOUND)
     ⇔ banding lossless on this corpus). Raises when the
     distinct-signature rep count exceeds ``max_reps`` — the brute arm
     is O(reps²) by design and must never run at corpus scale."""
-    banded = DD.simhash64_hamming_pairs(docs, "doc_id", "text", k=k)
     sigs = DD.simhash64(docs, "doc_id", "text").select(
         F.col("doc_id").alias("_id"), F.col("simhash").alias("_sig")
     )
-    reps = sigs.groupBy("_sig").agg(F.min("_id").alias("_id"))
+    # materialize reps ONCE (r12): the signature pipeline (tokenize →
+    # explode → 64-vote aggregate) otherwise re-runs for the guard
+    # count, the banded arm, and BOTH brute cross-join sides — 3-4
+    # data-proportional passes for one tiny (2-long) rep table. A
+    # localCheckpoint (not persist) is deliberate: no downstream
+    # consumer uses reps' hashpartitioning(_sig) — the banded arm
+    # re-shuffles on _blk and the brute arm is a nested-loop cross —
+    # and the checkpoint needs no unpersist hook after the caller's
+    # lazy collect. Linear in docs, so it is safe to land BEFORE the
+    # quadratic-arm guard below (the guard protects the cross join,
+    # not this). Fingerprint-asserted identical pair set:
+    # tools/ab_simhash_lossless.py, EXP_SIMHASH_LOSSLESS.json.
+    reps = (
+        sigs.groupBy("_sig").agg(F.min("_id").alias("_id"))
+        .localCheckpoint(eager=True)
+    )
     n_reps = reps.count()
     if n_reps > max_reps:
         raise ValueError(
@@ -691,6 +705,9 @@ def _banding_vs_brute_diffs(docs, k: int = 3, max_reps: int = _BRUTE_REPS_BOUND)
             f"only for validation-scale corpora; certify banding on a "
             f"sample, never the full corpus"
         )
+    banded = DD.simhash64_hamming_pairs(
+        docs, "doc_id", "text", k=k, shared_reps=reps
+    )
     lft, rgt = reps.alias("l"), reps.alias("r")
     brute = (
         lft.crossJoin(rgt)  # diagnostic all-pairs: see docstring

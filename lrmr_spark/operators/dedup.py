@@ -1413,7 +1413,11 @@ def simhash_hamming_pairs(
 
 
 def simhash64_hamming_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    shared_reps: DataFrame | None = None,
 ) -> DataFrame:
     """Production 64-bit variant of simhash_hamming_pairs: signatures
     from simhash64 (xxhash64 token bits, one bigint per doc), block
@@ -1422,11 +1426,24 @@ def simhash64_hamming_pairs(
     bit_count(sig_a XOR sig_b) ≤ k — one JVM popcount per candidate.
     Not oracle-portable (xxhash64); property-tested against the brute
     all-pairs Hamming scan instead. Output: (id_a, id_b, hamming) over
-    identical-signature representatives, id_a < id_b."""
-    sigs = simhash64(df, id_col, text_col).select(
-        F.col(id_col).alias("_id"), F.col("simhash").alias("_sig")
-    )
-    reps = sigs.groupBy("_sig").agg(F.min("_id").alias("_id"))
+    identical-signature representatives, id_a < id_b.
+
+    ``shared_reps``: a caller that has ALREADY materialized this
+    function's representative table — exactly
+    ``simhash64(df, id, text).groupBy(_sig).agg(min(_id))`` with
+    columns (_sig bigint, _id) — passes it here to skip the signature
+    pipeline (the banding-losslessness gate builds the same reps for
+    its brute arm; tools/ab_simhash_lossless.py fingerprint-asserts
+    the shared form identical). The frame must be the same-config
+    derivation — a drifted reps table would silently change the pair
+    set."""
+    if shared_reps is not None:
+        reps = shared_reps
+    else:
+        sigs = simhash64(df, id_col, text_col).select(
+            F.col(id_col).alias("_id"), F.col("simhash").alias("_sig")
+        )
+        reps = sigs.groupBy("_sig").agg(F.min("_id").alias("_id"))
     blocks = k + 1
     banded = reps.select(
         "_id",

@@ -1420,6 +1420,36 @@ def test_simhash64_hamming_pairs_vs_bruteforce(spark, docs):
     assert got == brute
 
 
+def test_simhash64_hamming_pairs_shared_reps_identical(spark, docs):
+    """r12: the banding-losslessness gate materializes the rep table
+    once and feeds it back via shared_reps — the pair set must be
+    IDENTICAL to the self-derived form (the param only skips the
+    signature pipeline, never changes it)."""
+    from pyspark.sql import functions as F
+
+    sample = docs.limit(80)
+    base = {
+        tuple(r)
+        for r in DD.simhash64_hamming_pairs(
+            sample, "doc_id", "text", k=3
+        ).collect()
+    }
+    reps = (
+        DD.simhash64(sample, "doc_id", "text")
+        .select(F.col("doc_id").alias("_id"), F.col("simhash").alias("_sig"))
+        .groupBy("_sig")
+        .agg(F.min("_id").alias("_id"))
+        .localCheckpoint(eager=True)
+    )
+    shared = {
+        tuple(r)
+        for r in DD.simhash64_hamming_pairs(
+            sample, "doc_id", "text", k=3, shared_reps=reps
+        ).collect()
+    }
+    assert shared == base
+
+
 def test_simhash_hamming_lossless_adversarial_blocks(spark):
     # pairs differing in exactly k bits placed to straddle blocks must
     # still be found (pigeonhole: k diffs cannot touch all k+1 blocks)
